@@ -22,9 +22,22 @@ no torch dependency.
 
 from __future__ import annotations
 
+import functools
 from typing import Mapping
 
+import jax
+import jax.numpy as jnp
 import numpy as np
+
+
+def _as_device_pytree(fn):
+    """Converters return jnp arrays so pytrees drop straight into jit."""
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        return jax.tree.map(jnp.asarray, fn(*args, **kwargs))
+
+    return wrapped
 
 
 def _np(t) -> np.ndarray:
@@ -74,6 +87,7 @@ def _strip_prefix(sd: Mapping[str, np.ndarray], prefix: str) -> dict:
     return out
 
 
+@_as_device_pytree
 def policy_from_torch(sd: Mapping[str, np.ndarray], bidirectional: bool = False) -> dict:
     params = {
         "embedding": _np(sd["caption_embedding.weight"]),
@@ -88,6 +102,7 @@ def policy_from_torch(sd: Mapping[str, np.ndarray], bidirectional: bool = False)
     return params
 
 
+@_as_device_pytree
 def value_from_torch(sd: Mapping[str, np.ndarray], bidirectional: bool = False) -> dict:
     params = {
         "embedding": _np(sd["valrnn.caption_embedding.weight"]),
@@ -103,6 +118,7 @@ def value_from_torch(sd: Mapping[str, np.ndarray], bidirectional: bool = False) 
     return params
 
 
+@_as_device_pytree
 def reward_from_torch(sd: Mapping[str, np.ndarray], bidirectional: bool = False) -> dict:
     params = {
         "embedding": _np(sd["rewrnn.caption_embedding.weight"]),
@@ -117,6 +133,7 @@ def reward_from_torch(sd: Mapping[str, np.ndarray], bidirectional: bool = False)
     return params
 
 
+@_as_device_pytree
 def a2c_from_torch(sd: Mapping[str, np.ndarray], bidirectional: bool = False) -> dict:
     """Convert the joint A2C checkpoint (key prefixes ``value_network.* /
     policy_network.*`` from the wrapper's attribute names, reference

@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Headline benchmark: greedy-decode captions/sec/chip vs PyTorch-CPU.
+
+Measures the framework's jitted O(T) greedy decode (COCO-bundle shapes:
+vocab 1004, hidden 512, T 17) on the default JAX device, against the
+reference implementation's decode path — an O(T^2) full-prefix
+``nn.LSTM`` re-encode loop in eager PyTorch on CPU (reference
+trainers.py:57-70) — which is the baseline named in BASELINE.json
+("PyTorch-CPU captions/sec on COCO val greedy decode").
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "captions/sec/chip", "vs_baseline": N}
+"""
+
+import json
+import time
+
+import numpy as np
+
+VOCAB = 1004
+FEAT = 512
+HID = 512
+T = 17
+JAX_BATCH = 4096
+TORCH_BATCH = 128
+
+
+def bench_jax() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from image_captioning_through_rl_tpu.config import NetConfig
+    from image_captioning_through_rl_tpu.decode import greedy_decode
+    from image_captioning_through_rl_tpu.models import policy
+
+    cfg = NetConfig(vocab_size=VOCAB, input_dim=FEAT, wordvec_dim=HID, hidden_dim=HID)
+    params = policy.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.standard_normal((JAX_BATCH, FEAT), dtype=np.float32))
+    start = jnp.ones((JAX_BATCH,), jnp.int32)
+
+    fn = jax.jit(lambda f, s: greedy_decode(params, cfg, f, s))
+    jax.block_until_ready(fn(feats, start))  # compile + warmup
+    jax.block_until_ready(fn(feats, start))
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(feats, start)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return JAX_BATCH * iters / dt
+
+
+def bench_torch_cpu() -> float:
+    """Reference-equivalent greedy decode in eager torch on CPU."""
+    import torch
+    import torch.nn as nn
+
+    torch.manual_seed(0)
+    emb = nn.Embedding(VOCAB, HID)
+    cnn2linear = nn.Linear(FEAT, HID)
+    lstm = nn.LSTM(HID, HID, batch_first=True)
+    head = nn.Linear(HID, VOCAB)
+
+    feats = torch.randn(1, TORCH_BATCH, FEAT)
+
+    def decode_once():
+        # the reference's loop: re-run the policy over the whole prefix
+        # per generated token (trainers.py:65-70)
+        with torch.no_grad():
+            h0 = cnn2linear(feats)
+            caps = torch.ones(TORCH_BATCH, 1, dtype=torch.long)
+            for _ in range(T - 1):
+                x = emb(caps)
+                out, _ = lstm(x, (h0, torch.zeros_like(h0)))
+                logits = head(out[:, -1:, :])
+                caps = torch.cat((caps, logits.argmax(axis=2)), axis=1)
+        return caps
+
+    decode_once()  # warmup
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        decode_once()
+    dt = time.perf_counter() - t0
+    return TORCH_BATCH * iters / dt
+
+
+def main() -> None:
+    jax_cps = bench_jax()
+    torch_cps = bench_torch_cpu()
+    print(json.dumps({
+        "metric": "greedy_decode_captions_per_sec_per_chip",
+        "value": round(jax_cps, 2),
+        "unit": "captions/sec/chip",
+        "vs_baseline": round(jax_cps / torch_cps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,198 @@
+"""CLI driver preserving the reference's flags and pipeline.
+
+The reference entry point (image_captioner.py) runs:
+  setup paths -> load data -> [optional word-embedding training] ->
+  train-or-load the A2C network -> test (beam decode + caption dump) ->
+  score (BLEU/METEOR/ROUGE-L/CIDEr) -> [optional postprocess].
+
+All reference flags are preserved (image_captioner.py:154-185),
+including ``--pretrained_word2vec`` (which here actually works — the
+reference parses but never consumes it, quirk Q11; we honor it, and the
+reference behavior of ignoring it remains the default "none").
+TPU-specific additions: ``--num_devices`` for data-parallel training
+over a device mesh, ``--faithful_beam`` to select the reference's
+batch-mean shared-beam decoding.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from datetime import datetime
+
+from ..config import DecodeConfig
+from ..data.coco import load_data
+from ..train.loops import (
+    load_a2c_models,
+    test_a2c_network,
+    train_a2c_network,
+)
+from ..utils.io import append_results, get_filename
+from ..utils.logging import print_green
+
+BASE_DIR = os.path.join("datasets", "coco_captioning")
+REAL_CAPTIONS_FILE = "real_captions.txt"
+GENERATED_CAPTIONS_FILE = "generated_captions.txt"
+IMAGE_URL_FILENAME = "image_url.txt"
+
+# Native checkpoints use .ckpt; reference .pt files load transparently.
+A2C_NETWORK_WEIGHTS_FILE = "a2cNetwork.ckpt"
+REWARD_NETWORK_WEIGHTS_FILE = "rewardNetwork.ckpt"
+POLICY_NETWORK_WEIGHTS_FILE = "policyNetwork.ckpt"
+VALUE_NETWORK_WEIGHTS_FILE = "valueNetwork.ckpt"
+
+RESULTS_FILE = "results.txt"
+BEST_SCORE_FILENAME = "best_scores.txt"
+BEST_SCORE_IMAGES_PATH = "best_scores_images"
+CURRICULUM_LEVELS = [3, 6, 9, 12, 15]  # image_captioner.py:35
+
+
+def setup(args):
+    """Derive the log dir and the three path dicts
+    (reference image_captioner.py:38-90)."""
+    import jax
+
+    print_green(f"[Info] Working on: {jax.devices()}")
+
+    if os.path.isdir(os.path.split(args.test_model)[0]):
+        log_dir = os.path.split(args.test_model)[0]
+    else:
+        stamp = datetime.now().strftime("%d-%b-%Y_%H_%M_%S")
+        log_dir = os.path.join("logs", stamp)
+        os.makedirs(log_dir, exist_ok=True)
+
+    reward_file = get_filename(REWARD_NETWORK_WEIGHTS_FILE, args.bidirectional, None)
+    policy_file = get_filename(POLICY_NETWORK_WEIGHTS_FILE, args.bidirectional, None)
+    value_file = get_filename(VALUE_NETWORK_WEIGHTS_FILE, args.bidirectional, None)
+    a2c_file = get_filename(A2C_NETWORK_WEIGHTS_FILE, args.bidirectional, args.curriculum)
+    results_file = get_filename(RESULTS_FILE, args.bidirectional, args.curriculum)
+    generated_file = get_filename(GENERATED_CAPTIONS_FILE, args.bidirectional, args.curriculum)
+
+    save_paths = {
+        "model_path": os.path.join(log_dir, a2c_file),
+        "results_path": os.path.join(log_dir, results_file),
+    }
+    image_caption_data = {
+        "real_captions_path": os.path.join(log_dir, REAL_CAPTIONS_FILE),
+        "generated_captions_path": os.path.join(log_dir, generated_file),
+        "image_urls_path": os.path.join(log_dir, IMAGE_URL_FILENAME),
+        "best_score_file_path": os.path.join(log_dir, BEST_SCORE_FILENAME),
+        "best_score_images_path": os.path.join(log_dir, BEST_SCORE_IMAGES_PATH),
+    }
+    network_paths = {
+        "a2c_network": os.path.join(args.pretrained_path, a2c_file),
+        "reward_network": os.path.join(args.pretrained_path, reward_file),
+        "policy_network": os.path.join(args.pretrained_path, policy_file),
+        "value_network": os.path.join(args.pretrained_path, value_file),
+    }
+    return log_dir, save_paths, image_caption_data, network_paths
+
+
+def main(args):
+    log_dir, save_paths, image_caption_data, network_paths = setup(args)
+    print_green(f"[Info] Saving Logs in dir: {log_dir}")
+
+    max_train = None if args.training_size == 0 else args.training_size
+    print_green(f"[Info] Loading COCO dataset {max_train or ''}")
+    data = load_data(base_dir=args.data_dir, max_train=max_train, print_keys=True)
+    print_green("[Info] COCO dataset loaded")
+
+    if args.train_word2vec != "none":
+        from ..embeddings import get_preprocessed_corpus, train_word_embeddings
+
+        print_green(f"[Info] Training Word Embeddings {args.train_word2vec}")
+        corpus = get_preprocessed_corpus(data)
+        data.embeddings = train_word_embeddings(args.train_word2vec, data, corpus)
+        print_green("[Info] Done Training Word Embeddings")
+    elif args.pretrained_word2vec != "none":
+        from ..embeddings import get_embeddings, get_vectors_by_vocab
+
+        print_green(f"[Info] Loading Pretrained Word Embeddings {args.pretrained_word2vec}")
+        model = get_embeddings(args.pretrained_word2vec)
+        data.embeddings = get_vectors_by_vocab(model, data.word_to_idx)
+
+    if os.path.isfile(args.test_model) and "a2cNetwork" in os.path.split(args.test_model)[1]:
+        print_green("[Info] Loading A2C Network")
+        a2c_params, cfg = load_a2c_models(args.test_model, data, network_paths, args.bidirectional)
+        print_green("[Info] A2C Network loaded")
+    else:
+        curriculum = CURRICULUM_LEVELS if args.curriculum else None
+        print_green("[Info] Training A2C Network")
+        a2c_params, _, cfg = train_a2c_network(
+            train_data=data,
+            save_paths=save_paths,
+            network_paths=network_paths,
+            plot_dir=log_dir,
+            epochs=args.epochs,
+            batch_size=args.batch_size,
+            bidirectional=args.bidirectional,
+            retrain_all=args.retrain,
+            curriculum=curriculum,
+            seed=args.seed,
+        )
+        print_green("[Info] A2C Network trained")
+
+    print_green("[Info] Testing A2C Network")
+    dcfg = DecodeConfig(max_seq_len=cfg.max_seq_len, per_sample_beams=not args.faithful_beam)
+    test_a2c_network(
+        a2c_params, cfg, test_data=data,
+        image_caption_data=image_caption_data, data_size=args.test_size,
+        dcfg=dcfg, seed=args.seed,
+    )
+    print_green("[Info] A2C Network Tested")
+
+    print_green("[Info] A2C Network score - start")
+    from ..metrics import calculate_a2c_network_score
+
+    calculate_a2c_network_score(image_caption_data, save_paths)
+    print_green("[Info] A2C Network score - end")
+
+    if args.postprocess:
+        from ..metrics.postprocess import post_process_data
+
+        print_green("[Info] Post-processing - start")
+        post_process_data(image_caption_data)
+        print_green("[Info] Post-processing - end")
+
+    print_green(f"[Info] Logs saved in dir: {log_dir}")
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Generate Image Captions through Deep Reinforcement Learning (TPU-native)"
+    )
+    p.add_argument("--training_size", type=int, default=0,
+                   help="Size of the training set to use (set 0 for the full set)")
+    p.add_argument("--test_size", type=int, default=40504, help="Size of the test set to use")
+    p.add_argument("--epochs", type=int, default=100,
+                   help="Number of Epochs to use for Training the A2C Network")
+    p.add_argument("--batch_size", type=int, default=512,
+                   help="Number of Episodes (Batch Size) to use for Training the A2C Network")
+    p.add_argument("--retrain", action="store_true", default=False,
+                   help="Whether to retrain value, policy and reward networks")
+    p.add_argument("--postprocess", action="store_true", default=False,
+                   help="Post process data to download images from the validation cycle")
+    p.add_argument("--curriculum", action="store_true", default=False,
+                   help="Use curriculum training approach")
+    p.add_argument("--bidirectional", action="store_true", default=False,
+                   help="Use bidirectional recurrent neural networks")
+    p.add_argument("--test_model", type=str, default="",
+                   help="Test a pretrained advantage actor critic model (.ckpt or reference .pt)")
+    p.add_argument("--pretrained_path", type=str, default="models_pretrained",
+                   help="Location of pretrained model files")
+    p.add_argument("--pretrained_word2vec", type=str, default="none",
+                   help="Word Embedding model to use "
+                        "(none|conceptnet|word2vec|fasttext|glove|path)")
+    p.add_argument("--train_word2vec", type=str, default="none",
+                   choices=["none", "word2vec", "fasttext"],
+                   help="Whether to train a word embedding model on training data")
+    # TPU-framework additions
+    p.add_argument("--data_dir", type=str, default=BASE_DIR, help="Dataset directory")
+    p.add_argument("--seed", type=int, default=0, help="Global RNG seed")
+    p.add_argument("--faithful_beam", action="store_true", default=False,
+                   help="Use the reference's batch-mean shared-beam decoding (quirk Q2)")
+    return p
+
+
+def run() -> None:
+    main(build_arg_parser().parse_args())

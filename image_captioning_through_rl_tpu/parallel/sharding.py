@@ -1,0 +1,72 @@
+"""Sharding placement helpers and parameter partition specs.
+
+Training steps in :mod:`..train.steps` are ordinary jitted functions;
+scaling them out is purely a matter of *input placement*: commit the
+batch to a ``data``-sharded layout and the parameters to a replicated
+(or tensor-parallel) layout, and jit's SPMD partitioner propagates the
+shardings through the step, inserting the gradient all-reduce and any
+vocab-axis collectives automatically. No step code changes.
+
+Tensor-parallel specs shard the vocabulary axis — the only weight axis
+that grows with the problem (V ~ 1004 in the COCO bundle but unbounded
+in general): the embedding table ``[V, E]`` and output head ``[E, V]``
+split over ``model``; the hidden-dim weights replicate.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def shard_batch(mesh: Mesh, *arrays, axis: str = "data"):
+    """Commit arrays to a batch-sharded layout on ``mesh``."""
+    out = tuple(
+        jax.device_put(a, NamedSharding(mesh, P(axis, *([None] * (a.ndim - 1)))))
+        for a in arrays
+    )
+    return out if len(out) > 1 else out[0]
+
+
+def replicate(mesh: Mesh, tree):
+    """Commit a pytree to fully-replicated layout on ``mesh``."""
+    return jax.device_put(tree, NamedSharding(mesh, P()))
+
+
+def shard_params(mesh: Mesh, params, spec_tree):
+    """Commit parameters to the layouts in ``spec_tree`` (PartitionSpecs)."""
+    return jax.tree.map(
+        lambda p, s: jax.device_put(p, NamedSharding(mesh, s)), params, spec_tree,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def _rep(tree):
+    return jax.tree.map(lambda _: P(), tree)
+
+
+def policy_param_spec(params, model_axis: str = "model"):
+    """TP spec for the policy net: vocab-sharded embedding and head."""
+    spec = _rep(params)
+    spec["embedding"] = P(model_axis, None)
+    spec["head"] = {"w": P(None, model_axis), "b": P(model_axis)}
+    return spec
+
+
+def value_param_spec(params, model_axis: str = "model"):
+    spec = _rep(params)
+    spec["embedding"] = P(model_axis, None)
+    return spec
+
+
+def reward_param_spec(params, model_axis: str = "model"):
+    spec = _rep(params)
+    spec["embedding"] = P(model_axis, None)
+    return spec
+
+
+def a2c_param_spec(params, model_axis: str = "model"):
+    return {
+        "policy": policy_param_spec(params["policy"], model_axis),
+        "value": value_param_spec(params["value"], model_axis),
+    }

@@ -1,0 +1,79 @@
+"""Checkpoint persistence.
+
+Native format: msgpack pytrees via ``flax.serialization`` — a single
+self-contained file per network, mirroring the reference's
+one-``state_dict``-per-file layout (utilities.py:286-296). Reference
+``.pt`` files load transparently through the torch converter, so a user
+can point the framework at an existing ``models_pretrained/`` directory
+(BASELINE.json requirement).
+
+Network names follow the reference filenames (image_captioner.py:26-29)
+with ``.ckpt`` for the native format: ``rewardNetwork.ckpt`` etc.; the
+``_bidirectional``/``_curriculum`` suffix logic is
+:func:`..utils.io.get_filename`.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from . import optim  # noqa: F401  (re-exported convenience)
+from ..models import (
+    a2c_from_torch,
+    policy_from_torch,
+    reward_from_torch,
+    value_from_torch,
+)
+
+_CONVERTERS = {
+    "policy": policy_from_torch,
+    "value": value_from_torch,
+    "reward": reward_from_torch,
+    "a2c": a2c_from_torch,
+}
+
+
+def save_pytree(params, path: str) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    host = jax.tree.map(np.asarray, params)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(serialization.to_bytes(host))
+    os.replace(tmp, path)  # atomic: no torn checkpoints on interruption
+
+
+def load_pytree(template, path: str):
+    with open(path, "rb") as f:
+        restored = serialization.from_bytes(template, f.read())
+    return jax.tree.map(jnp.asarray, restored)
+
+
+def load_network(kind: str, path: str, template=None, bidirectional: bool = False):
+    """Load a checkpoint of ``kind`` in either format.
+
+    ``.pt`` -> torch-state-dict conversion; anything else -> native
+    msgpack (requires ``template`` for structure).
+    """
+    if path.endswith(".pt"):
+        from ..models.convert import load_torch_state_dict
+
+        return _CONVERTERS[kind](load_torch_state_dict(path), bidirectional)
+    if template is None:
+        raise ValueError("loading a native checkpoint requires a params template")
+    return load_pytree(template, path)
+
+
+def save_to_paths(params, save_paths) -> None:
+    """Save to one path or a list of paths (reference save_a2c_model,
+    utilities.py:286-296 — A2C saves go to both the log dir and the
+    pretrained-models dir, trainers.py:384,498)."""
+    if isinstance(save_paths, (list, tuple)):
+        for p in save_paths:
+            save_pytree(params, p)
+    else:
+        save_pytree(params, save_paths)

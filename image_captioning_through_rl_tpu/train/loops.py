@@ -1,0 +1,451 @@
+"""Trainer drivers: the public training/eval API of the framework.
+
+These mirror the reference's orchestration layer (trainers.py) —
+``train_{reward,policy,value}_network``, ``train_a2c_network``,
+``a2c_training``, ``a2c_curriculum_training``, ``test_a2c_network`` —
+with the same control flow, checkpoint cadence, TensorBoard tags and
+file outputs, but each minibatch is one jitted device step.
+
+Reproduced reference behaviors:
+  * best-loss checkpointing saves the weights *entering* the best
+    minibatch (the reference saves before the optimizer step,
+    trainers.py:182-186,244-248,293-297 — quirk Q12);
+  * the A2C model saves every epoch to both save paths
+    (trainers.py:498, utilities.py:286-296);
+  * curriculum appends level 16 ("full training") when missing
+    (trainers.py:389-390) and skips minibatches whose
+    ``curr_seq_len < 1`` (trainers.py:550);
+  * the TB step counter is ``epoch * batch_size + minibatch_id``
+    (utilities.py:204-212, quirk Q10);
+  * evaluation draws ``data_size`` random val samples *with
+    replacement* (trainers.py:639, quirk Q8) and walks them in
+    127-wide slices per 128 stride (trainers.py:643-645, quirk Q9).
+"""
+
+from __future__ import annotations
+
+import math
+import random as pyrandom
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from tqdm import tqdm
+
+from .. import MAX_SEQ_LEN
+from ..config import DecodeConfig, NetConfig
+from ..data.coco import CocoData, decode_captions, get_coco_batch, get_coco_minibatches
+from ..decode.beam import beam_search
+from ..models import a2c as a2c_mod
+from ..models import policy as policy_mod
+from ..models import reward as reward_mod
+from ..models import value as value_mod
+from ..utils.io import append_results, global_minibatch_number
+from ..utils.logging import make_metrics_writer, print_green
+from . import checkpoint as ckpt
+from . import steps
+from .optim import adam
+
+
+def _cfg_for(data: CocoData, bidirectional: bool) -> NetConfig:
+    return NetConfig.for_vocab(
+        data.word_to_idx, data.embeddings, bidirectional=bidirectional
+    )
+
+
+def describe_params(name: str, params) -> str:
+    lines = [f"{name}:"]
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+        key = "/".join(str(getattr(p, "key", p)) for p in path)
+        lines.append(f"  {key}: {tuple(leaf.shape)} {leaf.dtype}")
+    return "\n".join(lines)
+
+
+def _epoch_batches(data: CocoData, batch_size: int, rng: np.random.Generator):
+    total = math.ceil(data.train_captions.shape[0] / batch_size)
+    return get_coco_minibatches(data, batch_size=batch_size, split="train", rng=rng), total
+
+
+def train_reward_network(
+    train_data: CocoData,
+    network_paths: Dict[str, str],
+    plot_dir: Optional[str],
+    bidirectional: bool,
+    epochs: int = 50,
+    batch_size: int = 512,
+    lr: float = 1e-4,
+    seed: int = 0,
+    compat_batch_as_time: bool = False,
+):
+    """VSE-loss training of the reward network (trainers.py:260-309)."""
+    cfg = _cfg_for(train_data, bidirectional)
+    writer = make_metrics_writer(plot_dir)
+    rng = np.random.default_rng(seed)
+    params = reward_mod.init(jax.random.PRNGKey(seed), cfg, train_data.embeddings)
+    tx = adam(lr, params, cfg.freeze_embeddings)
+    opt_state = tx.init(params)
+    step = steps.make_reward_step(cfg, tx, compat=compat_batch_as_time)
+
+    best_loss = float("inf")
+    print_green("[Training] Training Reward Network")
+    for epoch in range(epochs):
+        batches, total = _epoch_batches(train_data, batch_size, rng)
+        bar = tqdm(batches, total=total,
+                   desc=f"Training Reward Network ({epoch + 1}/{epochs}): Best Loss {best_loss}")
+        for minibatch_id, (captions, features, _) in enumerate(bar):
+            prev = params
+            params, opt_state, loss = step(
+                params, opt_state, jnp.asarray(features), jnp.asarray(captions)
+            )
+            loss = float(loss)
+            if loss < best_loss:
+                best_loss = loss
+                ckpt.save_pytree(prev, network_paths["reward_network"])  # Q12
+                bar.set_description_str(
+                    f"Training Reward Network ({epoch + 1}/{epochs}): Best Loss {best_loss}")
+            writer.add_scalar("Reward Network-loss", loss,
+                              global_minibatch_number(epoch, minibatch_id, batch_size))
+    writer.close()
+    return params
+
+
+def train_policy_network(
+    train_data: CocoData,
+    network_paths: Dict[str, str],
+    plot_dir: Optional[str],
+    bidirectional: bool,
+    epochs: int = 100,
+    batch_size: int = 512,
+    lr: float = 1e-3,
+    seed: int = 0,
+):
+    """Teacher-forced XE pretraining of the policy (trainers.py:202-257)."""
+    cfg = _cfg_for(train_data, bidirectional)
+    writer = make_metrics_writer(plot_dir)
+    rng = np.random.default_rng(seed + 1)
+    params = policy_mod.init(jax.random.PRNGKey(seed + 1), cfg, train_data.embeddings)
+    tx = adam(lr, params, cfg.freeze_embeddings)
+    opt_state = tx.init(params)
+    step = steps.make_policy_step(cfg, tx)
+
+    best_loss = float("inf")
+    print_green("[Training] Training Policy Network")
+    for epoch in range(epochs):
+        batches, total = _epoch_batches(train_data, batch_size, rng)
+        bar = tqdm(batches, total=total,
+                   desc=f"Training Policy Network ({epoch + 1}/{epochs}): Best Loss {best_loss}")
+        for minibatch_id, (captions, features, _) in enumerate(bar):
+            prev = params
+            params, opt_state, loss = step(
+                params, opt_state, jnp.asarray(features), jnp.asarray(captions)
+            )
+            loss = float(loss)
+            if loss < best_loss:
+                best_loss = loss
+                ckpt.save_pytree(prev, network_paths["policy_network"])  # Q12
+                bar.set_description_str(
+                    f"Training Policy Network ({epoch + 1}/{epochs}): Best Loss {best_loss}")
+            writer.add_scalar("Policy Network-loss", loss,
+                              global_minibatch_number(epoch, minibatch_id, batch_size))
+    writer.close()
+    return params
+
+
+def train_value_network(
+    train_data: CocoData,
+    network_paths: Dict[str, str],
+    plot_dir: Optional[str],
+    bidirectional: bool,
+    epochs: int = 50,
+    batch_size: int = 512,
+    lr: float = 1e-3,
+    seed: int = 0,
+):
+    """MSE training of the critic against embedding rewards of greedy
+    rollouts from the frozen policy (trainers.py:125-199)."""
+    cfg = _cfg_for(train_data, bidirectional)
+    writer = make_metrics_writer(plot_dir)
+    rng = np.random.default_rng(seed + 2)
+    py_rng = pyrandom.Random(seed + 2)
+
+    rparams = _load_or_fail("reward", network_paths["reward_network"], cfg, train_data, bidirectional)
+    pparams = _load_or_fail("policy", network_paths["policy_network"], cfg, train_data, bidirectional)
+
+    params = value_mod.init(jax.random.PRNGKey(seed + 2), cfg, train_data.embeddings)
+    tx = adam(lr, params, cfg.freeze_embeddings)
+    opt_state = tx.init(params)
+    step = steps.make_value_step(cfg, tx)
+
+    best_loss = float("inf")
+    print_green("[Training] Training Value Network")
+    for epoch in range(epochs):
+        batches, total = _epoch_batches(train_data, batch_size, rng)
+        bar = tqdm(batches, total=total,
+                   desc=f"Training Value Network ({epoch + 1}/{epochs}): Best Loss {best_loss}")
+        for minibatch_id, (captions, features, _) in enumerate(bar):
+            # random prefix length, shared by the batch (trainers.py:177)
+            prefix_len = py_rng.randint(1, MAX_SEQ_LEN)
+            prev = params
+            params, opt_state, loss = step(
+                params, opt_state, pparams, rparams,
+                jnp.asarray(features), jnp.asarray(captions), jnp.int32(prefix_len),
+            )
+            loss = float(loss)
+            if loss < best_loss:
+                best_loss = loss
+                ckpt.save_pytree(prev, network_paths["value_network"])  # Q12
+                bar.set_description_str(
+                    f"Training Value Network ({epoch + 1}/{epochs}): Best Loss {best_loss}")
+            writer.add_scalar("Value Network-loss", loss,
+                              global_minibatch_number(epoch, minibatch_id, batch_size))
+    writer.close()
+    return params
+
+
+def _load_or_fail(kind: str, path: str, cfg: NetConfig, data: CocoData, bidirectional: bool):
+    init_fn = {"reward": reward_mod.init, "policy": policy_mod.init, "value": value_mod.init}[kind]
+    template = init_fn(jax.random.PRNGKey(0), cfg, data.embeddings)
+    return ckpt.load_network(kind, path, template=template, bidirectional=bidirectional)
+
+
+def train_a2c_network(
+    train_data: CocoData,
+    save_paths: Dict[str, str],
+    network_paths: Dict[str, str],
+    plot_dir: Optional[str],
+    bidirectional: bool,
+    epochs: int,
+    batch_size: int,
+    retrain_all: bool = False,
+    curriculum: Optional[Sequence[int]] = None,
+    seed: int = 0,
+):
+    """Orchestrator (trainers.py:312-399): train or load the three
+    sub-networks, freeze the reward net, then run (curriculum) A2C."""
+    cfg = _cfg_for(train_data, bidirectional)
+
+    if retrain_all:
+        print_green("[Training] Training all the networks")
+        rparams = train_reward_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed)
+        pparams = train_policy_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed)
+        vparams = train_value_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed)
+        print_green("[Training] All networks trained")
+    else:
+        # load-or-train fallback per sub-network (trainers.py:338-370)
+        try:
+            rparams = _load_or_fail("reward", network_paths["reward_network"], cfg, train_data, bidirectional)
+            print("[Training] loaded reward network")
+        except FileNotFoundError:
+            print("[Training] reward network not found")
+            rparams = train_reward_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed)
+        try:
+            pparams = _load_or_fail("policy", network_paths["policy_network"], cfg, train_data, bidirectional)
+            print("[Training] loaded policy network")
+        except FileNotFoundError:
+            print("[Training] policy network not found")
+            pparams = train_policy_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed)
+        try:
+            vparams = _load_or_fail("value", network_paths["value_network"], cfg, train_data, bidirectional)
+            print("[Training] loaded value network")
+        except FileNotFoundError:
+            print("[Training] value network not found")
+            vparams = train_value_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed)
+
+    a2c_params = {"value": vparams, "policy": pparams}
+    tx = adam(1e-4, a2c_params, cfg.freeze_embeddings)  # trainers.py:378
+    opt_state = tx.init(a2c_params)
+
+    print(f"[Training] train_data len = {len(train_data.train_captions)}")
+    print(f"[Training] episodes = {batch_size}")
+    print(f"[Training] epochs = {epochs}")
+
+    all_save_paths = [save_paths["model_path"], network_paths["a2c_network"]]
+    if curriculum is None:
+        a2c_params = a2c_training(
+            train_data, a2c_params, rparams, tx, opt_state, cfg, plot_dir,
+            all_save_paths, batch_size, epochs, seed=seed,
+        )
+    else:
+        curriculum = list(curriculum)
+        if 16 not in curriculum:
+            curriculum.append(16)  # final level = full training (trainers.py:389-390)
+        a2c_params = a2c_curriculum_training(
+            train_data, a2c_params, rparams, tx, opt_state, cfg, plot_dir,
+            all_save_paths, batch_size, epochs, curriculum, seed=seed,
+        )
+
+    append_results(save_paths["results_path"], describe_params("AdvantageActorCriticNetwork", a2c_params), header="network")
+    return a2c_params, rparams, cfg
+
+
+def a2c_training(
+    train_data: CocoData,
+    a2c_params,
+    reward_params,
+    tx,
+    opt_state,
+    cfg: NetConfig,
+    plot_dir: Optional[str],
+    save_paths,
+    batch_size: int,
+    epochs: int,
+    seed: int = 0,
+):
+    """Core A2C loop (trainers.py:402-500)."""
+    writer = make_metrics_writer(plot_dir)
+    rng = np.random.default_rng(seed + 3)
+    key = jax.random.PRNGKey(seed + 3)
+    step = steps.make_a2c_step(cfg, tx, per_step_mean=False)
+
+    print_green("[Training] Training Advantage Actor-Critic Network")
+    best_loss = float("inf")
+    for epoch in range(epochs):
+        batches, total = _epoch_batches(train_data, batch_size, rng)
+        bar = tqdm(batches, total=total,
+                   desc=f"Training A2C Network ({epoch + 1}/{epochs}): Best Loss {best_loss}")
+        for minibatch_id, (captions, features, _) in enumerate(bar):
+            key, sub = jax.random.split(key)
+            a2c_params, opt_state, stats = step(
+                a2c_params, opt_state, reward_params,
+                jnp.asarray(features), jnp.asarray(captions),
+                jnp.int32(1), sub,  # curr_seq_len=1: rollout from <START>
+            )
+            loss = float(stats.loss)
+            if loss < best_loss:
+                best_loss = loss
+                bar.set_description_str(
+                    f"Training A2C Network ({epoch + 1}/{epochs}): Best Loss {best_loss}")
+            n = global_minibatch_number(epoch, minibatch_id, batch_size)
+            writer.add_scalar("A2C Network-episodic-loss", loss, n)
+            writer.add_scalar("A2C Network-episodic-mean-rewards", float(stats.mean_reward), n)
+            writer.add_scalar("A2C Network-episodic-mean-advantage", float(stats.mean_advantage), n)
+        ckpt.save_to_paths(a2c_params, save_paths)  # every epoch (trainers.py:498)
+    writer.close()
+    return a2c_params
+
+
+def a2c_curriculum_training(
+    train_data: CocoData,
+    a2c_params,
+    reward_params,
+    tx,
+    opt_state,
+    cfg: NetConfig,
+    plot_dir: Optional[str],
+    save_paths,
+    batch_size: int,
+    epochs: int,
+    curriculum: Sequence[int],
+    seed: int = 0,
+):
+    """Curriculum A2C (trainers.py:503-616): per level, teacher-force the
+    ground-truth prefix of length ``caplen - level`` and roll out the
+    final ``level`` tokens."""
+    writer = make_metrics_writer(plot_dir)
+    rng = np.random.default_rng(seed + 4)
+    key = jax.random.PRNGKey(seed + 4)
+    step = steps.make_a2c_step(cfg, tx, per_step_mean=True)
+
+    print_green("[Training] Training Advantage Actor-Critic Network")
+    print_green(f"[Training] mode set to curriculum training using levels: {list(curriculum)}")
+    for level in curriculum:
+        print_green(f"[Training] Training curriculum level: {level}")
+        best_loss = float("inf")
+        for epoch in range(epochs):
+            batches, total = _epoch_batches(train_data, batch_size, rng)
+            bar = tqdm(batches, total=total,
+                       desc=f"Training A2C Curriculum Level {level} ({epoch}/{epochs}): Best Loss: {best_loss}")
+            for minibatch_id, (captions, features, _) in enumerate(bar):
+                caplen = int(np.max(np.argmax(captions == 2, axis=1)) + 1)
+                curr_seq_len = caplen - level
+                if curr_seq_len < 1:  # trainers.py:550
+                    continue
+                key, sub = jax.random.split(key)
+                a2c_params, opt_state, stats = step(
+                    a2c_params, opt_state, reward_params,
+                    jnp.asarray(features), jnp.asarray(captions),
+                    jnp.int32(curr_seq_len), sub,
+                )
+                loss = float(stats.loss)
+                if loss < best_loss:
+                    best_loss = loss
+                    bar.set_description_str(
+                        f"Training A2C Curriculum Level {level} ({epoch}/{epochs}): Best Loss: {best_loss}")
+                n = global_minibatch_number(epoch, minibatch_id, batch_size)
+                writer.add_scalar(f"A2C Curriculum Level-{level}-loss", loss, n)
+                writer.add_scalar(f"A2C Curriculum Level-{level}-mean-rewards", float(stats.mean_reward), n)
+                writer.add_scalar(f"A2C Curriculum Level-{level}-mean-advantage", float(stats.mean_advantage), n)
+            ckpt.save_to_paths(a2c_params, save_paths)
+    writer.close()
+    return a2c_params
+
+
+def test_a2c_network(
+    a2c_params,
+    cfg: NetConfig,
+    test_data: CocoData,
+    image_caption_data: Dict[str, str],
+    data_size: int,
+    validation_batch_size: int = 128,
+    dcfg: Optional[DecodeConfig] = None,
+    seed: int = 0,
+):
+    """Evaluation pass (trainers.py:619-665): value-guided beam decode of
+    random val draws, dumping real/generated captions + image urls.
+
+    Ragged tail slices are padded to the compiled batch width and
+    trimmed after decode, so beam search compiles for exactly one shape.
+    """
+    dcfg = dcfg or DecodeConfig(max_seq_len=cfg.max_seq_len)
+    rng = np.random.default_rng(seed + 5)
+
+    captions_all, features_all, urls_all = get_coco_batch(
+        test_data, batch_size=data_size, split="val", rng=rng
+    )
+
+    decode = jax.jit(
+        lambda f, s: beam_search(
+            a2c_params["policy"], a2c_params["value"], cfg, dcfg, f, s
+        )
+    )
+
+    width = validation_batch_size - 1  # Q9: 127-wide slices per 128 stride
+    with open(image_caption_data["real_captions_path"], "a") as real_f, \
+         open(image_caption_data["generated_captions_path"], "a") as gen_f, \
+         open(image_caption_data["image_urls_path"], "a") as url_f:
+        for i in tqdm(range(0, len(captions_all), validation_batch_size), desc="Testing model"):
+            captions_real = captions_all[i : i + width]
+            features_real = features_all[i : i + width]
+            urls = urls_all[i : i + width]
+            n_real = captions_real.shape[0]
+            if n_real == 0:
+                continue
+            if n_real < width:  # pad the ragged tail to the compiled width
+                pad = width - n_real
+                features_real = np.concatenate(
+                    [features_real, np.repeat(features_real[-1:], pad, axis=0)], axis=0
+                )
+                captions_real = np.concatenate(
+                    [captions_real, np.repeat(captions_real[-1:], pad, axis=0)], axis=0
+                )
+            toks, _ = decode(jnp.asarray(features_real), jnp.asarray(captions_real[:, 0]))
+            gen = np.asarray(toks[:n_real, 0])  # most_likely = beam 0
+            gen_strs = decode_captions(gen, test_data.idx_to_word)
+            real_strs = decode_captions(np.asarray(captions_real[:n_real]), test_data.idx_to_word)
+            real_f.write("\n".join(real_strs) + "\n")
+            gen_f.write("\n".join(gen_strs) + "\n")
+            url_f.write("\n".join(urls.tolist()) + "\n")
+            real_f.flush(); gen_f.flush(); url_f.flush()
+
+
+def load_a2c_models(model_path: str, train_data: CocoData, network_paths: Dict[str, str], bidirectional: bool):
+    """Load a finished A2C model for testing (utilities.py:299-323):
+    policy and value nets from their own checkpoints, then the joint
+    a2c checkpoint layered on top."""
+    cfg = _cfg_for(train_data, bidirectional)
+    pparams = _load_or_fail("policy", network_paths["policy_network"], cfg, train_data, bidirectional)
+    vparams = _load_or_fail("value", network_paths["value_network"], cfg, train_data, bidirectional)
+    template = {"value": vparams, "policy": pparams}
+    a2c_params = ckpt.load_network("a2c", model_path, template=template, bidirectional=bidirectional)
+    return a2c_params, cfg

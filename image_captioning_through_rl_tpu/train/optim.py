@@ -16,11 +16,12 @@ import jax
 import optax
 
 
-def _embedding_mask(params) -> dict:
-    """Pytree of booleans: True where the leaf is trainable."""
+def _embedding_labels(params) -> dict:
+    """Pytree of labels: "frozen" for embedding tables, "train" elsewhere."""
 
     def mark(path, leaf):
-        return not any(getattr(p, "key", None) == "embedding" for p in path)
+        frozen = any(getattr(p, "key", None) == "embedding" for p in path)
+        return "frozen" if frozen else "train"
 
     return jax.tree_util.tree_map_with_path(mark, params)
 
@@ -30,6 +31,8 @@ def adam(lr: float, params=None, freeze_embeddings: bool = False):
     tx = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
     if freeze_embeddings:
         if params is None:
-            raise ValueError("freeze_embeddings requires params to build the mask")
-        tx = optax.masked(tx, _embedding_mask(params))
+            raise ValueError("freeze_embeddings requires params to build the labels")
+        tx = optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()}, _embedding_labels(params)
+        )
     return tx

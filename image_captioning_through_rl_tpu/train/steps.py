@@ -1,0 +1,284 @@
+"""Jitted training steps for the four networks.
+
+Each trainer in the reference is an eager Python loop with per-step
+host<->device traffic (reference trainers.py); here each minibatch is a
+single compiled XLA program:
+
+  * :func:`reward_step` — VSE ranking loss (trainers.py:260-309).
+  * :func:`policy_step` — length-weighted XE (trainers.py:202-257).
+  * :func:`value_step` — MSE against the embedding reward of a
+    greedy-decoded caption, on a random-length prefix
+    (trainers.py:125-199).
+  * :func:`a2c_step` — the full A2C rollout: on-chip sampling, reward
+    and value on the growing prefix, advantage losses, Adam update —
+    one ``lax.scan``, zero host syncs (vs. trainers.py:441-480 which
+    round-trips probabilities to numpy every token, quirk Q3).
+
+All steps use fixed shapes: dynamic quantities (caption length, prefix
+length, curriculum window) are traced scalars entering only as masks or
+dynamic indices, so each function compiles exactly once.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .. import END_ID
+from ..config import NetConfig
+from ..models import policy as policy_mod
+from ..models import reward as reward_mod
+from ..models import value as value_mod
+from ..ops.linalg import dense
+from ..ops.losses import a2c_losses, visual_semantic_embedding_loss, weighted_caption_xe_loss
+from ..ops.reward_ops import cosine_embedding_reward
+from ..ops.rnn import gru_cell, lstm_cell, lstm_scan
+
+
+def batch_caption_lens(captions: jax.Array) -> jax.Array:
+    """END position + 1 per row, as a traced value (cf. trainers.py:241)."""
+    return jnp.argmax(captions == END_ID, axis=1) + 1
+
+
+# --------------------------------------------------------------------------
+# Reward network (VSE loss)
+# --------------------------------------------------------------------------
+
+def reward_loss(params, cfg: NetConfig, features, captions, beta=0.2, compat=False):
+    if compat:
+        # The reference resets the GRU's persistent hidden after every
+        # minibatch (trainers.py:307), so within one step the compat
+        # carry always starts at zero.
+        (ve, se), _ = reward_mod.forward_compat(
+            params, cfg, features, captions, reward_mod.compat_zero_state(cfg)
+        )
+    else:
+        ve, se = reward_mod.forward(params, cfg, features, captions)
+    return visual_semantic_embedding_loss(ve, se, beta=beta, precision=cfg.precision)
+
+
+def make_reward_step(cfg: NetConfig, tx: optax.GradientTransformation, beta=0.2, compat=False):
+    @jax.jit
+    def step(params, opt_state, features, captions):
+        loss, grads = jax.value_and_grad(reward_loss)(
+            params, cfg, features, captions, beta=beta, compat=compat
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return step
+
+
+# --------------------------------------------------------------------------
+# Policy network (teacher-forced XE)
+# --------------------------------------------------------------------------
+
+def policy_loss(params, cfg: NetConfig, features, captions, caplens):
+    logits = policy_mod.forward(params, cfg, features, captions[:, :-1])
+    return weighted_caption_xe_loss(logits, captions[:, 1:], caplens)
+
+
+def make_policy_step(cfg: NetConfig, tx: optax.GradientTransformation):
+    @jax.jit
+    def step(params, opt_state, features, captions):
+        caplens = batch_caption_lens(captions)
+        loss, grads = jax.value_and_grad(policy_loss)(
+            params, cfg, features, captions, caplens
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return step
+
+
+# --------------------------------------------------------------------------
+# Value network (MSE vs embedding reward of greedy rollouts)
+# --------------------------------------------------------------------------
+
+def make_value_step(cfg: NetConfig, tx: optax.GradientTransformation):
+    """Builder. The returned step takes the *frozen* policy and reward
+    parameters as explicit arguments (they are loaded, not trained —
+    reference trainers.py:140-150)."""
+
+    from ..decode.greedy import greedy_decode
+
+    def value_prefix_loss(vparams, cfg, features, gen_caps, rewards, prefix_len):
+        """Value of ``gen_caps[:, :prefix_len]`` vs the full-caption reward.
+
+        The reference evaluates ``V`` on a random-length prefix (shared
+        by the whole batch, trainers.py:177). Under jit we scan the
+        encoder over the full caption and pick the hidden state at
+        ``prefix_len - 1`` with a dynamic index — same value, one
+        compile.
+        """
+        xs = jnp.swapaxes(vparams["embedding"][gen_caps], 0, 1)  # [T, N, E]
+        n = gen_caps.shape[0]
+        zeros = jnp.zeros((n, cfg.hidden_dim), dtype=xs.dtype)
+        hs, _ = lstm_scan(vparams["lstm"], xs, (zeros, zeros), precision=cfg.precision)
+        h = jax.lax.dynamic_index_in_dim(hs, prefix_len - 1, axis=0, keepdims=False)
+        values = value_mod.value_head(vparams, cfg, features, h)  # [N, 1]
+        return jnp.mean(jnp.square(values - rewards))
+
+    @jax.jit
+    def step(vparams, opt_state, pparams, rparams, features, captions, prefix_len):
+        gen_caps = greedy_decode(pparams, cfg, features, captions[:, 0])
+        ve, se = reward_mod.forward(rparams, cfg, features, gen_caps)
+        rewards = cosine_embedding_reward(ve, se)[:, None]  # [N, 1]
+        rewards = jax.lax.stop_gradient(rewards)
+        loss, grads = jax.value_and_grad(value_prefix_loss)(
+            vparams, cfg, features, gen_caps, rewards, prefix_len
+        )
+        updates, opt_state = tx.update(grads, opt_state, vparams)
+        return optax.apply_updates(vparams, updates), opt_state, loss
+
+    return step
+
+
+# --------------------------------------------------------------------------
+# A2C (joint actor-critic with on-chip rollout)
+# --------------------------------------------------------------------------
+
+class RolloutStats(NamedTuple):
+    loss: jax.Array
+    actor_loss: jax.Array
+    critic_loss: jax.Array
+    mean_reward: jax.Array
+    mean_advantage: jax.Array
+
+
+def a2c_rollout_loss(
+    a2c_params: dict,
+    cfg: NetConfig,
+    reward_params: dict,
+    features: jax.Array,
+    captions: jax.Array,
+    curr_seq_len: jax.Array,
+    caplen: jax.Array,
+    rng: jax.Array,
+    per_step_mean: bool = False,
+) -> Tuple[jax.Array, RolloutStats]:
+    """Loss of one A2C episode batch, as a single scan.
+
+    Plain training (trainers.py:402-500) is the special case
+    ``curr_seq_len = 1``: roll out from the <START> column for
+    ``caplen - 1`` steps. Curriculum training (trainers.py:503-616)
+    teacher-forces the ground-truth prefix of length ``curr_seq_len =
+    caplen - level`` and rolls out the final ``level`` tokens. Both are
+    the same scan over all T-1 positions with a validity mask
+    ``curr_seq_len - 1 <= p < caplen - 1``; teacher vs. sampled token
+    selection is a ``where`` on the position.
+
+    Per rollout step the reference computes V on the current prefix,
+    samples an action from the policy's last-step softmax, and scores
+    the extended prefix with the frozen reward net
+    (trainers.py:441-459). Carried LSTM/GRU states replace its
+    full-prefix re-encodes (exact for unidirectional recurrences).
+    """
+    pparams, vparams = a2c_params["policy"], a2c_params["value"]
+    n, t_max = captions.shape
+    steps = t_max - 1
+
+    # States that have consumed position-0 tokens (<START> column).
+    start = captions[:, 0]
+    pol_state = policy_mod.init_decode_state(pparams, cfg, features)
+    pol_state = lstm_cell(
+        pparams["lstm"], pparams["embedding"][start], pol_state, precision=cfg.precision
+    )
+    val_state = value_mod.rnn_step(vparams, cfg, start, value_mod.zero_rnn_state(cfg, n))
+    rew_state = gru_cell(
+        reward_params["gru"],
+        reward_params["embedding"][start],
+        reward_mod.zero_rnn_state(cfg, n),
+        precision=cfg.precision,
+    )
+    ve = dense(features, reward_params["visual_embed"], precision=cfg.precision)
+    ve = jax.lax.stop_gradient(ve)
+
+    step_keys = jax.random.split(rng, steps)
+
+    def body(carry, inp):
+        pol_state, val_state, rew_state = carry
+        p, key, teacher = inp  # position 1..T-1, its rng, ground-truth token
+
+        # logits for position p come from the state that consumed 0..p-1
+        logits = dense(pol_state[0], pparams["head"], precision=cfg.precision)
+        action = jax.random.categorical(key, logits, axis=-1)
+        logp = jnp.take_along_axis(
+            jax.nn.log_softmax(logits, axis=-1), action[:, None], axis=-1
+        )[:, 0]
+
+        # critic on the current prefix (before the action is appended)
+        value = value_mod.value_from_state(vparams, cfg, features, val_state)[:, 0]
+
+        # reward of prefix + action (frozen net; lookahead GRU step)
+        rew_after = gru_cell(
+            reward_params["gru"],
+            reward_params["embedding"][action],
+            rew_state,
+            precision=cfg.precision,
+        )
+        se = dense(rew_after, reward_params["semantic_embed"], precision=cfg.precision)
+        reward = jax.lax.stop_gradient(cosine_embedding_reward(ve, se))
+
+        # token actually placed at position p: ground truth inside the
+        # teacher-forced prefix, the sampled action in the rollout window
+        token_in = jnp.where(p < curr_seq_len, teacher, action)
+
+        # advance all encoders with the placed token
+        emb_p = pparams["embedding"][token_in]
+        pol_state = lstm_cell(pparams["lstm"], emb_p, pol_state, precision=cfg.precision)
+        val_state = value_mod.rnn_step(vparams, cfg, token_in, val_state)
+        rew_state = gru_cell(
+            reward_params["gru"],
+            reward_params["embedding"][token_in],
+            rew_state,
+            precision=cfg.precision,
+        )
+
+        return (pol_state, val_state, rew_state), (value, reward, logp)
+
+    positions = jnp.arange(1, t_max)
+    teachers = jnp.swapaxes(captions[:, 1:], 0, 1)  # [S, N]
+    carry0 = (pol_state, val_state, rew_state)
+    _, (values, rewards, log_probs) = jax.lax.scan(
+        body, carry0, (positions, step_keys, teachers)
+    )
+    # [S, N] -> [N, S]
+    values, rewards, log_probs = (jnp.swapaxes(x, 0, 1) for x in (values, rewards, log_probs))
+
+    p_idx = positions[None, :]  # placed positions 1..T-1
+    mask = ((p_idx >= curr_seq_len) & (p_idx <= caplen - 1)).astype(values.dtype)
+    mask = jnp.broadcast_to(mask, values.shape)
+
+    actor, critic = a2c_losses(
+        values, rewards, log_probs, step_mask=mask, per_step_mean=per_step_mean
+    )
+    loss = actor + critic
+    denom = jnp.maximum(jnp.sum(mask), 1.0)
+    stats = RolloutStats(
+        loss=loss,
+        actor_loss=actor,
+        critic_loss=critic,
+        mean_reward=jnp.sum(rewards * mask) / denom,
+        mean_advantage=jnp.sum((values - rewards) * mask) / denom,
+    )
+    return loss, stats
+
+
+def make_a2c_step(cfg: NetConfig, tx: optax.GradientTransformation, per_step_mean: bool = False):
+    """Builder for the jitted A2C update (plain or curriculum)."""
+
+    @jax.jit
+    def step(a2c_params, opt_state, reward_params, features, captions, curr_seq_len, rng):
+        caplen = jnp.max(batch_caption_lens(captions))
+        (loss, stats), grads = jax.value_and_grad(a2c_rollout_loss, has_aux=True)(
+            a2c_params, cfg, reward_params, features, captions,
+            curr_seq_len, caplen, rng, per_step_mean=per_step_mean,
+        )
+        updates, opt_state = tx.update(grads, opt_state, a2c_params)
+        return optax.apply_updates(a2c_params, updates), opt_state, stats
+
+    return step

@@ -1,0 +1,36 @@
+"""File naming and result-file IO matching the reference conventions."""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+
+def get_filename(base_name: str, bidirectional: bool, curriculum: Optional[bool] = None) -> str:
+    """Checkpoint/result naming scheme: ``_bidirectional`` and/or
+    ``_curriculum`` suffixes before the extension (reference
+    utilities.py:326-338), e.g. ``a2cNetwork.pt`` ->
+    ``a2cNetwork_bidirectional_curriculum.pt``."""
+    name, ext = os.path.splitext(base_name)
+    if bidirectional:
+        name += "_bidirectional"
+    if curriculum:
+        name += "_curriculum"
+    return name + ext
+
+
+def append_results(results_path: str, text: str, header: str = "results") -> None:
+    """Append a banner-delimited block to the results file
+    (reference trainers.py:394-397, utilities.py:354-358)."""
+    os.makedirs(os.path.dirname(results_path) or ".", exist_ok=True)
+    with open(results_path, "a") as f:
+        f.write("\n" + "-" * 10 + f" {header} " + "-" * 10 + "\n")
+        f.write(text)
+        f.write("\n" + "-" * 10 + f" {header} " + "-" * 10 + "\n")
+
+
+def global_minibatch_number(epoch: int, batch_id: int, batch_size: int) -> int:
+    """TensorBoard x-axis counter, reproducing the reference formula
+    ``epoch * batch_size + batch_id`` (utilities.py:204-212, quirk Q10 —
+    note it scales by batch_size, not batches-per-epoch)."""
+    return epoch * batch_size + batch_id

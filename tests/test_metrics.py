@@ -1,0 +1,82 @@
+"""Metric scorers: hand-computed cases + golden parity with the
+reference's shipped pycocoevalcap results."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+from image_captioning_through_rl_tpu.metrics import (
+    cider,
+    corpus_bleu,
+    load_textfiles,
+    meteor,
+    rouge_l,
+    score,
+)
+
+REF_DUMP = "/root/reference/models_pretrained/no_wemb"
+
+
+def test_bleu_perfect_match():
+    refs = {0: ["a b c d"]}
+    hypos = {0: ["a b c d"]}
+    b = corpus_bleu(refs, hypos)
+    np.testing.assert_allclose(b, [1.0] * 4, atol=1e-6)
+
+
+def test_bleu_hand_computed():
+    # hyp: "the cat sat" vs ref "the cat sat down"
+    refs = {0: ["the cat sat down"]}
+    hypos = {0: ["the cat sat"]}
+    b = corpus_bleu(refs, hypos)
+    bp = math.exp(1 - 4 / 3)  # testlen 3 < reflen 4
+    np.testing.assert_allclose(b[0], 1.0 * bp, rtol=1e-6)  # p1 = 3/3
+    np.testing.assert_allclose(b[1], math.sqrt(1.0) * bp, rtol=1e-6)  # p2 = 2/2
+    np.testing.assert_allclose(b[2], 1.0 * bp, rtol=1e-5)  # p3 = 1/1
+
+
+def test_rouge_l_hand_computed():
+    refs = {0: ["a b c d e"]}
+    hypos = {0: ["a c e"]}
+    # lcs=3, p=1, r=3/5, beta=1.2 -> f = (1+b^2)pr / (r + b^2 p)
+    beta = 1.2
+    p, r = 1.0, 0.6
+    expect = (1 + beta**2) * p * r / (r + beta**2 * p)
+    np.testing.assert_allclose(rouge_l(refs, hypos), expect, rtol=1e-6)
+
+
+def test_cider_identical_corpus_nonzero():
+    refs = {0: ["a cat on a mat"], 1: ["a dog in a fog"]}
+    hypos = {0: ["a cat on a mat"], 1: ["a dog in a fog"]}
+    c = cider(refs, hypos)
+    assert c > 0  # identical hypos score positive with idf over 2 docs
+
+
+def test_meteor_perfect_and_zero():
+    assert meteor({0: ["a b c"]}, {0: ["a b c"]}) > 0.9
+    assert meteor({0: ["a b c"]}, {0: ["x y z"]}) == 0.0
+
+
+def test_score_returns_all_keys():
+    s = score({0: ["a b"]}, {0: ["a b"]})
+    assert set(s) == {"Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "METEOR", "ROUGE_L", "CIDEr"}
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_DUMP), reason="reference dump not mounted")
+def test_golden_parity_with_reference_results():
+    """Exact parity with the pycocoevalcap numbers the reference shipped
+    (models_pretrained/no_wemb/results_non-curr.txt)."""
+    ref, hypo = load_textfiles(
+        os.path.join(REF_DUMP, "real_captions_non-curr.txt"),
+        os.path.join(REF_DUMP, "generated_captions_non-curr.txt"),
+    )
+    bleus = corpus_bleu(ref, hypo)
+    np.testing.assert_allclose(
+        bleus,
+        [0.13953640080706117, 0.052309596174356585, 0.02089955875550488, 0.008925489540673924],
+        rtol=1e-12,
+    )
+    np.testing.assert_allclose(rouge_l(ref, hypo), 0.13655453262777192, rtol=1e-12)
+    np.testing.assert_allclose(cider(ref, hypo), 0.20634003754324984, rtol=1e-12)

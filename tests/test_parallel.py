@@ -1,0 +1,96 @@
+"""SPMD equivalence: sharded steps must match single-device numerics.
+
+Runs on the 8-virtual-device CPU mesh from conftest.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from image_captioning_through_rl_tpu.config import NetConfig
+from image_captioning_through_rl_tpu.decode import greedy_decode
+from image_captioning_through_rl_tpu.models import a2c, policy, reward
+from image_captioning_through_rl_tpu.parallel import (
+    a2c_param_spec,
+    make_mesh,
+    replicate,
+    shard_batch,
+    shard_params,
+)
+from image_captioning_through_rl_tpu.train import optim, steps
+
+from torch_oracles import rand_captions, rand_features
+
+VOCAB = 32
+CFG = NetConfig(vocab_size=VOCAB, input_dim=8, wordvec_dim=8, hidden_dim=8, max_seq_len=9)
+N = 16  # divisible by 8 devices
+
+
+@pytest.fixture
+def batch(rng_np):
+    feats = jnp.asarray(rand_features(rng_np, N, CFG.input_dim))
+    caps = jnp.asarray(rand_captions(rng_np, N, CFG.max_seq_len, VOCAB).astype(np.int32))
+    return feats, caps
+
+
+def test_eight_devices_available():
+    assert jax.device_count() == 8
+
+
+def test_policy_step_dp_matches_single_device(batch):
+    feats, caps = batch
+    params = policy.init(jax.random.PRNGKey(0), CFG)
+    tx = optim.adam(1e-3)
+    step = steps.make_policy_step(CFG, tx)
+
+    p1, _, loss1 = step(params, tx.init(params), feats, caps)
+
+    mesh = make_mesh((8,), ("data",))
+    params_r = replicate(mesh, params)
+    opt_r = replicate(mesh, tx.init(params))
+    feats_s, caps_s = shard_batch(mesh, feats, caps)
+    p2, _, loss2 = step(params_r, opt_r, feats_s, caps_s)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_a2c_step_dp_tp_matches_single_device(batch):
+    """2-D mesh: batch over 'data', vocab tensor-parallel over 'model'."""
+    feats, caps = batch
+    params = a2c.init(jax.random.PRNGKey(1), CFG)
+    rparams = reward.init(jax.random.PRNGKey(2), CFG)
+    tx = optim.adam(1e-4)
+    step = steps.make_a2c_step(CFG, tx)
+    key = jax.random.PRNGKey(3)
+
+    p1, _, stats1 = step(params, tx.init(params), rparams, feats, caps, jnp.int32(1), key)
+
+    mesh = make_mesh((4, 2), ("data", "model"))
+    params_s = shard_params(mesh, params, a2c_param_spec(params))
+    rparams_r = replicate(mesh, rparams)
+    opt_s = jax.tree.map(lambda x: x, tx.init(params_s))
+    feats_s, caps_s = shard_batch(mesh, feats, caps)
+    p2, _, stats2 = step(params_s, opt_s, rparams_r, feats_s, caps_s, jnp.int32(1), key)
+
+    np.testing.assert_allclose(float(stats1.loss), float(stats2.loss), rtol=1e-4)
+    np.testing.assert_allclose(
+        float(stats1.mean_reward), float(stats2.mean_reward), rtol=1e-4, atol=1e-6
+    )
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-6)
+
+
+def test_greedy_decode_dp_matches_single_device(batch):
+    feats, caps = batch
+    params = policy.init(jax.random.PRNGKey(4), CFG)
+    toks1 = greedy_decode(params, CFG, feats, caps[:, 0])
+
+    mesh = make_mesh((8,), ("data",))
+    feats_s = shard_batch(mesh, feats)
+    start_s = shard_batch(mesh, caps[:, 0])
+    toks2 = greedy_decode(replicate(mesh, params), CFG, feats_s, start_s)
+    np.testing.assert_array_equal(np.asarray(toks1), np.asarray(toks2))

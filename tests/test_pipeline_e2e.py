@@ -1,0 +1,110 @@
+"""End-to-end pipeline smoke: the full CLI flow on a synthetic fixture.
+
+Runs train (all four networks, tiny sizes) -> test (beam decode + dumps)
+-> score -> reload-from-checkpoint -> re-test, exercising the same
+call sequence the reference drives from image_captioner.py:93-151.
+"""
+
+import os
+import types
+
+import numpy as np
+import pytest
+
+from image_captioning_through_rl_tpu.cli.main import main
+from image_captioning_through_rl_tpu.data import make_synthetic_coco
+
+
+@pytest.fixture(scope="module")
+def coco_dir(tmp_path_factory):
+    return make_synthetic_coco(
+        str(tmp_path_factory.mktemp("coco")),
+        num_train_images=12, num_val_images=6, captions_per_image=2,
+        vocab_size=40, feature_dim=32, seed=11,
+    )
+
+
+def _args(coco_dir, workdir, **over):
+    base = dict(
+        training_size=0, test_size=10, epochs=1, batch_size=8,
+        retrain=True, postprocess=False, curriculum=False, bidirectional=False,
+        test_model="", pretrained_path=os.path.join(workdir, "models_pretrained"),
+        pretrained_word2vec="none", train_word2vec="none",
+        data_dir=coco_dir, seed=0, faithful_beam=False,
+    )
+    base.update(over)
+    return types.SimpleNamespace(**base)
+
+
+def test_full_pipeline_train_test_score_reload(coco_dir, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    # -- feature-dim-32 fixture needs a matching NetConfig; shrink nets for speed
+    import image_captioning_through_rl_tpu.train.loops as loops
+    from image_captioning_through_rl_tpu.config import NetConfig
+
+    def tiny_cfg(data, bidirectional):
+        return NetConfig.for_vocab(
+            data.word_to_idx, data.embeddings, bidirectional=bidirectional,
+            input_dim=32, wordvec_dim=16, hidden_dim=16,
+        )
+
+    monkeypatch.setattr(loops, "_cfg_for", tiny_cfg)
+
+    main(_args(coco_dir, str(tmp_path)))
+
+    # artifacts in the timestamped log dir
+    logs = os.listdir("logs")
+    assert len(logs) == 1
+    log_dir = os.path.join("logs", logs[0])
+    files = set(os.listdir(log_dir))
+    assert "real_captions.txt" in files
+    assert "generated_captions.txt" in files
+    assert "image_url.txt" in files
+    assert "results.txt" in files
+    assert "a2cNetwork.ckpt" in files
+    with open(os.path.join(log_dir, "results.txt")) as f:
+        results = f.read()
+    assert "Bleu_1" in results and "CIDEr" in results
+    with open(os.path.join(log_dir, "generated_captions.txt")) as f:
+        gen_lines = [l for l in f.read().splitlines() if l]
+    assert len(gen_lines) > 0
+    assert all(l.startswith("<START>") for l in gen_lines)
+
+    # sub-network checkpoints written to the pretrained dir
+    pretrained = set(os.listdir(os.path.join(str(tmp_path), "models_pretrained")))
+    assert {"rewardNetwork.ckpt", "policyNetwork.ckpt", "valueNetwork.ckpt",
+            "a2cNetwork.ckpt"} <= pretrained
+
+    # -- reload path: --test_model skips training entirely
+    main(_args(coco_dir, str(tmp_path),
+               test_model=os.path.join(log_dir, "a2cNetwork.ckpt"), retrain=False))
+    # eval appended more generated lines into the same log dir
+    with open(os.path.join(log_dir, "generated_captions.txt")) as f:
+        assert len([l for l in f.read().splitlines() if l]) > len(gen_lines) - 1
+
+
+def test_curriculum_pipeline(coco_dir, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    import importlib
+
+    cli_main = importlib.import_module("image_captioning_through_rl_tpu.cli.main")
+    import image_captioning_through_rl_tpu.train.loops as loops
+    from image_captioning_through_rl_tpu.config import NetConfig
+
+    def tiny_cfg(data, bidirectional):
+        return NetConfig.for_vocab(
+            data.word_to_idx, data.embeddings, bidirectional=bidirectional,
+            input_dim=32, wordvec_dim=16, hidden_dim=16,
+        )
+
+    monkeypatch.setattr(loops, "_cfg_for", tiny_cfg)
+    monkeypatch.setattr(cli_main, "CURRICULUM_LEVELS", [3])
+
+    main(_args(coco_dir, str(tmp_path), curriculum=True))
+    logs = os.listdir("logs")
+    log_dir = os.path.join("logs", sorted(logs)[0])
+    files = set(os.listdir(log_dir))
+    # curriculum suffix naming (utilities.py:326-338)
+    assert "a2cNetwork_curriculum.ckpt" in files
+    assert "results_curriculum.txt" in files
+    assert "generated_captions_curriculum.txt" in files

@@ -21,16 +21,17 @@ VOCAB = 1004
 FEAT = 512
 HID = 512
 T = 17
-JAX_BATCH = 4096
+JAX_BATCH = 8192
 TORCH_BATCH = 128
 
 
 def bench_jax() -> float:
+    """Best of the XLA-scan path and the fused Pallas kernel."""
     import jax
     import jax.numpy as jnp
 
     from image_captioning_through_rl_tpu.config import NetConfig
-    from image_captioning_through_rl_tpu.decode import greedy_decode
+    from image_captioning_through_rl_tpu.decode import fused_greedy_decode, greedy_decode
     from image_captioning_through_rl_tpu.models import policy
 
     cfg = NetConfig(vocab_size=VOCAB, input_dim=FEAT, wordvec_dim=HID, hidden_dim=HID)
@@ -39,17 +40,24 @@ def bench_jax() -> float:
     feats = jnp.asarray(rng.standard_normal((JAX_BATCH, FEAT), dtype=np.float32))
     start = jnp.ones((JAX_BATCH,), jnp.int32)
 
-    fn = jax.jit(lambda f, s: greedy_decode(params, cfg, f, s))
-    jax.block_until_ready(fn(feats, start))  # compile + warmup
-    jax.block_until_ready(fn(feats, start))
+    xla_fn = jax.jit(lambda f, s: greedy_decode(params, cfg, f, s))
+    fused_fn = lambda f, s: fused_greedy_decode(params, f, s, max_len=T)
 
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(feats, start)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    return JAX_BATCH * iters / dt
+    def rate(fn, iters=20):
+        jax.block_until_ready(fn(feats, start))  # compile + warmup
+        jax.block_until_ready(fn(feats, start))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(feats, start)
+        jax.block_until_ready(out)
+        return JAX_BATCH * iters / (time.perf_counter() - t0)
+
+    best = rate(xla_fn)
+    try:
+        best = max(best, rate(fused_fn))
+    except Exception:
+        pass  # fused kernel requires a real TPU; keep the XLA number
+    return best
 
 
 def bench_torch_cpu() -> float:

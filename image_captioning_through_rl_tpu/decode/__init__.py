@@ -2,5 +2,13 @@
 
 from .greedy import greedy_decode, greedy_decode_full_prefix
 from .beam import beam_search
+from .beam_full import beam_search_full_prefix
+from ..ops.pallas_decode import fused_greedy_decode
 
-__all__ = ["greedy_decode", "greedy_decode_full_prefix", "beam_search"]
+__all__ = [
+    "greedy_decode",
+    "greedy_decode_full_prefix",
+    "fused_greedy_decode",
+    "beam_search",
+    "beam_search_full_prefix",
+]

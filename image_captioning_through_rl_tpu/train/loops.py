@@ -189,7 +189,7 @@ def train_value_network(
             prev = params
             params, opt_state, loss = step(
                 params, opt_state, pparams, rparams,
-                jnp.asarray(features), jnp.asarray(captions), jnp.int32(prefix_len),
+                jnp.asarray(features), jnp.asarray(captions), prefix_len,
             )
             loss = float(loss)
             if loss < best_loss:
@@ -404,8 +404,12 @@ def test_a2c_network(
         test_data, batch_size=data_size, split="val", rng=rng
     )
 
+    if cfg.bidirectional:
+        from ..decode.beam_full import beam_search_full_prefix as beam_fn
+    else:
+        beam_fn = beam_search
     decode = jax.jit(
-        lambda f, s: beam_search(
+        lambda f, s: beam_fn(
             a2c_params["policy"], a2c_params["value"], cfg, dcfg, f, s
         )
     )

@@ -101,7 +101,16 @@ def make_policy_step(cfg: NetConfig, tx: optax.GradientTransformation):
 def make_value_step(cfg: NetConfig, tx: optax.GradientTransformation):
     """Builder. The returned step takes the *frozen* policy and reward
     parameters as explicit arguments (they are loaded, not trained —
-    reference trainers.py:140-150)."""
+    reference trainers.py:140-150).
+
+    Unidirectional: one compile; the random prefix length enters as a
+    dynamic index into the encoder's collected hidden states.
+    Bidirectional: the prefix length is a static argument (the backward
+    scan's extent depends on it) — at most ``max_seq_len`` cached
+    variants.
+    """
+    if cfg.bidirectional:
+        return _make_value_step_bidirectional(cfg, tx)
 
     from ..decode.greedy import greedy_decode
 
@@ -130,6 +139,29 @@ def make_value_step(cfg: NetConfig, tx: optax.GradientTransformation):
         rewards = jax.lax.stop_gradient(rewards)
         loss, grads = jax.value_and_grad(value_prefix_loss)(
             vparams, cfg, features, gen_caps, rewards, prefix_len
+        )
+        updates, opt_state = tx.update(grads, opt_state, vparams)
+        return optax.apply_updates(vparams, updates), opt_state, loss
+
+    return step
+
+
+def _make_value_step_bidirectional(cfg: NetConfig, tx: optax.GradientTransformation):
+    import functools
+
+    from ..decode.greedy import greedy_decode_full_prefix
+
+    def loss_fn(vparams, features, gen_prefix, rewards):
+        values = value_mod.forward(vparams, cfg, features, gen_prefix)
+        return jnp.mean(jnp.square(values - rewards))
+
+    @functools.partial(jax.jit, static_argnums=(6,))
+    def step(vparams, opt_state, pparams, rparams, features, captions, prefix_len):
+        gen_caps = greedy_decode_full_prefix(pparams, cfg, features, captions[:, 0])
+        ve, se = reward_mod.forward(rparams, cfg, features, gen_caps)
+        rewards = jax.lax.stop_gradient(cosine_embedding_reward(ve, se)[:, None])
+        loss, grads = jax.value_and_grad(loss_fn)(
+            vparams, features, gen_caps[:, :prefix_len], rewards
         )
         updates, opt_state = tx.update(grads, opt_state, vparams)
         return optax.apply_updates(vparams, updates), opt_state, loss
@@ -268,13 +300,85 @@ def a2c_rollout_loss(
     return loss, stats
 
 
+def a2c_rollout_loss_full(
+    a2c_params: dict,
+    cfg: NetConfig,
+    reward_params: dict,
+    features: jax.Array,
+    captions: jax.Array,
+    curr_seq_len: jax.Array,
+    caplen: jax.Array,
+    rng: jax.Array,
+    per_step_mean: bool = False,
+) -> Tuple[jax.Array, RolloutStats]:
+    """Full-prefix rollout loss: the bidirectional-safe variant.
+
+    Bidirectional encoders re-read the whole prefix each step (the
+    backward direction has no carryable state), so every rollout step
+    re-runs the policy/value/reward forwards on the growing prefix —
+    exactly the reference's structure (trainers.py:441-459). The step
+    loop is a static Python unroll; each prefix length is its own shape
+    inside one compiled graph.
+    """
+    from ..models import a2c as a2c_mod
+
+    n, t_max = captions.shape
+    step_keys = jax.random.split(rng, t_max - 1)
+
+    buf = captions[:, :1]
+    values_l, rewards_l, logps_l = [], [], []
+    for p in range(1, t_max):
+        value, logits = a2c_mod.forward(a2c_params, cfg, features, buf)
+        key = step_keys[p - 1]
+        action = jax.random.categorical(key, logits, axis=-1)
+        logp = jnp.take_along_axis(
+            jax.nn.log_softmax(logits, axis=-1), action[:, None], axis=-1
+        )[:, 0]
+        token_in = jnp.where(p < curr_seq_len, captions[:, p], action)
+        buf = jnp.concatenate([buf, token_in[:, None]], axis=1)
+        # reward of prefix + action (the sampled one, as in the reference)
+        reward_prefix = jnp.concatenate([buf[:, :-1], action[:, None]], axis=1)
+        ve, se = reward_mod.forward(reward_params, cfg, features, reward_prefix)
+        reward = jax.lax.stop_gradient(cosine_embedding_reward(ve, se))
+        values_l.append(value[:, 0])
+        rewards_l.append(reward)
+        logps_l.append(logp)
+
+    values = jnp.stack(values_l, axis=1)
+    rewards = jnp.stack(rewards_l, axis=1)
+    log_probs = jnp.stack(logps_l, axis=1)
+
+    p_idx = jnp.arange(1, t_max)[None, :]
+    mask = ((p_idx >= curr_seq_len) & (p_idx <= caplen - 1)).astype(values.dtype)
+    mask = jnp.broadcast_to(mask, values.shape)
+
+    actor, critic = a2c_losses(
+        values, rewards, log_probs, step_mask=mask, per_step_mean=per_step_mean
+    )
+    loss = actor + critic
+    denom = jnp.maximum(jnp.sum(mask), 1.0)
+    stats = RolloutStats(
+        loss=loss,
+        actor_loss=actor,
+        critic_loss=critic,
+        mean_reward=jnp.sum(rewards * mask) / denom,
+        mean_advantage=jnp.sum((values - rewards) * mask) / denom,
+    )
+    return loss, stats
+
+
 def make_a2c_step(cfg: NetConfig, tx: optax.GradientTransformation, per_step_mean: bool = False):
-    """Builder for the jitted A2C update (plain or curriculum)."""
+    """Builder for the jitted A2C update (plain or curriculum).
+
+    Unidirectional models use the carried-state scan rollout;
+    bidirectional models dispatch to the full-prefix variant.
+    """
+    rollout = a2c_rollout_loss_full if cfg.bidirectional else a2c_rollout_loss
 
     @jax.jit
     def step(a2c_params, opt_state, reward_params, features, captions, curr_seq_len, rng):
         caplen = jnp.max(batch_caption_lens(captions))
-        (loss, stats), grads = jax.value_and_grad(a2c_rollout_loss, has_aux=True)(
+        (loss, stats), grads = jax.value_and_grad(rollout, has_aux=True)(
             a2c_params, cfg, reward_params, features, captions,
             curr_seq_len, caplen, rng, per_step_mean=per_step_mean,
         )

@@ -77,6 +77,20 @@ def forward(
     return embed_pair(params, cfg, features, encode(params, cfg, captions))
 
 
+def get_rewards(
+    params: dict, cfg: NetConfig, features: jax.Array, captions: jax.Array
+) -> jax.Array:
+    """Embedding reward of (image, caption) pairs -> ``[N, 1]``.
+
+    Convenience mirroring the reference's ``GetRewards``
+    (trainers.py:108-121): forward + L2-normalized cosine similarity.
+    """
+    from ..ops.reward_ops import cosine_embedding_reward
+
+    ve, se = forward(params, cfg, features, captions)
+    return cosine_embedding_reward(ve, se)[:, None]
+
+
 # --- incremental stepping (unidirectional) ---------------------------------
 
 def zero_rnn_state(cfg: NetConfig, batch: int, dtype=jnp.float32) -> jax.Array:

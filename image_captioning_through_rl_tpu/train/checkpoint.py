@@ -68,6 +68,29 @@ def load_network(kind: str, path: str, template=None, bidirectional: bool = Fals
     return load_pytree(template, path)
 
 
+def save_orbax(params, directory: str) -> None:
+    """Save via Orbax (directory-based, async-capable, multi-host-safe).
+
+    The msgpack format above is the default single-file format; Orbax is
+    the production option for sharded multi-host checkpoints. (Note:
+    on tunneled single-chip dev backends Orbax's async machinery can
+    stall — prefer the msgpack default there.)
+    """
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(directory), jax.tree.map(np.asarray, params), force=True)
+    ckptr.wait_until_finished()
+
+
+def load_orbax(template, directory: str):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(os.path.abspath(directory), target=jax.tree.map(np.asarray, template))
+    return jax.tree.map(jnp.asarray, restored)
+
+
 def save_to_paths(params, save_paths) -> None:
     """Save to one path or a list of paths (reference save_a2c_model,
     utilities.py:286-296 — A2C saves go to both the log dir and the

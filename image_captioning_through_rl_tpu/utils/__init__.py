@@ -2,6 +2,8 @@
 
 from .logging import MetricsWriter, make_metrics_writer, print_green, print_red
 from .io import get_filename, append_results, global_minibatch_number
+from .profiling import StepTimer, annotate, trace
+from .debug import live_array_report, print_live_arrays
 
 __all__ = [
     "MetricsWriter",
@@ -11,4 +13,9 @@ __all__ = [
     "get_filename",
     "append_results",
     "global_minibatch_number",
+    "StepTimer",
+    "annotate",
+    "trace",
+    "live_array_report",
+    "print_live_arrays",
 ]

@@ -44,12 +44,14 @@ def bench_jax() -> float:
     fused_fn = lambda f, s: fused_greedy_decode(params, f, s, max_len=T)
 
     def rate(fn, iters=20):
-        jax.block_until_ready(fn(feats, start))  # compile + warmup
-        jax.block_until_ready(fn(feats, start))
+        # sync via host readback: on tunneled backends block_until_ready
+        # can return before device execution completes
+        np.asarray(fn(feats, start))  # compile + warmup
+        np.asarray(fn(feats, start))
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(feats, start)
-        jax.block_until_ready(out)
+        np.asarray(out)
         return JAX_BATCH * iters / (time.perf_counter() - t0)
 
     best = rate(xla_fn)

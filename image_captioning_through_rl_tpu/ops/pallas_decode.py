@@ -83,7 +83,7 @@ def fused_greedy_decode(
     features: jax.Array,
     start_tokens: jax.Array,
     max_len: int = 17,
-    block_n: int = 256,
+    block_n: int = 512,
     weight_dtype=jnp.bfloat16,
     interpret: bool = False,
 ) -> jax.Array:

@@ -9,9 +9,9 @@ All reference flags are preserved (image_captioner.py:154-185),
 including ``--pretrained_word2vec`` (which here actually works — the
 reference parses but never consumes it, quirk Q11; we honor it, and the
 reference behavior of ignoring it remains the default "none").
-TPU-specific additions: ``--num_devices`` for data-parallel training
-over a device mesh, ``--faithful_beam`` to select the reference's
-batch-mean shared-beam decoding.
+TPU-specific additions: ``--data_dir``, ``--seed``, ``--faithful_beam``
+(the reference's batch-mean shared-beam decoding, quirk Q2) and
+``--compat_batch_as_time`` (reference-exact stateful encoders, quirk Q1).
 """
 
 from __future__ import annotations
@@ -129,6 +129,7 @@ def main(args):
             retrain_all=args.retrain,
             curriculum=curriculum,
             seed=args.seed,
+            compat_batch_as_time=args.compat_batch_as_time,
         )
         print_green("[Info] A2C Network trained")
 
@@ -191,6 +192,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0, help="Global RNG seed")
     p.add_argument("--faithful_beam", action="store_true", default=False,
                    help="Use the reference's batch-mean shared-beam decoding (quirk Q2)")
+    p.add_argument("--compat_batch_as_time", action="store_true", default=False,
+                   help="Reference-exact batch-as-time value/reward encoders (quirk Q1)")
     return p
 
 

@@ -161,6 +161,7 @@ def train_value_network(
     batch_size: int = 512,
     lr: float = 1e-3,
     seed: int = 0,
+    compat_batch_as_time: bool = False,
 ):
     """MSE training of the critic against embedding rewards of greedy
     rollouts from the frozen policy (trainers.py:125-199)."""
@@ -175,7 +176,7 @@ def train_value_network(
     params = value_mod.init(jax.random.PRNGKey(seed + 2), cfg, train_data.embeddings)
     tx = adam(lr, params, cfg.freeze_embeddings)
     opt_state = tx.init(params)
-    step = steps.make_value_step(cfg, tx)
+    step = steps.make_value_step(cfg, tx, compat=compat_batch_as_time)
 
     best_loss = float("inf")
     print_green("[Training] Training Value Network")
@@ -220,6 +221,7 @@ def train_a2c_network(
     retrain_all: bool = False,
     curriculum: Optional[Sequence[int]] = None,
     seed: int = 0,
+    compat_batch_as_time: bool = False,
 ):
     """Orchestrator (trainers.py:312-399): train or load the three
     sub-networks, freeze the reward net, then run (curriculum) A2C."""
@@ -227,9 +229,9 @@ def train_a2c_network(
 
     if retrain_all:
         print_green("[Training] Training all the networks")
-        rparams = train_reward_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed)
+        rparams = train_reward_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed, compat_batch_as_time=compat_batch_as_time)
         pparams = train_policy_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed)
-        vparams = train_value_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed)
+        vparams = train_value_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed, compat_batch_as_time=compat_batch_as_time)
         print_green("[Training] All networks trained")
     else:
         # load-or-train fallback per sub-network (trainers.py:338-370)
@@ -238,7 +240,7 @@ def train_a2c_network(
             print("[Training] loaded reward network")
         except FileNotFoundError:
             print("[Training] reward network not found")
-            rparams = train_reward_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed)
+            rparams = train_reward_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed, compat_batch_as_time=compat_batch_as_time)
         try:
             pparams = _load_or_fail("policy", network_paths["policy_network"], cfg, train_data, bidirectional)
             print("[Training] loaded policy network")
@@ -265,6 +267,7 @@ def train_a2c_network(
         a2c_params = a2c_training(
             train_data, a2c_params, rparams, tx, opt_state, cfg, plot_dir,
             all_save_paths, batch_size, epochs, seed=seed,
+            compat_batch_as_time=compat_batch_as_time,
         )
     else:
         curriculum = list(curriculum)
@@ -273,6 +276,7 @@ def train_a2c_network(
         a2c_params = a2c_curriculum_training(
             train_data, a2c_params, rparams, tx, opt_state, cfg, plot_dir,
             all_save_paths, batch_size, epochs, curriculum, seed=seed,
+            compat_batch_as_time=compat_batch_as_time,
         )
 
     append_results(save_paths["results_path"], describe_params("AdvantageActorCriticNetwork", a2c_params), header="network")
@@ -291,12 +295,13 @@ def a2c_training(
     batch_size: int,
     epochs: int,
     seed: int = 0,
+    compat_batch_as_time: bool = False,
 ):
     """Core A2C loop (trainers.py:402-500)."""
     writer = make_metrics_writer(plot_dir)
     rng = np.random.default_rng(seed + 3)
     key = jax.random.PRNGKey(seed + 3)
-    step = steps.make_a2c_step(cfg, tx, per_step_mean=False)
+    step = steps.make_a2c_step(cfg, tx, per_step_mean=False, compat=compat_batch_as_time)
 
     print_green("[Training] Training Advantage Actor-Critic Network")
     best_loss = float("inf")
@@ -338,6 +343,7 @@ def a2c_curriculum_training(
     epochs: int,
     curriculum: Sequence[int],
     seed: int = 0,
+    compat_batch_as_time: bool = False,
 ):
     """Curriculum A2C (trainers.py:503-616): per level, teacher-force the
     ground-truth prefix of length ``caplen - level`` and roll out the
@@ -345,7 +351,7 @@ def a2c_curriculum_training(
     writer = make_metrics_writer(plot_dir)
     rng = np.random.default_rng(seed + 4)
     key = jax.random.PRNGKey(seed + 4)
-    step = steps.make_a2c_step(cfg, tx, per_step_mean=True)
+    step = steps.make_a2c_step(cfg, tx, per_step_mean=True, compat=compat_batch_as_time)
 
     print_green("[Training] Training Advantage Actor-Critic Network")
     print_green(f"[Training] mode set to curriculum training using levels: {list(curriculum)}")

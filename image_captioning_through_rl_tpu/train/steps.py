@@ -98,7 +98,7 @@ def make_policy_step(cfg: NetConfig, tx: optax.GradientTransformation):
 # Value network (MSE vs embedding reward of greedy rollouts)
 # --------------------------------------------------------------------------
 
-def make_value_step(cfg: NetConfig, tx: optax.GradientTransformation):
+def make_value_step(cfg: NetConfig, tx: optax.GradientTransformation, compat: bool = False):
     """Builder. The returned step takes the *frozen* policy and reward
     parameters as explicit arguments (they are loaded, not trained —
     reference trainers.py:140-150).
@@ -107,8 +107,11 @@ def make_value_step(cfg: NetConfig, tx: optax.GradientTransformation):
     dynamic index into the encoder's collected hidden states.
     Bidirectional: the prefix length is a static argument (the backward
     scan's extent depends on it) — at most ``max_seq_len`` cached
-    variants.
+    variants. ``compat`` selects reference-exact batch-as-time encoders
+    (quirk Q1; hiddens reset per minibatch as in trainers.py:196-197).
     """
+    if compat:
+        return _make_value_step_compat(cfg, tx)
     if cfg.bidirectional:
         return _make_value_step_bidirectional(cfg, tx)
 
@@ -139,6 +142,33 @@ def make_value_step(cfg: NetConfig, tx: optax.GradientTransformation):
         rewards = jax.lax.stop_gradient(rewards)
         loss, grads = jax.value_and_grad(value_prefix_loss)(
             vparams, cfg, features, gen_caps, rewards, prefix_len
+        )
+        updates, opt_state = tx.update(grads, opt_state, vparams)
+        return optax.apply_updates(vparams, updates), opt_state, loss
+
+    return step
+
+
+def _make_value_step_compat(cfg: NetConfig, tx: optax.GradientTransformation):
+    import functools
+
+    from ..decode.greedy import greedy_decode
+
+    def loss_fn(vparams, features, gen_prefix, rewards):
+        values, _ = value_mod.forward_compat(
+            vparams, cfg, features, gen_prefix, value_mod.compat_zero_state(cfg)
+        )
+        return jnp.mean(jnp.square(values - rewards))
+
+    @functools.partial(jax.jit, static_argnums=(6,))
+    def step(vparams, opt_state, pparams, rparams, features, captions, prefix_len):
+        gen_caps = greedy_decode(pparams, cfg, features, captions[:, 0])
+        (ve, se), _ = reward_mod.forward_compat(
+            rparams, cfg, features, gen_caps, reward_mod.compat_zero_state(cfg)
+        )
+        rewards = jax.lax.stop_gradient(cosine_embedding_reward(ve, se)[:, None])
+        loss, grads = jax.value_and_grad(loss_fn)(
+            vparams, features, gen_caps[:, :prefix_len], rewards
         )
         updates, opt_state = tx.update(grads, opt_state, vparams)
         return optax.apply_updates(vparams, updates), opt_state, loss
@@ -367,13 +397,95 @@ def a2c_rollout_loss_full(
     return loss, stats
 
 
-def make_a2c_step(cfg: NetConfig, tx: optax.GradientTransformation, per_step_mean: bool = False):
+def a2c_rollout_loss_compat(
+    a2c_params: dict,
+    cfg: NetConfig,
+    reward_params: dict,
+    features: jax.Array,
+    captions: jax.Array,
+    curr_seq_len: jax.Array,
+    caplen: jax.Array,
+    rng: jax.Array,
+    per_step_mean: bool = False,
+) -> Tuple[jax.Array, RolloutStats]:
+    """Reference-exact rollout with batch-as-time statefulness (quirk Q1).
+
+    In the reference, the value LSTM's and reward GRU's persistent
+    hidden states thread through *every* forward inside a minibatch —
+    across the per-column loops of each call and across the rollout
+    steps — and reset only at minibatch end (trainers.py:495-496). Here
+    the compat carries are threaded explicitly through the unrolled
+    rollout, reproducing those numerics for parity testing. Inherently
+    sequential (~N·T²/2 cell steps per minibatch); not a training-speed
+    path.
+    """
+    from ..models import policy as pol
+
+    n, t_max = captions.shape
+    step_keys = jax.random.split(rng, t_max - 1)
+
+    val_carry = value_mod.compat_zero_state(cfg)
+    rew_carry = reward_mod.compat_zero_state(cfg)
+
+    buf = captions[:, :1]
+    values_l, rewards_l, logps_l = [], [], []
+    for p in range(1, t_max):
+        value, val_carry = value_mod.forward_compat(
+            a2c_params["value"], cfg, features, buf, val_carry
+        )
+        logits = pol.forward(a2c_params["policy"], cfg, features, buf)[:, -1, :]
+        key = step_keys[p - 1]
+        action = jax.random.categorical(key, logits, axis=-1)
+        logp = jnp.take_along_axis(
+            jax.nn.log_softmax(logits, axis=-1), action[:, None], axis=-1
+        )[:, 0]
+        token_in = jnp.where(p < curr_seq_len, captions[:, p], action)
+        buf = jnp.concatenate([buf, token_in[:, None]], axis=1)
+        reward_prefix = jnp.concatenate([buf[:, :-1], action[:, None]], axis=1)
+        (ve, se), rew_carry = reward_mod.forward_compat(
+            reward_params, cfg, features, reward_prefix, rew_carry
+        )
+        reward = jax.lax.stop_gradient(cosine_embedding_reward(ve, se))
+        values_l.append(value[:, 0])
+        rewards_l.append(reward)
+        logps_l.append(logp)
+
+    values = jnp.stack(values_l, axis=1)
+    rewards = jnp.stack(rewards_l, axis=1)
+    log_probs = jnp.stack(logps_l, axis=1)
+
+    p_idx = jnp.arange(1, t_max)[None, :]
+    mask = ((p_idx >= curr_seq_len) & (p_idx <= caplen - 1)).astype(values.dtype)
+    mask = jnp.broadcast_to(mask, values.shape)
+    actor, critic = a2c_losses(
+        values, rewards, log_probs, step_mask=mask, per_step_mean=per_step_mean
+    )
+    loss = actor + critic
+    denom = jnp.maximum(jnp.sum(mask), 1.0)
+    stats = RolloutStats(
+        loss=loss, actor_loss=actor, critic_loss=critic,
+        mean_reward=jnp.sum(rewards * mask) / denom,
+        mean_advantage=jnp.sum((values - rewards) * mask) / denom,
+    )
+    return loss, stats
+
+
+def make_a2c_step(
+    cfg: NetConfig,
+    tx: optax.GradientTransformation,
+    per_step_mean: bool = False,
+    compat: bool = False,
+):
     """Builder for the jitted A2C update (plain or curriculum).
 
     Unidirectional models use the carried-state scan rollout;
-    bidirectional models dispatch to the full-prefix variant.
+    bidirectional models dispatch to the full-prefix variant; ``compat``
+    selects the reference-exact batch-as-time rollout (quirk Q1).
     """
-    rollout = a2c_rollout_loss_full if cfg.bidirectional else a2c_rollout_loss
+    if compat:
+        rollout = a2c_rollout_loss_compat
+    else:
+        rollout = a2c_rollout_loss_full if cfg.bidirectional else a2c_rollout_loss
 
     @jax.jit
     def step(a2c_params, opt_state, reward_params, features, captions, curr_seq_len, rng):

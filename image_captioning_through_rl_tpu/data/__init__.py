@@ -9,6 +9,7 @@ from .coco import (
     load_data,
 )
 from .synthetic import make_synthetic_coco
+from .device import DeviceCocoTables
 
 __all__ = [
     "CocoData",
@@ -18,4 +19,5 @@ __all__ = [
     "get_coco_minibatches",
     "get_coco_validation_data",
     "make_synthetic_coco",
+    "DeviceCocoTables",
 ]

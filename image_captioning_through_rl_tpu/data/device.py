@@ -1,0 +1,78 @@
+"""Device-resident dataset tables with on-chip minibatch gathers.
+
+The whole COCO-PCA bundle is small by HBM standards (~80k x 512 f32
+train features ≈ 160 MB; captions ≈ 14 MB int32), so instead of
+gathering minibatches on the host and shipping them every step (the
+reference's pattern, and the host-side iterators in :mod:`.coco`), the
+tables live in device HBM and each step ships only the index vector —
+the per-caption feature gather (``image_idxs`` indirection,
+utilities.py:174-176) becomes one on-chip ``take``.
+
+Under a data mesh the gathered batch is committed to a batch-sharded
+layout so downstream steps partition automatically.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .coco import CocoData
+
+
+class DeviceCocoTables:
+    """HBM-resident caption/feature tables for one split."""
+
+    def __init__(self, data: CocoData, split: str = "train", mesh=None, data_axis: str = "data"):
+        caps, idxs, feats, _ = data.split(split)
+        self._mesh = mesh
+        self._data_axis = data_axis
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            self.captions = jax.device_put(jnp.asarray(caps), rep)
+            self.features = jax.device_put(jnp.asarray(feats), rep)
+            self.image_idxs = jax.device_put(jnp.asarray(idxs), rep)
+        else:
+            self.captions = jnp.asarray(caps)
+            self.features = jnp.asarray(feats)
+            self.image_idxs = jnp.asarray(idxs)
+        self.num_captions = int(caps.shape[0])
+
+        @jax.jit
+        def _gather(captions, features, image_idxs, mask):
+            caps_b = jnp.take(captions, mask, axis=0)
+            feats_b = jnp.take(features, jnp.take(image_idxs, mask), axis=0)
+            return caps_b, feats_b
+
+        self._gather = _gather
+
+    def gather(self, mask: np.ndarray) -> Tuple[jax.Array, jax.Array]:
+        """On-chip minibatch gather; only ``mask`` crosses PCIe/DCN."""
+        idx = jnp.asarray(mask.astype(np.int32))
+        caps_b, feats_b = self._gather(self.captions, self.features, self.image_idxs, idx)
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch_sharding = NamedSharding(self._mesh, P(self._data_axis))
+            caps_b = jax.device_put(caps_b, batch_sharding)
+            feats_b = jax.device_put(feats_b, batch_sharding)
+        return caps_b, feats_b
+
+    def minibatches(
+        self, batch_size: int, rng: Optional[np.random.Generator] = None,
+        drop_remainder: bool = False,
+    ) -> Iterator[Tuple[jax.Array, jax.Array]]:
+        """Epoch iterator mirroring :func:`..data.coco.get_coco_minibatches`
+        (one permutation per epoch) with device-side gathers."""
+        rng = rng or np.random.default_rng()
+        perm = rng.permutation(self.num_captions)
+        for i in range(0, self.num_captions, batch_size):
+            mask = perm[i : i + batch_size]
+            if drop_remainder and mask.shape[0] < batch_size:
+                return
+            yield self.gather(mask)

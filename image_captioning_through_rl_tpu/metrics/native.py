@@ -1,0 +1,113 @@
+"""ctypes bindings over the native fastmetrics library.
+
+Tokenization/interning happens here (whitespace split, word -> int32
+id); the C++ side counts n-grams over flat id arrays. Used by
+:func:`.score.score` when the toolchain is available; numerics are
+identical to the pure-Python scorers (asserted by tests and by the
+golden reference-dump parity test).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import math
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..native import load_fastmetrics
+
+_TINY = 1e-15
+_SMALL = 1e-9
+
+
+def _intern(refs: Dict[int, List[str]], hypos: Dict[int, List[str]]):
+    """Flatten corpora into (tokens, offsets) id arrays + ref grouping."""
+    vocab: Dict[str, int] = {}
+
+    def ids(sent: str) -> List[int]:
+        out = []
+        for w in sent.split():
+            out.append(vocab.setdefault(w, len(vocab)))
+        return out
+
+    order = list(hypos.keys())
+    hyp_tok: List[int] = []
+    hyp_off = [0]
+    ref_tok: List[int] = []
+    ref_off = [0]
+    group_off = [0]
+    for i in order:
+        hyp_tok.extend(ids(hypos[i][0]))
+        hyp_off.append(len(hyp_tok))
+        for r in refs[i]:
+            ref_tok.extend(ids(r))
+            ref_off.append(len(ref_tok))
+        group_off.append(group_off[-1] + len(refs[i]))
+    if len(vocab) >= 1 << 16:
+        return None  # fall back to Python (keys pack 16 bits per token)
+    c = lambda a, t: np.ascontiguousarray(np.asarray(a, dtype=t))  # noqa: E731
+    return (
+        c(hyp_tok, np.int32), c(hyp_off, np.int64),
+        c(ref_tok, np.int32), c(ref_off, np.int64), c(group_off, np.int64),
+        len(order),
+    )
+
+
+def _ptr(a: np.ndarray, t):
+    return a.ctypes.data_as(ctypes.POINTER(t))
+
+
+def corpus_bleu_native(
+    refs: Dict[int, List[str]], hypos: Dict[int, List[str]], max_n: int = 4
+) -> Optional[List[float]]:
+    """Native corpus BLEU; None when unavailable (caller falls back)."""
+    lib = load_fastmetrics()
+    if lib is None or max_n != 4 or not hypos:
+        return None
+    interned = _intern(refs, hypos)
+    if interned is None:
+        return None
+    hyp_tok, hyp_off, ref_tok, ref_off, group_off, num = interned
+    correct = np.zeros(4, np.int64)
+    guess = np.zeros(4, np.int64)
+    testlen = np.zeros(1, np.int64)
+    reflen = np.zeros(1, np.int64)
+    lib.bleu_stats(
+        _ptr(hyp_tok, ctypes.c_int32), _ptr(hyp_off, ctypes.c_int64), num,
+        _ptr(ref_tok, ctypes.c_int32), _ptr(ref_off, ctypes.c_int64),
+        _ptr(group_off, ctypes.c_int64),
+        _ptr(correct, ctypes.c_int64), _ptr(guess, ctypes.c_int64),
+        _ptr(testlen, ctypes.c_int64), _ptr(reflen, ctypes.c_int64),
+    )
+    bleus = []
+    running = 1.0
+    ratio = float(testlen[0]) / (float(reflen[0]) + _TINY)
+    for n in range(4):
+        p_n = (float(correct[n]) + _TINY) / (float(guess[n]) + _SMALL)
+        running *= p_n
+        b = running ** (1.0 / (n + 1))
+        if ratio < 1.0:
+            b *= math.exp(1.0 - 1.0 / ratio)
+        bleus.append(b)
+    return bleus
+
+
+def cider_native(
+    refs: Dict[int, List[str]], hypos: Dict[int, List[str]]
+) -> Optional[float]:
+    lib = load_fastmetrics()
+    if lib is None or not hypos:
+        return None
+    interned = _intern(refs, hypos)
+    if interned is None:
+        return None
+    hyp_tok, hyp_off, ref_tok, ref_off, group_off, num = interned
+    scores = np.zeros(num, np.float64)
+    lib.cider_scores(
+        _ptr(hyp_tok, ctypes.c_int32), _ptr(hyp_off, ctypes.c_int64), num,
+        _ptr(ref_tok, ctypes.c_int32), _ptr(ref_off, ctypes.c_int64),
+        _ptr(group_off, ctypes.c_int64),
+        _ptr(scores, ctypes.c_double),
+    )
+    return float(scores.mean())

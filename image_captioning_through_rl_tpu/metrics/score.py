@@ -67,7 +67,16 @@ def score(ref: Dict[int, List[str]], hypo: Dict[int, List[str]]) -> Dict[str, fl
     except ImportError:
         pass
 
-    bleus = corpus_bleu(ref, hypo)
+    # native C++ n-gram kernels when the toolchain is available;
+    # pure-Python otherwise (identical numerics, tested)
+    from .native import cider_native, corpus_bleu_native
+
+    bleus = corpus_bleu_native(ref, hypo)
+    if bleus is None:
+        bleus = corpus_bleu(ref, hypo)
+    cider_score = cider_native(ref, hypo)
+    if cider_score is None:
+        cider_score = cider(ref, hypo)
     return {
         "Bleu_1": bleus[0],
         "Bleu_2": bleus[1],
@@ -75,7 +84,7 @@ def score(ref: Dict[int, List[str]], hypo: Dict[int, List[str]]) -> Dict[str, fl
         "Bleu_4": bleus[3],
         "METEOR": meteor(ref, hypo),
         "ROUGE_L": rouge_l(ref, hypo),
-        "CIDEr": cider(ref, hypo),
+        "CIDEr": cider_score,
     }
 
 

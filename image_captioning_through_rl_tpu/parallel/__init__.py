@@ -17,7 +17,7 @@ vocab are the axes that exist. Multi-host runs gate host I/O on
 ``jax.process_index() == 0``.
 """
 
-from .mesh import make_mesh, local_device_count
+from .mesh import is_main_process, local_device_count, make_mesh
 from .sharding import (
     a2c_param_spec,
     policy_param_spec,
@@ -31,6 +31,7 @@ from .sharding import (
 __all__ = [
     "make_mesh",
     "local_device_count",
+    "is_main_process",
     "replicate",
     "shard_batch",
     "shard_params",

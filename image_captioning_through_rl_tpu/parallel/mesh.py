@@ -13,6 +13,13 @@ def local_device_count() -> int:
     return jax.local_device_count()
 
 
+def is_main_process() -> bool:
+    """True on the host that should perform file I/O (checkpoint writes,
+    caption dumps, metric logs). Multi-host SPMD runs one process per
+    host; only process 0 touches the filesystem."""
+    return jax.process_index() == 0
+
+
 def make_mesh(
     shape: Optional[Tuple[int, ...]] = None,
     axis_names: Sequence[str] = ("data",),

@@ -42,6 +42,7 @@ from ..models import policy as policy_mod
 from ..models import reward as reward_mod
 from ..models import value as value_mod
 from ..utils.io import append_results, global_minibatch_number
+from ..parallel.mesh import is_main_process
 from ..utils.logging import make_metrics_writer, print_green
 from . import checkpoint as ckpt
 from . import steps
@@ -80,7 +81,7 @@ def train_reward_network(
 ):
     """VSE-loss training of the reward network (trainers.py:260-309)."""
     cfg = _cfg_for(train_data, bidirectional)
-    writer = make_metrics_writer(plot_dir)
+    writer = make_metrics_writer(plot_dir if is_main_process() else None)
     rng = np.random.default_rng(seed)
     params = reward_mod.init(jax.random.PRNGKey(seed), cfg, train_data.embeddings)
     tx = adam(lr, params, cfg.freeze_embeddings)
@@ -101,7 +102,8 @@ def train_reward_network(
             loss = float(loss)
             if loss < best_loss:
                 best_loss = loss
-                ckpt.save_pytree(prev, network_paths["reward_network"])  # Q12
+                if is_main_process():
+                    ckpt.save_pytree(prev, network_paths["reward_network"])  # Q12
                 bar.set_description_str(
                     f"Training Reward Network ({epoch + 1}/{epochs}): Best Loss {best_loss}")
             writer.add_scalar("Reward Network-loss", loss,
@@ -122,7 +124,7 @@ def train_policy_network(
 ):
     """Teacher-forced XE pretraining of the policy (trainers.py:202-257)."""
     cfg = _cfg_for(train_data, bidirectional)
-    writer = make_metrics_writer(plot_dir)
+    writer = make_metrics_writer(plot_dir if is_main_process() else None)
     rng = np.random.default_rng(seed + 1)
     params = policy_mod.init(jax.random.PRNGKey(seed + 1), cfg, train_data.embeddings)
     tx = adam(lr, params, cfg.freeze_embeddings)
@@ -143,7 +145,8 @@ def train_policy_network(
             loss = float(loss)
             if loss < best_loss:
                 best_loss = loss
-                ckpt.save_pytree(prev, network_paths["policy_network"])  # Q12
+                if is_main_process():
+                    ckpt.save_pytree(prev, network_paths["policy_network"])  # Q12
                 bar.set_description_str(
                     f"Training Policy Network ({epoch + 1}/{epochs}): Best Loss {best_loss}")
             writer.add_scalar("Policy Network-loss", loss,
@@ -166,7 +169,7 @@ def train_value_network(
     """MSE training of the critic against embedding rewards of greedy
     rollouts from the frozen policy (trainers.py:125-199)."""
     cfg = _cfg_for(train_data, bidirectional)
-    writer = make_metrics_writer(plot_dir)
+    writer = make_metrics_writer(plot_dir if is_main_process() else None)
     rng = np.random.default_rng(seed + 2)
     py_rng = pyrandom.Random(seed + 2)
 
@@ -195,7 +198,8 @@ def train_value_network(
             loss = float(loss)
             if loss < best_loss:
                 best_loss = loss
-                ckpt.save_pytree(prev, network_paths["value_network"])  # Q12
+                if is_main_process():
+                    ckpt.save_pytree(prev, network_paths["value_network"])  # Q12
                 bar.set_description_str(
                     f"Training Value Network ({epoch + 1}/{epochs}): Best Loss {best_loss}")
             writer.add_scalar("Value Network-loss", loss,
@@ -279,7 +283,8 @@ def train_a2c_network(
             compat_batch_as_time=compat_batch_as_time,
         )
 
-    append_results(save_paths["results_path"], describe_params("AdvantageActorCriticNetwork", a2c_params), header="network")
+    if is_main_process():
+        append_results(save_paths["results_path"], describe_params("AdvantageActorCriticNetwork", a2c_params), header="network")
     return a2c_params, rparams, cfg
 
 
@@ -298,7 +303,7 @@ def a2c_training(
     compat_batch_as_time: bool = False,
 ):
     """Core A2C loop (trainers.py:402-500)."""
-    writer = make_metrics_writer(plot_dir)
+    writer = make_metrics_writer(plot_dir if is_main_process() else None)
     rng = np.random.default_rng(seed + 3)
     key = jax.random.PRNGKey(seed + 3)
     step = steps.make_a2c_step(cfg, tx, per_step_mean=False, compat=compat_batch_as_time)
@@ -325,7 +330,8 @@ def a2c_training(
             writer.add_scalar("A2C Network-episodic-loss", loss, n)
             writer.add_scalar("A2C Network-episodic-mean-rewards", float(stats.mean_reward), n)
             writer.add_scalar("A2C Network-episodic-mean-advantage", float(stats.mean_advantage), n)
-        ckpt.save_to_paths(a2c_params, save_paths)  # every epoch (trainers.py:498)
+        if is_main_process():
+            ckpt.save_to_paths(a2c_params, save_paths)  # every epoch (trainers.py:498)
     writer.close()
     return a2c_params
 
@@ -348,7 +354,7 @@ def a2c_curriculum_training(
     """Curriculum A2C (trainers.py:503-616): per level, teacher-force the
     ground-truth prefix of length ``caplen - level`` and roll out the
     final ``level`` tokens."""
-    writer = make_metrics_writer(plot_dir)
+    writer = make_metrics_writer(plot_dir if is_main_process() else None)
     rng = np.random.default_rng(seed + 4)
     key = jax.random.PRNGKey(seed + 4)
     step = steps.make_a2c_step(cfg, tx, per_step_mean=True, compat=compat_batch_as_time)
@@ -382,7 +388,8 @@ def a2c_curriculum_training(
                 writer.add_scalar(f"A2C Curriculum Level-{level}-loss", loss, n)
                 writer.add_scalar(f"A2C Curriculum Level-{level}-mean-rewards", float(stats.mean_reward), n)
                 writer.add_scalar(f"A2C Curriculum Level-{level}-mean-advantage", float(stats.mean_advantage), n)
-            ckpt.save_to_paths(a2c_params, save_paths)
+            if is_main_process():
+                ckpt.save_to_paths(a2c_params, save_paths)
     writer.close()
     return a2c_params
 

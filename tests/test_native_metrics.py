@@ -1,0 +1,58 @@
+"""Native C++ metric kernels: equality with the pure-Python scorers."""
+
+import numpy as np
+import pytest
+
+from image_captioning_through_rl_tpu.metrics import cider, corpus_bleu
+from image_captioning_through_rl_tpu.metrics.native import cider_native, corpus_bleu_native
+from image_captioning_through_rl_tpu.native import native_available
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="C++ toolchain unavailable"
+)
+
+
+def _random_corpus(rng, n=50, vocab=40, multi_ref=False):
+    words = [f"w{i}" for i in range(vocab)]
+
+    def sent():
+        ln = rng.integers(3, 15)
+        return " ".join(words[i] for i in rng.integers(0, vocab, ln))
+
+    refs = {i: [sent() for _ in range(rng.integers(1, 4) if multi_ref else 1)] for i in range(n)}
+    hypos = {i: [sent()] for i in range(n)}
+    return refs, hypos
+
+
+def test_native_bleu_equals_python():
+    rng = np.random.default_rng(0)
+    refs, hypos = _random_corpus(rng)
+    np.testing.assert_allclose(
+        corpus_bleu_native(refs, hypos), corpus_bleu(refs, hypos), rtol=1e-12
+    )
+
+
+def test_native_bleu_multi_reference():
+    rng = np.random.default_rng(1)
+    refs, hypos = _random_corpus(rng, multi_ref=True)
+    np.testing.assert_allclose(
+        corpus_bleu_native(refs, hypos), corpus_bleu(refs, hypos), rtol=1e-12
+    )
+
+
+def test_native_cider_equals_python():
+    rng = np.random.default_rng(2)
+    refs, hypos = _random_corpus(rng)
+    np.testing.assert_allclose(cider_native(refs, hypos), cider(refs, hypos), rtol=1e-12)
+
+
+def test_native_cider_multi_reference():
+    rng = np.random.default_rng(3)
+    refs, hypos = _random_corpus(rng, multi_ref=True)
+    np.testing.assert_allclose(cider_native(refs, hypos), cider(refs, hypos), rtol=1e-12)
+
+
+def test_native_identical_sentences_score_one():
+    refs = {0: ["a b c d e"], 1: ["f g h i j"]}
+    b = corpus_bleu_native(refs, refs)
+    np.testing.assert_allclose(b, [1.0] * 4, atol=1e-6)

@@ -1,0 +1,113 @@
+"""High-level user API: train / caption / evaluate.
+
+The one-stop surface for users coming from the reference: build or load
+a model, caption images, score captions — without touching the lower
+layers. (The reference exposes this only through its CLI pipeline,
+image_captioner.py:93-151.)
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import START_ID
+from .config import DecodeConfig, NetConfig
+from .data.coco import CocoData, decode_captions
+from .decode import (
+    beam_search,
+    beam_search_full_prefix,
+    fused_greedy_decode,
+    greedy_decode,
+    greedy_decode_full_prefix,
+)
+
+
+class Captioner:
+    """Caption images with a trained policy (+ optional value) network.
+
+    >>> cap = Captioner(a2c_params, cfg, data.idx_to_word)
+    >>> cap.caption(features)                 # greedy, O(T)
+    >>> cap.caption(features, beam_size=5)    # value-guided beam search
+    """
+
+    def __init__(self, params: dict, cfg: NetConfig, idx_to_word: dict):
+        if "policy" in params:  # a2c pytree
+            self._policy = params["policy"]
+            self._value = params.get("value")
+        else:
+            self._policy = params
+            self._value = None
+        self._cfg = cfg
+        self._idx_to_word = idx_to_word
+        self._jitted = {}
+
+    def caption_tokens(
+        self,
+        features: jax.Array,
+        beam_size: int = 0,
+        use_fused_kernel: bool = False,
+        faithful_beam: bool = False,
+    ) -> np.ndarray:
+        """Token ids ``[N, T]`` for a feature batch."""
+        cfg = self._cfg
+        features = jnp.asarray(features, jnp.float32)
+        start = jnp.full((features.shape[0],), START_ID, jnp.int32)
+        if beam_size > 0:
+            if self._value is None:
+                raise ValueError("beam search needs a value network (pass a2c params)")
+            dcfg = DecodeConfig(
+                beam_size=beam_size, max_seq_len=cfg.max_seq_len,
+                per_sample_beams=not faithful_beam,
+            )
+            fn = self._get(("beam", beam_size, faithful_beam), lambda: jax.jit(
+                lambda f, s: (beam_search_full_prefix if cfg.bidirectional else beam_search)(
+                    self._policy, self._value, cfg, dcfg, f, s
+                )
+            ))
+            toks, _ = fn(features, start)
+            return np.asarray(toks[:, 0])
+        if use_fused_kernel and not cfg.bidirectional:
+            return np.asarray(
+                fused_greedy_decode(self._policy, features, start, max_len=cfg.max_seq_len)
+            )
+        fn = self._get("greedy", lambda: jax.jit(
+            lambda f, s: (greedy_decode_full_prefix if cfg.bidirectional else greedy_decode)(
+                self._policy, cfg, f, s
+            )
+        ))
+        return np.asarray(fn(features, start))
+
+    def caption(self, features, **kw) -> List[str]:
+        """Caption strings for a feature batch."""
+        return decode_captions(self.caption_tokens(features, **kw), self._idx_to_word)
+
+    def _get(self, key, make):
+        if key not in self._jitted:
+            self._jitted[key] = make()
+        return self._jitted[key]
+
+
+def evaluate_captions(real: List[str], generated: List[str]) -> dict:
+    """Score caption pairs (BLEU 1-4, METEOR, ROUGE-L, CIDEr)."""
+    from .metrics import score
+
+    refs = {i: [r.strip()] for i, r in enumerate(real)}
+    hypos = {i: [g.strip()] for i, g in enumerate(generated)}
+    return score(refs, hypos)
+
+
+def load_captioner(
+    model_path: str,
+    data: CocoData,
+    network_paths: dict,
+    bidirectional: bool = False,
+) -> Captioner:
+    """Build a :class:`Captioner` from checkpoints on disk (native or .pt)."""
+    from .train.loops import load_a2c_models
+
+    params, cfg = load_a2c_models(model_path, data, network_paths, bidirectional)
+    return Captioner(params, cfg, data.idx_to_word)

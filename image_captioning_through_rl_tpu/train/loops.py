@@ -306,7 +306,7 @@ def a2c_training(
     writer = make_metrics_writer(plot_dir if is_main_process() else None)
     rng = np.random.default_rng(seed + 3)
     key = jax.random.PRNGKey(seed + 3)
-    step = steps.make_a2c_step(cfg, tx, per_step_mean=False, compat=compat_batch_as_time)
+    step = steps.make_a2c_step(cfg, tx, per_step_mean=False, compat=compat_batch_as_time, donate=True)
 
     print_green("[Training] Training Advantage Actor-Critic Network")
     best_loss = float("inf")
@@ -357,7 +357,7 @@ def a2c_curriculum_training(
     writer = make_metrics_writer(plot_dir if is_main_process() else None)
     rng = np.random.default_rng(seed + 4)
     key = jax.random.PRNGKey(seed + 4)
-    step = steps.make_a2c_step(cfg, tx, per_step_mean=True, compat=compat_batch_as_time)
+    step = steps.make_a2c_step(cfg, tx, per_step_mean=True, compat=compat_batch_as_time, donate=True)
 
     print_green("[Training] Training Advantage Actor-Critic Network")
     print_green(f"[Training] mode set to curriculum training using levels: {list(curriculum)}")

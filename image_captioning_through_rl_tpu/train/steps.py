@@ -21,6 +21,7 @@ dynamic indices, so each function compiles exactly once.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Tuple
 
 import jax
@@ -475,19 +476,23 @@ def make_a2c_step(
     tx: optax.GradientTransformation,
     per_step_mean: bool = False,
     compat: bool = False,
+    donate: bool = False,
 ):
     """Builder for the jitted A2C update (plain or curriculum).
 
     Unidirectional models use the carried-state scan rollout;
     bidirectional models dispatch to the full-prefix variant; ``compat``
     selects the reference-exact batch-as-time rollout (quirk Q1).
+    ``donate`` donates the params/opt-state buffers so Adam updates in
+    place (training loops set it; keep it off when the caller reuses the
+    input pytrees after the call).
     """
     if compat:
         rollout = a2c_rollout_loss_compat
     else:
         rollout = a2c_rollout_loss_full if cfg.bidirectional else a2c_rollout_loss
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1) if donate else ())
     def step(a2c_params, opt_state, reward_params, features, captions, curr_seq_len, rng):
         caplen = jnp.max(batch_caption_lens(captions))
         (loss, stats), grads = jax.value_and_grad(rollout, has_aux=True)(

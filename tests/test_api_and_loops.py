@@ -1,0 +1,79 @@
+"""High-level API + trainer-driver semantics (Q12 checkpoint cadence)."""
+
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from image_captioning_through_rl_tpu.api import Captioner, evaluate_captions
+from image_captioning_through_rl_tpu.config import NetConfig
+from image_captioning_through_rl_tpu.data import load_data, make_synthetic_coco
+from image_captioning_through_rl_tpu.models import a2c, policy
+from image_captioning_through_rl_tpu.train import checkpoint as ckpt
+from image_captioning_through_rl_tpu.train.loops import train_policy_network
+
+from torch_oracles import rand_features
+
+CFG = NetConfig(vocab_size=31, input_dim=12, wordvec_dim=14, hidden_dim=16, max_seq_len=8)
+
+
+def test_captioner_greedy_and_beam(rng_np):
+    params = a2c.init(jax.random.PRNGKey(0), CFG)
+    idx_to_word = {i: (["<NULL>", "<START>", "<END>", "<UNK>"] + [f"w{j}" for j in range(27)])[i]
+                   for i in range(31)}
+    cap = Captioner(params, CFG, idx_to_word)
+    feats = rand_features(rng_np, 4, CFG.input_dim)
+    greedy = cap.caption(feats)
+    assert len(greedy) == 4 and all(isinstance(s, str) for s in greedy)
+    beam = cap.caption(feats, beam_size=3)
+    assert len(beam) == 4
+    toks = cap.caption_tokens(feats)
+    assert toks.shape == (4, CFG.max_seq_len)
+    assert np.all(toks[:, 0] == 1)
+
+
+def test_captioner_policy_only_rejects_beam(rng_np):
+    pparams = policy.init(jax.random.PRNGKey(1), CFG)
+    cap = Captioner(pparams, CFG, {i: "w" for i in range(31)})
+    feats = rand_features(rng_np, 2, CFG.input_dim)
+    try:
+        cap.caption(feats, beam_size=3)
+        assert False
+    except ValueError:
+        pass
+
+
+def test_evaluate_captions_keys():
+    s = evaluate_captions(["a man rides a horse"], ["a man rides a horse"])
+    assert s["Bleu_1"] > 0.99
+    assert set(s) >= {"Bleu_4", "ROUGE_L", "CIDEr", "METEOR"}
+
+
+def test_best_loss_checkpoint_saves_pre_update_weights(tmp_path, monkeypatch):
+    """Q12: the saved checkpoint holds the weights ENTERING the best
+    minibatch, i.e. loading it and re-running that minibatch reproduces
+    the best loss exactly."""
+    coco = make_synthetic_coco(str(tmp_path / "coco"), num_train_images=8,
+                               num_val_images=4, vocab_size=30, feature_dim=16, seed=5)
+    data = load_data(coco)
+
+    import image_captioning_through_rl_tpu.train.loops as loops
+    from image_captioning_through_rl_tpu.config import NetConfig as NC
+
+    monkeypatch.setattr(
+        loops, "_cfg_for",
+        lambda d, b: NC.for_vocab(d.word_to_idx, d.embeddings, bidirectional=b,
+                                  input_dim=16, wordvec_dim=8, hidden_dim=8),
+    )
+    paths = {"policy_network": str(tmp_path / "policyNetwork.ckpt")}
+    params = train_policy_network(data, paths, None, False, epochs=2, batch_size=8, seed=3)
+    assert os.path.exists(paths["policy_network"])
+    # saved params differ from final params (pre-update of best minibatch)
+    saved = ckpt.load_pytree(params, paths["policy_network"])
+    diff = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(saved), jax.tree.leaves(params))
+    )
+    assert diff

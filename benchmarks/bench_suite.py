@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Full benchmark suite: every hot path at production (COCO) scale.
+
+Measures steady-state device time (host-readback sync, upload warmup —
+see CLAUDE.md for the environment's timing gotchas) and writes
+benchmarks/BENCHMARKS.md. The headline metric for the driver stays in
+../bench.py; this suite is the engineering record.
+
+Run: python benchmarks/bench_suite.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from image_captioning_through_rl_tpu.config import DecodeConfig, NetConfig  # noqa: E402
+from image_captioning_through_rl_tpu.decode import beam_search, fused_greedy_decode, greedy_decode  # noqa: E402
+from image_captioning_through_rl_tpu.models import a2c, policy, reward, value  # noqa: E402
+from image_captioning_through_rl_tpu.train import optim, steps  # noqa: E402
+
+VOCAB, FEAT, HID, T = 1004, 512, 512, 17
+
+
+def timed(fn, n_items, iters, warmup=8):
+    for _ in range(warmup):
+        out = fn()
+    np.asarray(jax.tree.leaves(out)[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    np.asarray(jax.tree.leaves(out)[0])
+    dt = time.perf_counter() - t0
+    return dt / iters * 1e3, n_items * iters / dt  # (ms/step, items/s)
+
+
+def main(quick: bool = False) -> None:
+    cfg = NetConfig(vocab_size=VOCAB, input_dim=FEAT, wordvec_dim=HID, hidden_dim=HID)
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+    iters = 5 if quick else 20
+
+    def batch(n):
+        feats = jnp.asarray(rng.standard_normal((n, FEAT), dtype=np.float32))
+        caps = rng.integers(4, VOCAB, (n, T)).astype(np.int32)
+        caps[:, 0] = 1
+        caps[:, 12] = 2
+        caps[:, 13:] = 0
+        return feats, jnp.asarray(caps)
+
+    rows = []
+
+    def record(name, n, ms, rate, unit):
+        rows.append((name, n, ms, rate, unit))
+        print(f"{name:<42} N={n:<6} {ms:8.2f} ms/step  {rate:>12,.0f} {unit}")
+
+    pparams = policy.init(jax.random.PRNGKey(1), cfg)
+    vparams = value.init(jax.random.PRNGKey(2), cfg)
+    rparams = reward.init(jax.random.PRNGKey(3), cfg)
+    a2c_params = {"policy": pparams, "value": vparams}
+
+    # --- decode ---
+    for n in ((1024,) if quick else (1024, 8192)):
+        feats, caps = batch(n)
+        start = caps[:, 0]
+        g = jax.jit(lambda f, s: greedy_decode(pparams, cfg, f, s))
+        ms, rate = timed(lambda: g(feats, start), n, iters)
+        record("greedy decode (XLA scan)", n, ms, rate, "captions/s")
+        ms, rate = timed(lambda: fused_greedy_decode(pparams, feats, start), n, iters)
+        record("greedy decode (fused Pallas, bf16)", n, ms, rate, "captions/s")
+
+    n = 127  # the eval slice width (quirk Q9)
+    feats, caps = batch(n)
+    dcfg = DecodeConfig(max_seq_len=T)
+    bs = jax.jit(lambda f, s: beam_search(pparams, vparams, cfg, dcfg, f, s))
+    ms, rate = timed(lambda: bs(feats, caps[:, 0]), n, iters)
+    record("beam-5 value-guided decode", n, ms, rate, "captions/s")
+
+    # --- training steps ---
+    n = 512  # reference batch ("episodes", image_captioner.py:164)
+    feats, caps = batch(n)
+
+    tx = optim.adam(1e-3)
+    pstep = steps.make_policy_step(cfg, tx)
+    popt = tx.init(pparams)
+    ms, rate = timed(lambda: pstep(pparams, popt, feats, caps), n, iters)
+    record("policy XE step", n, ms, rate, "captions/s")
+
+    rstep = steps.make_reward_step(cfg, tx)
+    ropt = tx.init(rparams)
+    ms, rate = timed(lambda: rstep(rparams, ropt, feats, caps), n, iters)
+    record("reward VSE step", n, ms, rate, "pairs/s")
+
+    vstep = steps.make_value_step(cfg, tx)
+    vopt = tx.init(vparams)
+    ms, rate = timed(
+        lambda: vstep(vparams, vopt, pparams, rparams, feats, caps, 9), n, iters
+    )
+    record("value MSE step (incl greedy rollout)", n, ms, rate, "episodes/s")
+
+    astep = steps.make_a2c_step(cfg, tx)
+    aopt = tx.init(a2c_params)
+    ms, rate = timed(
+        lambda: astep(a2c_params, aopt, rparams, feats, caps, jnp.int32(1), key),
+        n, iters,
+    )
+    record("A2C step (16-step rollout + BPTT)", n, ms, rate, "episodes/s")
+
+    # write the record
+    out = os.path.join(os.path.dirname(__file__), "BENCHMARKS.md")
+    with open(out, "w") as f:
+        f.write("# Benchmarks\n\n")
+        f.write(f"Device: {jax.devices()[0].device_kind}; COCO-bundle shapes "
+                f"(vocab {VOCAB}, hidden {HID}, T {T}); float32 activations.\n"
+                "Timing: steady-state, host-readback sync (see CLAUDE.md).\n\n")
+        f.write("| Path | batch | ms/step | rate |\n|---|---|---|---|\n")
+        for name, n, ms, rate, unit in rows:
+            f.write(f"| {name} | {n} | {ms:.2f} | {rate:,.0f} {unit} |\n")
+    print(f"\nwrote {out}")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    main(ap.parse_args().quick)

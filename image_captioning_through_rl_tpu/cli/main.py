@@ -130,6 +130,7 @@ def main(args):
             curriculum=curriculum,
             seed=args.seed,
             compat_batch_as_time=args.compat_batch_as_time,
+            resume=args.resume,
         )
         print_green("[Info] A2C Network trained")
 
@@ -194,6 +195,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="Use the reference's batch-mean shared-beam decoding (quirk Q2)")
     p.add_argument("--compat_batch_as_time", action="store_true", default=False,
                    help="Reference-exact batch-as-time value/reward encoders (quirk Q1)")
+    p.add_argument("--resume", action="store_true", default=False,
+                   help="Resume A2C training from the last per-epoch checkpoint")
     return p
 
 

@@ -3,6 +3,12 @@
 Every model is a pair of pure functions ``init(rng, cfg) -> params`` and
 ``forward(params, cfg, ...) -> outputs`` over plain pytrees — no module
 state, so everything composes with ``jit``/``grad``/``vmap``/``shard_map``.
+
+The reference's ``repackage_hidden`` (models.py:20-30, detaching hidden
+states from autograd history) has no equivalent here by construction:
+recurrent state is an explicit value threaded through pure functions, so
+nothing ever carries gradient history across steps unless a trainer
+deliberately keeps it inside one jitted loss.
 """
 
 from . import a2c, policy, reward, value

@@ -226,9 +226,15 @@ def train_a2c_network(
     curriculum: Optional[Sequence[int]] = None,
     seed: int = 0,
     compat_batch_as_time: bool = False,
+    resume: bool = False,
 ):
     """Orchestrator (trainers.py:312-399): train or load the three
-    sub-networks, freeze the reward net, then run (curriculum) A2C."""
+    sub-networks, freeze the reward net, then run (curriculum) A2C.
+
+    ``resume=True`` additionally restores the joint A2C checkpoint from
+    ``network_paths['a2c_network']`` when one exists (the loop saves it
+    every epoch), so an interrupted run continues from its last
+    completed epoch's weights instead of the pretrained sub-networks."""
     cfg = _cfg_for(train_data, bidirectional)
 
     if retrain_all:
@@ -259,6 +265,15 @@ def train_a2c_network(
             vparams = train_value_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed)
 
     a2c_params = {"value": vparams, "policy": pparams}
+    if resume:
+        try:
+            a2c_params = ckpt.load_network(
+                "a2c", network_paths["a2c_network"], template=a2c_params,
+                bidirectional=bidirectional,
+            )
+            print_green("[Training] resumed A2C weights from checkpoint")
+        except FileNotFoundError:
+            print("[Training] no A2C checkpoint to resume; starting fresh")
     tx = adam(1e-4, a2c_params, cfg.freeze_embeddings)  # trainers.py:378
     opt_state = tx.init(a2c_params)
 

@@ -1,0 +1,41 @@
+"""PCA projection for visual features.
+
+The CS231n bundle ships both raw 4096-d fc7 features and a 512-d PCA
+variant (``*_vgg16_fc7_pca.h5``, reference utilities.py:61-64). This
+module reproduces that reduction: fit on a feature table (on-device SVD)
+and apply as a single matmul — so a user can regenerate the compact
+features from raw images via :mod:`..models.vgg`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class PCAProjection:
+    mean: jax.Array  # [D]
+    components: jax.Array  # [D, k]
+
+    def apply(self, feats: jax.Array) -> jax.Array:
+        return (feats - self.mean) @ self.components
+
+    def save(self, path: str) -> None:
+        np.savez(path, mean=np.asarray(self.mean), components=np.asarray(self.components))
+
+    @staticmethod
+    def load(path: str) -> "PCAProjection":
+        z = np.load(path)
+        return PCAProjection(jnp.asarray(z["mean"]), jnp.asarray(z["components"]))
+
+
+def fit_pca(features: jax.Array, k: int = 512) -> PCAProjection:
+    """Principal components of a feature table ``[N, D] -> [D, k]``."""
+    x = jnp.asarray(features, jnp.float32)
+    mean = jnp.mean(x, axis=0)
+    _, _, vt = jnp.linalg.svd(x - mean, full_matrices=False)
+    return PCAProjection(mean=mean, components=vt[:k].T)

@@ -11,16 +11,24 @@ nothing ever carries gradient history across steps unless a trainer
 deliberately keeps it inside one jitted loss.
 """
 
-from . import a2c, policy, reward, value
-from .convert import policy_from_torch, reward_from_torch, value_from_torch, a2c_from_torch
+from . import a2c, policy, reward, value, vgg
+from .convert import (
+    a2c_from_torch,
+    policy_from_torch,
+    reward_from_torch,
+    value_from_torch,
+    vgg_from_torch,
+)
 
 __all__ = [
     "a2c",
     "policy",
     "reward",
     "value",
+    "vgg",
     "policy_from_torch",
     "value_from_torch",
     "reward_from_torch",
     "a2c_from_torch",
+    "vgg_from_torch",
 ]

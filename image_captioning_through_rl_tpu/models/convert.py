@@ -133,6 +133,30 @@ def reward_from_torch(sd: Mapping[str, np.ndarray], bidirectional: bool = False)
     return params
 
 
+_VGG16_CONV_IDXS = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
+
+
+@_as_device_pytree
+def vgg_from_torch(sd: Mapping[str, np.ndarray]) -> dict:
+    """Convert a torchvision-layout VGG16 state dict to our pytree.
+
+    torchvision keys: ``features.{i}.weight`` (OIHW) for the 13 convs at
+    the Sequential indices above, ``classifier.{0,3}.*`` for fc6/fc7
+    (fc8 ``classifier.6`` is dropped — only features are extracted).
+    Conv kernels transpose OIHW -> HWIO for NHWC convolution.
+    """
+    params = {}
+    for conv_id, i in enumerate(_VGG16_CONV_IDXS):
+        w = _np(sd[f"features.{i}.weight"])  # [O, I, H, W]
+        params[f"conv{conv_id}"] = {
+            "w": np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0))),
+            "b": _np(sd[f"features.{i}.bias"]),
+        }
+    params["fc6"] = _linear(sd, "classifier.0")
+    params["fc7"] = _linear(sd, "classifier.3")
+    return params
+
+
 @_as_device_pytree
 def a2c_from_torch(sd: Mapping[str, np.ndarray], bidirectional: bool = False) -> dict:
     """Convert the joint A2C checkpoint (key prefixes ``value_network.* /

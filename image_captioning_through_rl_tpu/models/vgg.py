@@ -1,0 +1,134 @@
+"""VGG16 visual encoder: raw images -> fc7 features.
+
+The reference consumes *precomputed* VGG16 fc7 features from the
+CS231n COCO bundle ({train,val}2014_vgg16_fc7[_pca].h5 —
+utilities.py:61-73) and contains no CNN. A standalone framework must be
+able to produce those features itself, so this module implements the
+VGG16 architecture (Simonyan & Zisserman 2014: conv3x3 stacks
+64-64 / 128-128 / 256x3 / 512x3 / 512x3 with 2x2 maxpool, then
+fc6(4096) -> fc7(4096)) in JAX, with:
+
+  * :func:`preprocess` — XLA-compiled resize + ImageNet normalization,
+    fusing the input path into the same jit as the conv stack;
+  * :func:`features_fc7` — the 4096-d fc7 activations (post-ReLU, the
+    convention of the CS231n extraction);
+  * :func:`init` for training from scratch and
+    :func:`~.convert.vgg_from_torch` for torchvision-layout ``.pt``
+    weights (pretrained weights are an input artifact, like the
+    reference's .h5 files — this environment has no network egress to
+    fetch them).
+
+Layout is NHWC (TPU-native); torchvision weights (OIHW) are transposed
+on conversion. Pair with :mod:`..data.pca` to reproduce the bundle's
+512-d PCA features.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+
+from ..config import NetConfig  # noqa: F401  (doc cross-reference)
+from ..ops.linalg import dense
+from .initializers import linear_init
+
+# channels per conv block; "M" = 2x2 maxpool (VGG configuration D)
+_CFG: List = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+              512, 512, 512, "M", 512, 512, 512, "M"]
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def init(rng: jax.Array, dtype=jnp.float32) -> dict:
+    """Kaiming-uniform init of the conv stack + fc6/fc7 (fc8 omitted:
+    only features are needed)."""
+    params: Dict[str, dict] = {}
+    keys = jax.random.split(rng, len([c for c in _CFG if c != "M"]) + 2)
+    k = 0
+    in_ch = 3
+    conv_id = 0
+    for c in _CFG:
+        if c == "M":
+            continue
+        fan_in = 3 * 3 * in_ch
+        lin = linear_init(keys[k], fan_in, c, dtype)
+        params[f"conv{conv_id}"] = {
+            "w": lin["w"].reshape(3, 3, in_ch, c),  # HWIO
+            "b": lin["b"],
+        }
+        in_ch = c
+        conv_id += 1
+        k += 1
+    params["fc6"] = linear_init(keys[k], 512 * 7 * 7, 4096, dtype)
+    params["fc7"] = linear_init(keys[k + 1], 4096, 4096, dtype)
+    return params
+
+
+def preprocess(images: jax.Array, size: int = 224) -> jax.Array:
+    """uint8/float RGB ``[N, H, W, 3]`` -> normalized ``[N, 224, 224, 3]``.
+
+    Bilinear resize + ImageNet mean/std normalization, all inside XLA so
+    it fuses with the conv stack under one jit.
+    """
+    x = images.astype(jnp.float32)
+    if images.dtype == jnp.uint8:
+        x = x / 255.0
+    n = x.shape[0]
+    x = jax.image.resize(x, (n, size, size, 3), method="bilinear")
+    mean = jnp.asarray(IMAGENET_MEAN, x.dtype)
+    std = jnp.asarray(IMAGENET_STD, x.dtype)
+    return (x - mean) / std
+
+
+def _conv_stack(params: dict, x: jax.Array, precision=None) -> jax.Array:
+    conv_id = 0
+    for c in _CFG:
+        if c == "M":
+            x = jax.lax.reduce_window(
+                x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+            )
+            continue
+        p = params[f"conv{conv_id}"]
+        x = jax.lax.conv_general_dilated(
+            x, p["w"], window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=precision,
+        ) + p["b"]
+        x = jax.nn.relu(x)
+        conv_id += 1
+    return x  # [N, 7, 7, 512]
+
+
+def features_fc7(params: dict, images: jax.Array, precision=None,
+                 preprocessed: bool = False) -> jax.Array:
+    """fc7 features ``[N, 4096]`` from raw or preprocessed images."""
+    x = images if preprocessed else preprocess(images)
+    x = _conv_stack(params, x, precision=precision)
+    # torch flattens NCHW; match that element order so converted
+    # torchvision fc6 weights line up: NHWC -> NCHW -> flat
+    x = jnp.transpose(x, (0, 3, 1, 2)).reshape(x.shape[0], -1)
+    x = jax.nn.relu(dense(x, params["fc6"], precision=precision))
+    x = jax.nn.relu(dense(x, params["fc7"], precision=precision))
+    return x
+
+
+def extract_features(params: dict, images, batch_size: int = 64,
+                     projection=None) -> jax.Array:
+    """Batched jitted feature extraction over a large image array.
+
+    ``projection`` (optional ``[4096, k]`` PCA matrix + mean from
+    :mod:`..data.pca`) maps fc7 to the bundle's compact features.
+    """
+    import numpy as np
+
+    fn = jax.jit(lambda im: features_fc7(params, im))
+    outs = []
+    for i in range(0, images.shape[0], batch_size):
+        feats = fn(jnp.asarray(images[i : i + batch_size]))
+        if projection is not None:
+            feats = projection.apply(feats)
+        outs.append(np.asarray(feats))
+    return np.concatenate(outs, axis=0)

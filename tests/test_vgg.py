@@ -1,0 +1,101 @@
+"""VGG16 visual encoder: parity vs a hand-built torch VGG16, PCA."""
+
+import numpy as np
+import torch
+import torch.nn as nn
+
+import jax
+import jax.numpy as jnp
+
+from image_captioning_through_rl_tpu.data.pca import PCAProjection, fit_pca
+from image_captioning_through_rl_tpu.models import vgg, vgg_from_torch
+
+
+def _torch_vgg16():
+    """torchvision-architecture VGG16 (features + classifier through fc7)."""
+    cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+           512, 512, 512, "M", 512, 512, 512, "M"]
+    layers, in_ch = [], 3
+    for c in cfg:
+        if c == "M":
+            layers.append(nn.MaxPool2d(2, 2))
+        else:
+            layers += [nn.Conv2d(in_ch, c, 3, padding=1), nn.ReLU(inplace=True)]
+            in_ch = c
+    features = nn.Sequential(*layers)
+    classifier = nn.Sequential(
+        nn.Linear(512 * 7 * 7, 4096), nn.ReLU(True), nn.Dropout(),
+        nn.Linear(4096, 4096), nn.ReLU(True), nn.Dropout(),
+        nn.Linear(4096, 10),
+    )
+
+    class V(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.features = features
+            self.classifier = classifier
+
+        def fc7(self, x):
+            x = self.features(x)
+            x = torch.flatten(x, 1)
+            x = torch.relu(self.classifier[0](x))
+            return torch.relu(self.classifier[3](x))
+
+    return V()
+
+
+def test_fc7_matches_torch(rng_np):
+    torch.manual_seed(0)
+    oracle = _torch_vgg16().eval()
+    sd = {k: v.numpy() for k, v in oracle.state_dict().items()}
+    params = vgg_from_torch(sd)
+
+    imgs = rng_np.standard_normal((2, 224, 224, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = oracle.fc7(torch.from_numpy(imgs.transpose(0, 3, 1, 2))).numpy()
+    got = vgg.features_fc7(params, jnp.asarray(imgs), precision="highest", preprocessed=True)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-3, atol=1e-3)
+
+
+def test_preprocess_resizes_and_normalizes(rng_np):
+    imgs = (rng_np.random((2, 300, 400, 3)) * 255).astype(np.uint8)
+    out = vgg.preprocess(jnp.asarray(imgs))
+    assert out.shape == (2, 224, 224, 3)
+    # a mid-gray image maps near (0.5 - mean) / std
+    gray = jnp.full((1, 50, 50, 3), 0.5, jnp.float32)  # floats are [0, 1]
+    norm = vgg.preprocess(gray)
+    expect = (0.5 - np.array(vgg.IMAGENET_MEAN)) / np.array(vgg.IMAGENET_STD)
+    np.testing.assert_allclose(np.asarray(norm[0, 0, 0]), expect, rtol=1e-2)
+
+
+def test_init_and_forward_shapes():
+    params = vgg.init(jax.random.PRNGKey(0))
+    imgs = jnp.zeros((1, 64, 64, 3), jnp.float32)  # preprocess resizes to 224
+    out = vgg.features_fc7(params, imgs)
+    assert out.shape == (1, 4096)
+
+
+def test_pca_recovers_low_rank_structure(rng_np, tmp_path):
+    basis = rng_np.standard_normal((5, 64)).astype(np.float32)
+    coeff = rng_np.standard_normal((200, 5)).astype(np.float32)
+    x = coeff @ basis + 0.7
+    proj = fit_pca(jnp.asarray(x), k=5)
+    z = proj.apply(jnp.asarray(x))
+    assert z.shape == (200, 5)
+    # 5 components capture a rank-5 dataset: reconstruction is near-exact
+    recon = np.asarray(z) @ np.asarray(proj.components).T + np.asarray(proj.mean)
+    np.testing.assert_allclose(recon, x, rtol=1e-3, atol=1e-3)
+    # round-trip through disk
+    proj.save(str(tmp_path / "pca.npz"))
+    proj2 = PCAProjection.load(str(tmp_path / "pca.npz"))
+    np.testing.assert_allclose(np.asarray(proj2.apply(jnp.asarray(x))), np.asarray(z), rtol=1e-5)
+
+
+def test_extract_features_with_projection(rng_np):
+    params = vgg.init(jax.random.PRNGKey(1))
+    imgs = rng_np.standard_normal((5, 32, 32, 3)).astype(np.float32)
+    raw = vgg.extract_features(params, imgs, batch_size=2)
+    assert raw.shape == (5, 4096)
+    proj = fit_pca(jnp.asarray(raw), k=4)
+    compact = vgg.extract_features(params, imgs, batch_size=2, projection=proj)
+    assert compact.shape == (5, 4)

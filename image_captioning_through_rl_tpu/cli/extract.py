@@ -1,0 +1,117 @@
+"""Feature-extraction CLI: raw images -> VGG16 fc7 (.h5) feature tables.
+
+Produces the exact artifacts the data loader consumes
+(``{split}2014_vgg16_fc7[_pca].h5`` with a ``features`` dataset —
+reference utilities.py:61-73), closing the loop the reference leaves to
+an external extraction script:
+
+    python -m image_captioning_through_rl_tpu.cli.extract \
+        --images_dir /path/to/val2014 --split val --out_dir datasets/coco_captioning \
+        --weights vgg16.pt --pca_components 512
+
+``--weights`` accepts a torchvision-layout VGG16 ``.pt`` state dict (or
+a native ``.ckpt``); omit it for randomly initialized weights (useful
+only for pipeline testing). Images are read with PIL in filename order;
+an explicit ``--file_list`` pins the order to match a ``*_urls.txt``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import List
+
+import numpy as np
+
+
+def list_images(images_dir: str, file_list: str | None) -> List[str]:
+    if file_list:
+        with open(file_list) as f:
+            names = [line.strip() for line in f if line.strip()]
+        return [os.path.join(images_dir, n) for n in names]
+    exts = (".jpg", ".jpeg", ".png", ".bmp")
+    return sorted(
+        os.path.join(images_dir, n)
+        for n in os.listdir(images_dir)
+        if n.lower().endswith(exts)
+    )
+
+
+def load_image_batch(paths: List[str], size: int = 256) -> np.ndarray:
+    """Decode + coarse-resize on host; final resize/normalize is fused
+    on-device (models/vgg.preprocess)."""
+    from PIL import Image
+
+    out = np.zeros((len(paths), size, size, 3), np.uint8)
+    for i, p in enumerate(paths):
+        with Image.open(p) as im:
+            out[i] = np.asarray(im.convert("RGB").resize((size, size)), np.uint8)
+    return out
+
+
+def main(argv=None) -> None:
+    import jax
+
+    from ..data.pca import PCAProjection, fit_pca
+    from ..models import vgg, vgg_from_torch
+    from ..utils.logging import print_green
+
+    ap = argparse.ArgumentParser(description="Extract VGG16 fc7 features")
+    ap.add_argument("--images_dir", required=True)
+    ap.add_argument("--split", default="val", choices=["train", "val"])
+    ap.add_argument("--out_dir", default=os.path.join("datasets", "coco_captioning"))
+    ap.add_argument("--weights", default="", help="VGG16 weights (.pt torchvision layout or .ckpt)")
+    ap.add_argument("--file_list", default="", help="newline list of filenames fixing image order")
+    ap.add_argument("--batch_size", type=int, default=64)
+    ap.add_argument("--pca_components", type=int, default=0,
+                    help="also write the _pca variant with this many components")
+    ap.add_argument("--pca_from", default="", help="reuse a fitted projection (.npz)")
+    args = ap.parse_args(argv)
+
+    if args.weights.endswith(".pt"):
+        from ..models.convert import load_torch_state_dict
+
+        params = vgg_from_torch(load_torch_state_dict(args.weights))
+        print_green(f"[Extract] loaded VGG16 weights from {args.weights}")
+    elif args.weights:
+        from ..train.checkpoint import load_pytree
+
+        params = load_pytree(vgg.init(jax.random.PRNGKey(0)), args.weights)
+        print_green(f"[Extract] loaded VGG16 weights from {args.weights}")
+    else:
+        params = vgg.init(jax.random.PRNGKey(0))
+        print_green("[Extract] WARNING: random VGG16 weights (pipeline testing only)")
+
+    paths = list_images(args.images_dir, args.file_list or None)
+    print_green(f"[Extract] {len(paths)} images from {args.images_dir}")
+
+    import h5py
+    from tqdm import tqdm
+
+    fn = jax.jit(lambda im: vgg.features_fc7(params, im))
+    feats = np.zeros((len(paths), 4096), np.float32)
+    for i in tqdm(range(0, len(paths), args.batch_size), desc="Extracting"):
+        batch = load_image_batch(paths[i : i + args.batch_size])
+        feats[i : i + batch.shape[0]] = np.asarray(fn(batch))
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    raw_path = os.path.join(args.out_dir, f"{args.split}2014_vgg16_fc7.h5")
+    with h5py.File(raw_path, "w") as f:
+        f["features"] = feats
+    print_green(f"[Extract] wrote {raw_path}")
+
+    if args.pca_components or args.pca_from:
+        if args.pca_from:
+            proj = PCAProjection.load(args.pca_from)
+        else:
+            proj = fit_pca(feats, k=args.pca_components)
+            proj.save(os.path.join(args.out_dir, "vgg16_fc7_pca.npz"))
+        compact = np.asarray(proj.apply(feats))
+        pca_path = os.path.join(args.out_dir, f"{args.split}2014_vgg16_fc7_pca.h5")
+        with h5py.File(pca_path, "w") as f:
+            f["features"] = compact
+        print_green(f"[Extract] wrote {pca_path}")
+
+
+if __name__ == "__main__":
+    main()

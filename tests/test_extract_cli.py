@@ -1,0 +1,50 @@
+"""Feature-extraction CLI: images -> h5 tables the loader consumes."""
+
+import os
+
+import h5py
+import numpy as np
+import pytest
+from PIL import Image
+
+from image_captioning_through_rl_tpu.cli.extract import main as extract_main
+
+
+@pytest.fixture
+def images_dir(tmp_path):
+    d = tmp_path / "val2014"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(5):
+        arr = (rng.random((40, 60, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(d / f"img_{i:03d}.jpg")
+    return str(d)
+
+
+def test_extract_writes_loader_compatible_h5(images_dir, tmp_path):
+    out = str(tmp_path / "bundle")
+    extract_main([
+        "--images_dir", images_dir, "--split", "val", "--out_dir", out,
+        "--batch_size", "2", "--pca_components", "4",
+    ])
+    with h5py.File(os.path.join(out, "val2014_vgg16_fc7.h5")) as f:
+        feats = np.asarray(f["features"])
+    assert feats.shape == (5, 4096)
+    assert np.isfinite(feats).all()
+    with h5py.File(os.path.join(out, "val2014_vgg16_fc7_pca.h5")) as f:
+        compact = np.asarray(f["features"])
+    assert compact.shape == (5, 4)
+    assert os.path.exists(os.path.join(out, "vgg16_fc7_pca.npz"))
+
+
+def test_extract_respects_file_list(images_dir, tmp_path):
+    order = ["img_003.jpg", "img_000.jpg"]
+    fl = tmp_path / "list.txt"
+    fl.write_text("\n".join(order) + "\n")
+    out = str(tmp_path / "bundle2")
+    extract_main([
+        "--images_dir", images_dir, "--split", "val", "--out_dir", out,
+        "--file_list", str(fl), "--batch_size", "2",
+    ])
+    with h5py.File(os.path.join(out, "val2014_vgg16_fc7.h5")) as f:
+        assert np.asarray(f["features"]).shape == (2, 4096)

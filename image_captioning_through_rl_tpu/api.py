@@ -8,7 +8,7 @@ image_captioner.py:93-151.)
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp

@@ -27,7 +27,7 @@ from ..train.loops import (
     test_a2c_network,
     train_a2c_network,
 )
-from ..utils.io import append_results, get_filename
+from ..utils.io import get_filename
 from ..utils.logging import print_green
 
 BASE_DIR = os.path.join("datasets", "coco_captioning")

@@ -17,7 +17,7 @@ import os
 
 import numpy as np
 
-from .. import END_ID, MAX_SEQ_LEN, NULL_ID, START_ID, UNK_ID
+from .. import END_ID, MAX_SEQ_LEN, NULL_ID, START_ID
 
 _SPECIALS = ["<NULL>", "<START>", "<END>", "<UNK>"]
 

@@ -30,7 +30,6 @@ from typing import Dict, List
 import jax
 import jax.numpy as jnp
 
-from ..config import NetConfig  # noqa: F401  (doc cross-reference)
 from ..ops.linalg import dense
 from .initializers import linear_init
 

@@ -31,8 +31,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..config import NetConfig
-
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m

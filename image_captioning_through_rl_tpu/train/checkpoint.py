@@ -22,7 +22,6 @@ import jax.numpy as jnp
 import numpy as np
 from flax import serialization
 
-from . import optim  # noqa: F401  (re-exported convenience)
 from ..models import (
     a2c_from_torch,
     policy_from_torch,

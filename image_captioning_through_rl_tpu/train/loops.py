@@ -37,7 +37,6 @@ from .. import MAX_SEQ_LEN
 from ..config import DecodeConfig, NetConfig
 from ..data.coco import CocoData, decode_captions, get_coco_batch, get_coco_minibatches
 from ..decode.beam import beam_search
-from ..models import a2c as a2c_mod
 from ..models import policy as policy_mod
 from ..models import reward as reward_mod
 from ..models import value as value_mod

@@ -52,6 +52,15 @@ def setup(args):
     (reference image_captioner.py:38-90)."""
     import jax
 
+    # persistent compilation cache: repeated CLI runs skip recompiles
+    if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        cache = os.path.join(
+            os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+            "icrl_tpu_jax_cache",
+        )
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+
     print_green(f"[Info] Working on: {jax.devices()}")
 
     if os.path.isdir(os.path.split(args.test_model)[0]):

@@ -40,8 +40,10 @@ def bench_jax() -> float:
     feats = jnp.asarray(rng.standard_normal((JAX_BATCH, FEAT), dtype=np.float32))
     start = jnp.ones((JAX_BATCH,), jnp.int32)
 
-    xla_fn = jax.jit(lambda f, s: greedy_decode(params, cfg, f, s))
-    fused_fn = lambda f, s: fused_greedy_decode(params, f, s, max_len=T)
+    # params as jit arguments: closures embed them as program constants
+    xla_jit = jax.jit(lambda p, f, s: greedy_decode(p, cfg, f, s))
+    xla_fn = lambda f, s: xla_jit(params, f, s)  # noqa: E731
+    fused_fn = lambda f, s: fused_greedy_decode(params, f, s, max_len=T)  # noqa: E731
 
     def rate(fn, iters=20):
         # sync via host readback: on tunneled backends block_until_ready

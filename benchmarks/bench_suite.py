@@ -72,8 +72,8 @@ def main(quick: bool = False) -> None:
     for n in ((1024,) if quick else (1024, 8192)):
         feats, caps = batch(n)
         start = caps[:, 0]
-        g = jax.jit(lambda f, s: greedy_decode(pparams, cfg, f, s))
-        ms, rate = timed(lambda: g(feats, start), n, iters)
+        g = jax.jit(lambda p, f, s: greedy_decode(p, cfg, f, s))
+        ms, rate = timed(lambda: g(pparams, feats, start), n, iters)
         record("greedy decode (XLA scan)", n, ms, rate, "captions/s")
         ms, rate = timed(lambda: fused_greedy_decode(pparams, feats, start), n, iters)
         record("greedy decode (fused Pallas, bf16)", n, ms, rate, "captions/s")
@@ -81,8 +81,8 @@ def main(quick: bool = False) -> None:
     n = 127  # the eval slice width (quirk Q9)
     feats, caps = batch(n)
     dcfg = DecodeConfig(max_seq_len=T)
-    bs = jax.jit(lambda f, s: beam_search(pparams, vparams, cfg, dcfg, f, s))
-    ms, rate = timed(lambda: bs(feats, caps[:, 0]), n, iters)
+    bs = jax.jit(lambda pp, vp, f, s: beam_search(pp, vp, cfg, dcfg, f, s))
+    ms, rate = timed(lambda: bs(pparams, vparams, feats, caps[:, 0]), n, iters)
     record("beam-5 value-guided decode", n, ms, rate, "captions/s")
 
     # --- training steps ---

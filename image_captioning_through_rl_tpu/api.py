@@ -56,6 +56,8 @@ class Captioner:
         cfg = self._cfg
         features = jnp.asarray(features, jnp.float32)
         start = jnp.full((features.shape[0],), START_ID, jnp.int32)
+        # params flow as jit ARGUMENTS (closures would embed them as
+        # program constants, bloating every compile payload)
         if beam_size > 0:
             if self._value is None:
                 raise ValueError("beam search needs a value network (pass a2c params)")
@@ -64,22 +66,22 @@ class Captioner:
                 per_sample_beams=not faithful_beam,
             )
             fn = self._get(("beam", beam_size, faithful_beam), lambda: jax.jit(
-                lambda f, s: (beam_search_full_prefix if cfg.bidirectional else beam_search)(
-                    self._policy, self._value, cfg, dcfg, f, s
-                )
+                lambda pp, vp, f, s: (
+                    beam_search_full_prefix if cfg.bidirectional else beam_search
+                )(pp, vp, cfg, dcfg, f, s)
             ))
-            toks, _ = fn(features, start)
+            toks, _ = fn(self._policy, self._value, features, start)
             return np.asarray(toks[:, 0])
         if use_fused_kernel and not cfg.bidirectional:
             return np.asarray(
                 fused_greedy_decode(self._policy, features, start, max_len=cfg.max_seq_len)
             )
         fn = self._get("greedy", lambda: jax.jit(
-            lambda f, s: (greedy_decode_full_prefix if cfg.bidirectional else greedy_decode)(
-                self._policy, cfg, f, s
-            )
+            lambda pp, f, s: (
+                greedy_decode_full_prefix if cfg.bidirectional else greedy_decode
+            )(pp, cfg, f, s)
         ))
-        return np.asarray(fn(features, start))
+        return np.asarray(fn(self._policy, features, start))
 
     def caption(self, features, **kw) -> List[str]:
         """Caption strings for a feature batch."""

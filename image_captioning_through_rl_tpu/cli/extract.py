@@ -88,11 +88,11 @@ def main(argv=None) -> None:
     import h5py
     from tqdm import tqdm
 
-    fn = jax.jit(lambda im: vgg.features_fc7(params, im))
+    fn = jax.jit(lambda p, im: vgg.features_fc7(p, im))  # params as arg, not constant
     feats = np.zeros((len(paths), 4096), np.float32)
     for i in tqdm(range(0, len(paths), args.batch_size), desc="Extracting"):
         batch = load_image_batch(paths[i : i + args.batch_size])
-        feats[i : i + batch.shape[0]] = np.asarray(fn(batch))
+        feats[i : i + batch.shape[0]] = np.asarray(fn(params, batch))
 
     os.makedirs(args.out_dir, exist_ok=True)
     raw_path = os.path.join(args.out_dir, f"{args.split}2014_vgg16_fc7.h5")

@@ -123,10 +123,12 @@ def extract_features(params: dict, images, batch_size: int = 64,
     """
     import numpy as np
 
-    fn = jax.jit(lambda im: features_fc7(params, im))
+    # params as a jit ARGUMENT: closing over them would embed them as
+    # program constants (hundreds of MB for VGG16) in the compile payload
+    fn = jax.jit(lambda p, im: features_fc7(p, im))
     outs = []
     for i in range(0, images.shape[0], batch_size):
-        feats = fn(jnp.asarray(images[i : i + batch_size]))
+        feats = fn(params, jnp.asarray(images[i : i + batch_size]))
         if projection is not None:
             feats = projection.apply(feats)
         outs.append(np.asarray(feats))

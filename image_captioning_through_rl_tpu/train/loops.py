@@ -62,9 +62,22 @@ def describe_params(name: str, params) -> str:
     return "\n".join(lines)
 
 
-def _epoch_batches(data: CocoData, batch_size: int, rng: np.random.Generator):
+def _epoch_batches(data: CocoData, batch_size: int, rng: np.random.Generator, tables=None):
+    """Epoch iterator; with HBM-resident ``tables`` only the index vector
+    crosses the host boundary per step (data/device.py)."""
     total = math.ceil(data.train_captions.shape[0] / batch_size)
+    if tables is not None:
+        gen = ((caps, feats, None) for caps, feats in tables.minibatches(batch_size, rng=rng))
+        return gen, total
     return get_coco_minibatches(data, batch_size=batch_size, split="train", rng=rng), total
+
+
+def _device_tables(data: CocoData, device_data: bool):
+    if not device_data:
+        return None
+    from ..data.device import DeviceCocoTables
+
+    return DeviceCocoTables(data, split="train")
 
 
 def train_reward_network(
@@ -77,6 +90,7 @@ def train_reward_network(
     lr: float = 1e-4,
     seed: int = 0,
     compat_batch_as_time: bool = False,
+    device_data: bool = True,
 ):
     """VSE-loss training of the reward network (trainers.py:260-309)."""
     cfg = _cfg_for(train_data, bidirectional)
@@ -86,11 +100,12 @@ def train_reward_network(
     tx = adam(lr, params, cfg.freeze_embeddings)
     opt_state = tx.init(params)
     step = steps.make_reward_step(cfg, tx, compat=compat_batch_as_time)
+    tables = _device_tables(train_data, device_data)
 
     best_loss = float("inf")
     print_green("[Training] Training Reward Network")
     for epoch in range(epochs):
-        batches, total = _epoch_batches(train_data, batch_size, rng)
+        batches, total = _epoch_batches(train_data, batch_size, rng, tables)
         bar = tqdm(batches, total=total,
                    desc=f"Training Reward Network ({epoch + 1}/{epochs}): Best Loss {best_loss}")
         for minibatch_id, (captions, features, _) in enumerate(bar):
@@ -120,6 +135,7 @@ def train_policy_network(
     batch_size: int = 512,
     lr: float = 1e-3,
     seed: int = 0,
+    device_data: bool = True,
 ):
     """Teacher-forced XE pretraining of the policy (trainers.py:202-257)."""
     cfg = _cfg_for(train_data, bidirectional)
@@ -129,11 +145,12 @@ def train_policy_network(
     tx = adam(lr, params, cfg.freeze_embeddings)
     opt_state = tx.init(params)
     step = steps.make_policy_step(cfg, tx)
+    tables = _device_tables(train_data, device_data)
 
     best_loss = float("inf")
     print_green("[Training] Training Policy Network")
     for epoch in range(epochs):
-        batches, total = _epoch_batches(train_data, batch_size, rng)
+        batches, total = _epoch_batches(train_data, batch_size, rng, tables)
         bar = tqdm(batches, total=total,
                    desc=f"Training Policy Network ({epoch + 1}/{epochs}): Best Loss {best_loss}")
         for minibatch_id, (captions, features, _) in enumerate(bar):
@@ -164,6 +181,7 @@ def train_value_network(
     lr: float = 1e-3,
     seed: int = 0,
     compat_batch_as_time: bool = False,
+    device_data: bool = True,
 ):
     """MSE training of the critic against embedding rewards of greedy
     rollouts from the frozen policy (trainers.py:125-199)."""
@@ -179,11 +197,12 @@ def train_value_network(
     tx = adam(lr, params, cfg.freeze_embeddings)
     opt_state = tx.init(params)
     step = steps.make_value_step(cfg, tx, compat=compat_batch_as_time)
+    tables = _device_tables(train_data, device_data)
 
     best_loss = float("inf")
     print_green("[Training] Training Value Network")
     for epoch in range(epochs):
-        batches, total = _epoch_batches(train_data, batch_size, rng)
+        batches, total = _epoch_batches(train_data, batch_size, rng, tables)
         bar = tqdm(batches, total=total,
                    desc=f"Training Value Network ({epoch + 1}/{epochs}): Best Loss {best_loss}")
         for minibatch_id, (captions, features, _) in enumerate(bar):
@@ -315,17 +334,19 @@ def a2c_training(
     epochs: int,
     seed: int = 0,
     compat_batch_as_time: bool = False,
+    device_data: bool = True,
 ):
     """Core A2C loop (trainers.py:402-500)."""
     writer = make_metrics_writer(plot_dir if is_main_process() else None)
     rng = np.random.default_rng(seed + 3)
     key = jax.random.PRNGKey(seed + 3)
     step = steps.make_a2c_step(cfg, tx, per_step_mean=False, compat=compat_batch_as_time, donate=True)
+    tables = _device_tables(train_data, device_data)
 
     print_green("[Training] Training Advantage Actor-Critic Network")
     best_loss = float("inf")
     for epoch in range(epochs):
-        batches, total = _epoch_batches(train_data, batch_size, rng)
+        batches, total = _epoch_batches(train_data, batch_size, rng, tables)
         bar = tqdm(batches, total=total,
                    desc=f"Training A2C Network ({epoch + 1}/{epochs}): Best Loss {best_loss}")
         for minibatch_id, (captions, features, _) in enumerate(bar):
@@ -364,6 +385,7 @@ def a2c_curriculum_training(
     curriculum: Sequence[int],
     seed: int = 0,
     compat_batch_as_time: bool = False,
+    device_data: bool = True,
 ):
     """Curriculum A2C (trainers.py:503-616): per level, teacher-force the
     ground-truth prefix of length ``caplen - level`` and roll out the
@@ -372,6 +394,7 @@ def a2c_curriculum_training(
     rng = np.random.default_rng(seed + 4)
     key = jax.random.PRNGKey(seed + 4)
     step = steps.make_a2c_step(cfg, tx, per_step_mean=True, compat=compat_batch_as_time, donate=True)
+    tables = _device_tables(train_data, device_data)
 
     print_green("[Training] Training Advantage Actor-Critic Network")
     print_green(f"[Training] mode set to curriculum training using levels: {list(curriculum)}")
@@ -379,7 +402,7 @@ def a2c_curriculum_training(
         print_green(f"[Training] Training curriculum level: {level}")
         best_loss = float("inf")
         for epoch in range(epochs):
-            batches, total = _epoch_batches(train_data, batch_size, rng)
+            batches, total = _epoch_batches(train_data, batch_size, rng, tables)
             bar = tqdm(batches, total=total,
                        desc=f"Training A2C Curriculum Level {level} ({epoch}/{epochs}): Best Loss: {best_loss}")
             for minibatch_id, (captions, features, _) in enumerate(bar):
@@ -435,10 +458,10 @@ def test_a2c_network(
         from ..decode.beam_full import beam_search_full_prefix as beam_fn
     else:
         beam_fn = beam_search
-    decode = jax.jit(
-        lambda f, s: beam_fn(
-            a2c_params["policy"], a2c_params["value"], cfg, dcfg, f, s
-        )
+    # params as jit arguments (closures embed them as program constants)
+    decode_jit = jax.jit(lambda pp, vp, f, s: beam_fn(pp, vp, cfg, dcfg, f, s))
+    decode = lambda f, s: decode_jit(  # noqa: E731
+        a2c_params["policy"], a2c_params["value"], f, s
     )
 
     width = validation_batch_size - 1  # Q9: 127-wide slices per 128 stride

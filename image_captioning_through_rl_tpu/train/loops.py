@@ -80,6 +80,33 @@ def _device_tables(data: CocoData, device_data: bool):
     return DeviceCocoTables(data, split="train")
 
 
+
+class _DeferredBookkeeper:
+    """One-step-deferred scalar bookkeeping.
+
+    The reference reads the loss after every minibatch (best-loss
+    tracking, trainers.py:182 etc.); a synchronous read costs a full
+    host round trip per step. Deferring the read by one step lets the
+    host resolve step i's scalars while step i+1 executes on device —
+    identical artifacts (same losses compared, same pre-update weights
+    saved), round trip hidden behind compute.
+    """
+
+    def __init__(self, resolve_fn):
+        self._resolve = resolve_fn
+        self._pending = None
+
+    def push(self, *payload):
+        if self._pending is not None:
+            self._resolve(*self._pending)
+        self._pending = payload
+
+    def flush(self):
+        if self._pending is not None:
+            self._resolve(*self._pending)
+            self._pending = None
+
+
 def train_reward_network(
     train_data: CocoData,
     network_paths: Dict[str, str],
@@ -102,26 +129,33 @@ def train_reward_network(
     step = steps.make_reward_step(cfg, tx, compat=compat_batch_as_time)
     tables = _device_tables(train_data, device_data)
 
-    best_loss = float("inf")
+    state = {"best": float("inf"), "bar": None, "epoch": 0}
+
+    def resolve(prev, loss_dev, epoch, minibatch_id):
+        loss = float(loss_dev)
+        if loss < state["best"]:
+            state["best"] = loss
+            if is_main_process():
+                ckpt.save_pytree(prev, network_paths["reward_network"])  # Q12
+            state["bar"].set_description_str(
+                f"Training Reward Network ({epoch + 1}/{epochs}): Best Loss {loss}")
+        writer.add_scalar("Reward Network-loss", loss,
+                          global_minibatch_number(epoch, minibatch_id, batch_size))
+
+    keeper = _DeferredBookkeeper(resolve)
     print_green("[Training] Training Reward Network")
     for epoch in range(epochs):
         batches, total = _epoch_batches(train_data, batch_size, rng, tables)
         bar = tqdm(batches, total=total,
-                   desc=f"Training Reward Network ({epoch + 1}/{epochs}): Best Loss {best_loss}")
+                   desc=f"Training Reward Network ({epoch + 1}/{epochs}): Best Loss {state['best']}")
+        state["bar"] = bar
         for minibatch_id, (captions, features, _) in enumerate(bar):
             prev = params
             params, opt_state, loss = step(
                 params, opt_state, jnp.asarray(features), jnp.asarray(captions)
             )
-            loss = float(loss)
-            if loss < best_loss:
-                best_loss = loss
-                if is_main_process():
-                    ckpt.save_pytree(prev, network_paths["reward_network"])  # Q12
-                bar.set_description_str(
-                    f"Training Reward Network ({epoch + 1}/{epochs}): Best Loss {best_loss}")
-            writer.add_scalar("Reward Network-loss", loss,
-                              global_minibatch_number(epoch, minibatch_id, batch_size))
+            keeper.push(prev, loss, epoch, minibatch_id)
+        keeper.flush()
     writer.close()
     return params
 
@@ -147,26 +181,33 @@ def train_policy_network(
     step = steps.make_policy_step(cfg, tx)
     tables = _device_tables(train_data, device_data)
 
-    best_loss = float("inf")
+    state = {"best": float("inf"), "bar": None}
+
+    def resolve(prev, loss_dev, epoch, minibatch_id):
+        loss = float(loss_dev)
+        if loss < state["best"]:
+            state["best"] = loss
+            if is_main_process():
+                ckpt.save_pytree(prev, network_paths["policy_network"])  # Q12
+            state["bar"].set_description_str(
+                f"Training Policy Network ({epoch + 1}/{epochs}): Best Loss {loss}")
+        writer.add_scalar("Policy Network-loss", loss,
+                          global_minibatch_number(epoch, minibatch_id, batch_size))
+
+    keeper = _DeferredBookkeeper(resolve)
     print_green("[Training] Training Policy Network")
     for epoch in range(epochs):
         batches, total = _epoch_batches(train_data, batch_size, rng, tables)
         bar = tqdm(batches, total=total,
-                   desc=f"Training Policy Network ({epoch + 1}/{epochs}): Best Loss {best_loss}")
+                   desc=f"Training Policy Network ({epoch + 1}/{epochs}): Best Loss {state['best']}")
+        state["bar"] = bar
         for minibatch_id, (captions, features, _) in enumerate(bar):
             prev = params
             params, opt_state, loss = step(
                 params, opt_state, jnp.asarray(features), jnp.asarray(captions)
             )
-            loss = float(loss)
-            if loss < best_loss:
-                best_loss = loss
-                if is_main_process():
-                    ckpt.save_pytree(prev, network_paths["policy_network"])  # Q12
-                bar.set_description_str(
-                    f"Training Policy Network ({epoch + 1}/{epochs}): Best Loss {best_loss}")
-            writer.add_scalar("Policy Network-loss", loss,
-                              global_minibatch_number(epoch, minibatch_id, batch_size))
+            keeper.push(prev, loss, epoch, minibatch_id)
+        keeper.flush()
     writer.close()
     return params
 
@@ -199,12 +240,26 @@ def train_value_network(
     step = steps.make_value_step(cfg, tx, compat=compat_batch_as_time)
     tables = _device_tables(train_data, device_data)
 
-    best_loss = float("inf")
+    state = {"best": float("inf"), "bar": None}
+
+    def resolve(prev, loss_dev, epoch, minibatch_id):
+        loss = float(loss_dev)
+        if loss < state["best"]:
+            state["best"] = loss
+            if is_main_process():
+                ckpt.save_pytree(prev, network_paths["value_network"])  # Q12
+            state["bar"].set_description_str(
+                f"Training Value Network ({epoch + 1}/{epochs}): Best Loss {loss}")
+        writer.add_scalar("Value Network-loss", loss,
+                          global_minibatch_number(epoch, minibatch_id, batch_size))
+
+    keeper = _DeferredBookkeeper(resolve)
     print_green("[Training] Training Value Network")
     for epoch in range(epochs):
         batches, total = _epoch_batches(train_data, batch_size, rng, tables)
         bar = tqdm(batches, total=total,
-                   desc=f"Training Value Network ({epoch + 1}/{epochs}): Best Loss {best_loss}")
+                   desc=f"Training Value Network ({epoch + 1}/{epochs}): Best Loss {state['best']}")
+        state["bar"] = bar
         for minibatch_id, (captions, features, _) in enumerate(bar):
             # random prefix length, shared by the batch (trainers.py:177)
             prefix_len = py_rng.randint(1, MAX_SEQ_LEN)
@@ -213,15 +268,8 @@ def train_value_network(
                 params, opt_state, pparams, rparams,
                 jnp.asarray(features), jnp.asarray(captions), prefix_len,
             )
-            loss = float(loss)
-            if loss < best_loss:
-                best_loss = loss
-                if is_main_process():
-                    ckpt.save_pytree(prev, network_paths["value_network"])  # Q12
-                bar.set_description_str(
-                    f"Training Value Network ({epoch + 1}/{epochs}): Best Loss {best_loss}")
-            writer.add_scalar("Value Network-loss", loss,
-                              global_minibatch_number(epoch, minibatch_id, batch_size))
+            keeper.push(prev, loss, epoch, minibatch_id)
+        keeper.flush()
     writer.close()
     return params
 
@@ -335,36 +383,92 @@ def a2c_training(
     seed: int = 0,
     compat_batch_as_time: bool = False,
     device_data: bool = True,
+    chunk_steps: int = 8,
 ):
-    """Core A2C loop (trainers.py:402-500)."""
+    """Core A2C loop (trainers.py:402-500).
+
+    ``chunk_steps > 1`` drives that many minibatch updates per host
+    dispatch (one jitted scan — steps.make_a2c_chunk_step). Plain A2C
+    only checkpoints per epoch, so chunking changes no artifacts; the
+    per-minibatch TB scalars still come back one per step.
+    """
     writer = make_metrics_writer(plot_dir if is_main_process() else None)
     rng = np.random.default_rng(seed + 3)
     key = jax.random.PRNGKey(seed + 3)
     step = steps.make_a2c_step(cfg, tx, per_step_mean=False, compat=compat_batch_as_time, donate=True)
     tables = _device_tables(train_data, device_data)
+    use_chunks = chunk_steps > 1 and not compat_batch_as_time and tables is not None
+    if use_chunks:
+        chunk_fn = steps.make_a2c_chunk_step(cfg, tx, per_step_mean=False)
 
+    state = {"best": float("inf"), "bar": None}
+
+    def resolve(stats, epoch, minibatch_id):
+        loss = float(stats.loss)
+        if loss < state["best"]:
+            state["best"] = loss
+            state["bar"].set_description_str(
+                f"Training A2C Network ({epoch + 1}/{epochs}): Best Loss {loss}")
+        n = global_minibatch_number(epoch, minibatch_id, batch_size)
+        writer.add_scalar("A2C Network-episodic-loss", loss, n)
+        writer.add_scalar("A2C Network-episodic-mean-rewards", float(stats.mean_reward), n)
+        writer.add_scalar("A2C Network-episodic-mean-advantage", float(stats.mean_advantage), n)
+
+    keeper = _DeferredBookkeeper(resolve)
     print_green("[Training] Training Advantage Actor-Critic Network")
-    best_loss = float("inf")
     for epoch in range(epochs):
-        batches, total = _epoch_batches(train_data, batch_size, rng, tables)
-        bar = tqdm(batches, total=total,
-                   desc=f"Training A2C Network ({epoch + 1}/{epochs}): Best Loss {best_loss}")
-        for minibatch_id, (captions, features, _) in enumerate(bar):
-            key, sub = jax.random.split(key)
-            a2c_params, opt_state, stats = step(
-                a2c_params, opt_state, reward_params,
-                jnp.asarray(features), jnp.asarray(captions),
-                jnp.int32(1), sub,  # curr_seq_len=1: rollout from <START>
-            )
-            loss = float(stats.loss)
-            if loss < best_loss:
-                best_loss = loss
-                bar.set_description_str(
-                    f"Training A2C Network ({epoch + 1}/{epochs}): Best Loss {best_loss}")
-            n = global_minibatch_number(epoch, minibatch_id, batch_size)
-            writer.add_scalar("A2C Network-episodic-loss", loss, n)
-            writer.add_scalar("A2C Network-episodic-mean-rewards", float(stats.mean_reward), n)
-            writer.add_scalar("A2C Network-episodic-mean-advantage", float(stats.mean_advantage), n)
+        if use_chunks:
+            num = tables.num_captions
+            perm = rng.permutation(num)
+            total = math.ceil(num / batch_size)
+            bar = tqdm(total=total,
+                       desc=f"Training A2C Network ({epoch + 1}/{epochs}): Best Loss {state['best']}")
+            state["bar"] = bar
+            i = 0
+            minibatch_id = 0
+            while i < num:
+                k = min(chunk_steps, (num - i) // batch_size)
+                key, sub = jax.random.split(key)
+                if k >= 1:
+                    caps_b, feats_b = tables.gather(perm[i : i + k * batch_size])
+                    a2c_params, opt_state, stats = chunk_fn(
+                        a2c_params, opt_state, reward_params,
+                        feats_b.reshape(k, batch_size, -1),
+                        caps_b.reshape(k, batch_size, -1),
+                        jnp.int32(1), sub,
+                    )
+                    host_stats = jax.device_get(stats)
+                    for j in range(k):
+                        resolve(jax.tree.map(lambda x, j=j: x[j], host_stats),
+                                epoch, minibatch_id)
+                        minibatch_id += 1
+                    i += k * batch_size
+                    bar.update(k)
+                else:  # ragged tail: one single-step call
+                    caps_b, feats_b = tables.gather(perm[i:])
+                    a2c_params, opt_state, stats = step(
+                        a2c_params, opt_state, reward_params,
+                        feats_b, caps_b, jnp.int32(1), sub,
+                    )
+                    resolve(stats, epoch, minibatch_id)
+                    minibatch_id += 1
+                    i = num
+                    bar.update(1)
+            bar.close()
+        else:
+            batches, total = _epoch_batches(train_data, batch_size, rng, tables)
+            bar = tqdm(batches, total=total,
+                       desc=f"Training A2C Network ({epoch + 1}/{epochs}): Best Loss {state['best']}")
+            state["bar"] = bar
+            for minibatch_id, (captions, features, _) in enumerate(bar):
+                key, sub = jax.random.split(key)
+                a2c_params, opt_state, stats = step(
+                    a2c_params, opt_state, reward_params,
+                    jnp.asarray(features), jnp.asarray(captions),
+                    jnp.int32(1), sub,  # curr_seq_len=1: rollout from <START>
+                )
+                keeper.push(stats, epoch, minibatch_id)
+            keeper.flush()
         if is_main_process():
             ckpt.save_to_paths(a2c_params, save_paths)  # every epoch (trainers.py:498)
     writer.close()
@@ -400,11 +504,25 @@ def a2c_curriculum_training(
     print_green(f"[Training] mode set to curriculum training using levels: {list(curriculum)}")
     for level in curriculum:
         print_green(f"[Training] Training curriculum level: {level}")
-        best_loss = float("inf")
+        state = {"best": float("inf"), "bar": None}
+
+        def resolve(stats, epoch, minibatch_id, level=level, state=state):
+            loss = float(stats.loss)
+            if loss < state["best"]:
+                state["best"] = loss
+                state["bar"].set_description_str(
+                    f"Training A2C Curriculum Level {level} ({epoch}/{epochs}): Best Loss: {loss}")
+            n = global_minibatch_number(epoch, minibatch_id, batch_size)
+            writer.add_scalar(f"A2C Curriculum Level-{level}-loss", loss, n)
+            writer.add_scalar(f"A2C Curriculum Level-{level}-mean-rewards", float(stats.mean_reward), n)
+            writer.add_scalar(f"A2C Curriculum Level-{level}-mean-advantage", float(stats.mean_advantage), n)
+
+        keeper = _DeferredBookkeeper(resolve)
         for epoch in range(epochs):
             batches, total = _epoch_batches(train_data, batch_size, rng, tables)
             bar = tqdm(batches, total=total,
-                       desc=f"Training A2C Curriculum Level {level} ({epoch}/{epochs}): Best Loss: {best_loss}")
+                       desc=f"Training A2C Curriculum Level {level} ({epoch}/{epochs}): Best Loss: {state['best']}")
+            state["bar"] = bar
             for minibatch_id, (captions, features, _) in enumerate(bar):
                 caplen = int(np.max(np.argmax(captions == 2, axis=1)) + 1)
                 curr_seq_len = caplen - level
@@ -416,15 +534,8 @@ def a2c_curriculum_training(
                     jnp.asarray(features), jnp.asarray(captions),
                     jnp.int32(curr_seq_len), sub,
                 )
-                loss = float(stats.loss)
-                if loss < best_loss:
-                    best_loss = loss
-                    bar.set_description_str(
-                        f"Training A2C Curriculum Level {level} ({epoch}/{epochs}): Best Loss: {best_loss}")
-                n = global_minibatch_number(epoch, minibatch_id, batch_size)
-                writer.add_scalar(f"A2C Curriculum Level-{level}-loss", loss, n)
-                writer.add_scalar(f"A2C Curriculum Level-{level}-mean-rewards", float(stats.mean_reward), n)
-                writer.add_scalar(f"A2C Curriculum Level-{level}-mean-advantage", float(stats.mean_advantage), n)
+                keeper.push(stats, epoch, minibatch_id)
+            keeper.flush()
             if is_main_process():
                 ckpt.save_to_paths(a2c_params, save_paths)
     writer.close()

@@ -99,6 +99,46 @@ def make_policy_step(cfg: NetConfig, tx: optax.GradientTransformation):
 # Value network (MSE vs embedding reward of greedy rollouts)
 # --------------------------------------------------------------------------
 
+def make_a2c_chunk_step(
+    cfg: NetConfig,
+    tx: optax.GradientTransformation,
+    per_step_mean: bool = False,
+):
+    """Chunked A2C update: ``k`` minibatch steps inside one jitted scan.
+
+    One host dispatch drives k optimizer steps; per-minibatch stats come
+    back stacked, so logging artifacts are identical to k single steps —
+    only host dispatch overhead is amortized. (Plain A2C has no
+    per-minibatch checkpointing, so chunking changes no artifacts;
+    best-loss-checkpointed trainers keep single-step loops.)
+    """
+    rollout = a2c_rollout_loss_full if cfg.bidirectional else a2c_rollout_loss
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def chunk(a2c_params, opt_state, reward_params, features, captions, curr_seq_len, rng):
+        # features: [k, N, F], captions: [k, N, T]
+        k = features.shape[0]
+        keys = jax.random.split(rng, k)
+
+        def body(carry, inp):
+            params, opt_state = carry
+            feats_b, caps_b, key = inp
+            caplen = jnp.max(batch_caption_lens(caps_b))
+            (loss, stats), grads = jax.value_and_grad(rollout, has_aux=True)(
+                params, cfg, reward_params, feats_b, caps_b,
+                curr_seq_len, caplen, key, per_step_mean=per_step_mean,
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), stats
+
+        (a2c_params, opt_state), stats = jax.lax.scan(
+            body, (a2c_params, opt_state), (features, captions, keys)
+        )
+        return a2c_params, opt_state, stats  # stats leaves: [k]
+
+    return chunk
+
+
 def make_value_step(cfg: NetConfig, tx: optax.GradientTransformation, compat: bool = False):
     """Builder. The returned step takes the *frozen* policy and reward
     parameters as explicit arguments (they are loaded, not trained —

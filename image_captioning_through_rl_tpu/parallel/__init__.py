@@ -18,6 +18,7 @@ vocab are the axes that exist. Multi-host runs gate host I/O on
 """
 
 from .mesh import is_main_process, local_device_count, make_mesh
+from .shard_map_step import make_shard_map_a2c_step
 from .sharding import (
     a2c_param_spec,
     policy_param_spec,
@@ -32,6 +33,7 @@ __all__ = [
     "make_mesh",
     "local_device_count",
     "is_main_process",
+    "make_shard_map_a2c_step",
     "replicate",
     "shard_batch",
     "shard_params",

@@ -1,0 +1,85 @@
+"""Explicit shard_map DP step vs single-device numerics."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from image_captioning_through_rl_tpu.config import NetConfig
+from image_captioning_through_rl_tpu.models import a2c, reward
+from image_captioning_through_rl_tpu.parallel import make_mesh, replicate, shard_batch
+from image_captioning_through_rl_tpu.parallel.shard_map_step import make_shard_map_a2c_step
+from image_captioning_through_rl_tpu.train import optim, steps
+
+from torch_oracles import rand_captions, rand_features
+
+VOCAB = 32
+CFG = NetConfig(vocab_size=VOCAB, input_dim=8, wordvec_dim=8, hidden_dim=8, max_seq_len=9)
+N = 16
+
+
+def test_shard_map_step_runs_and_reduces(rng_np):
+    feats = jnp.asarray(rand_features(rng_np, N, CFG.input_dim))
+    caps = jnp.asarray(rand_captions(rng_np, N, CFG.max_seq_len, VOCAB).astype(np.int32))
+    params = a2c.init(jax.random.PRNGKey(0), CFG)
+    rparams = reward.init(jax.random.PRNGKey(1), CFG)
+    tx = optim.adam(1e-4)
+    mesh = make_mesh((8,), ("data",))
+
+    step = make_shard_map_a2c_step(CFG, tx, mesh)
+    params_r = replicate(mesh, params)
+    opt_r = replicate(mesh, tx.init(params))
+    rparams_r = replicate(mesh, rparams)
+    feats_s, caps_s = shard_batch(mesh, feats, caps)
+
+    new_params, _, stats = step(
+        params_r, opt_r, rparams_r, feats_s, caps_s, jnp.int32(1), jax.random.PRNGKey(2)
+    )
+    assert np.isfinite(float(stats.loss))
+    # params replicated and updated
+    moved = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(new_params))
+    )
+    assert moved
+
+    # two consecutive steps stay finite and keep improving structure
+    new_params2, _, stats2 = step(
+        new_params, opt_r, rparams_r, feats_s, caps_s, jnp.int32(1), jax.random.PRNGKey(3)
+    )
+    assert np.isfinite(float(stats2.loss))
+
+
+def test_shard_map_matches_auto_spmd_gradient_structure(rng_np):
+    """Both scaling paths must produce allclose updates from identical
+    inputs. (Rollout sampling keys differ by construction — shard_map
+    folds in the device index — so compare with a deterministic
+    curriculum-style window where every step is teacher-forced and
+    sampling does not affect the loss.)"""
+    feats = jnp.asarray(rand_features(rng_np, N, CFG.input_dim))
+    caps = rand_captions(rng_np, N, CFG.max_seq_len, VOCAB).astype(np.int32)
+    caps[:, 5] = 2  # uniform END -> identical caplen handling
+    caps = jnp.asarray(caps)
+    params = a2c.init(jax.random.PRNGKey(4), CFG)
+    rparams = reward.init(jax.random.PRNGKey(5), CFG)
+    tx = optim.adam(1e-4)
+    mesh = make_mesh((8,), ("data",))
+
+    # curr_seq_len = caplen: zero rollout steps valid -> loss mask empty,
+    # gradient contributions are deterministic (mask denominators clamp)
+    caplen = int(jnp.max(steps.batch_caption_lens(caps)))
+    sm_step = make_shard_map_a2c_step(CFG, tx, mesh)
+    auto_step = steps.make_a2c_step(CFG, tx)
+
+    p_sm, _, s_sm = sm_step(
+        replicate(mesh, params), replicate(mesh, tx.init(params)),
+        replicate(mesh, rparams), *shard_batch(mesh, feats, caps),
+        jnp.int32(caplen), jax.random.PRNGKey(6),
+    )
+    p_auto, _, s_auto = auto_step(
+        params, tx.init(params), rparams, feats, caps,
+        jnp.int32(caplen), jax.random.PRNGKey(6),
+    )
+    np.testing.assert_allclose(float(s_sm.loss), float(s_auto.loss), rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(p_sm), jax.tree.leaves(p_auto)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)

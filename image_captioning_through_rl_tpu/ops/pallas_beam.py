@@ -25,11 +25,13 @@ Layouts: histories are time-major ``[T, bn*B]``; per-row scalars are
 
 STATUS: experimental. Token-exact against the XLA beam
 (:func:`..decode.beam.beam_search`) under the Pallas interpreter
-(tests/test_pallas_beam.py); the Mosaic compile of the full-size kernel
-currently crashes in this environment's remote compile helper, so the
-production eval path remains the XLA beam (10.4 ms per 127-image slice,
-benchmarks/BENCHMARKS.md). Kept as the starting point for the native
-beam engine in the next round.
+(tests/test_pallas_beam.py). The Mosaic compile crashes on this
+kernel's arbitrary 3D relayouts — bisected to ``jnp.transpose`` of
+``reshape``d 3D values (e.g. ``[T, bn, B] -> [bn, B, T]``), which the
+TPU lowering does not support; the fix is a redesign that keeps every
+intermediate in a 2D ``[rows, lanes]`` layout and performs all beam
+reorderings as matmuls. Until then the production eval path remains the
+XLA beam (10.4 ms per 127-image slice, benchmarks/BENCHMARKS.md).
 """
 
 from __future__ import annotations

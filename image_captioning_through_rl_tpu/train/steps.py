@@ -270,8 +270,8 @@ def a2c_rollout_loss(
     ``caplen - 1`` steps. Curriculum training (trainers.py:503-616)
     teacher-forces the ground-truth prefix of length ``curr_seq_len =
     caplen - level`` and rolls out the final ``level`` tokens. Both are
-    the same scan over all T-1 positions with a validity mask
-    ``curr_seq_len - 1 <= p < caplen - 1``; teacher vs. sampled token
+    the same scan over all T-1 placed positions with a validity mask
+    ``curr_seq_len <= p <= caplen - 1``; teacher vs. sampled token
     selection is a ``where`` on the position.
 
     Per rollout step the reference computes V on the current prefix,

@@ -328,7 +328,7 @@ def train_a2c_network(
             print("[Training] loaded value network")
         except FileNotFoundError:
             print("[Training] value network not found")
-            vparams = train_value_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed)
+            vparams = train_value_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed, compat_batch_as_time=compat_batch_as_time)
 
     a2c_params = {"value": vparams, "policy": pparams}
     if resume:

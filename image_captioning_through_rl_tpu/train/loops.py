@@ -551,6 +551,7 @@ def test_a2c_network(
     validation_batch_size: int = 128,
     dcfg: Optional[DecodeConfig] = None,
     seed: int = 0,
+    eval_superbatch: int = 8,
 ):
     """Evaluation pass (trainers.py:619-665): value-guided beam decode of
     random val draws, dumping real/generated captions + image urls.
@@ -576,18 +577,29 @@ def test_a2c_network(
     )
 
     width = validation_batch_size - 1  # Q9: 127-wide slices per 128 stride
+    # Q9 slices of the random draw, exactly as the reference walks them
+    slices = [
+        (captions_all[i : i + width], features_all[i : i + width], urls_all[i : i + width])
+        for i in range(0, len(captions_all), validation_batch_size)
+    ]
+    slices = [s for s in slices if s[0].shape[0] > 0]
+    # Per-sample beams are independent across images, so consecutive
+    # slices can share one device call (8x fewer dispatches) without
+    # changing any output line. The faithful batch-mean mode couples the
+    # whole decode batch (Q2), so it keeps one call per slice.
+    group = eval_superbatch if dcfg.per_sample_beams else 1
+    gwidth = width * group
+
     with open(image_caption_data["real_captions_path"], "a") as real_f, \
          open(image_caption_data["generated_captions_path"], "a") as gen_f, \
          open(image_caption_data["image_urls_path"], "a") as url_f:
-        for i in tqdm(range(0, len(captions_all), validation_batch_size), desc="Testing model"):
-            captions_real = captions_all[i : i + width]
-            features_real = features_all[i : i + width]
-            urls = urls_all[i : i + width]
+        for g in tqdm(range(0, len(slices), group), desc="Testing model"):
+            batch = slices[g : g + group]
+            captions_real = np.concatenate([b[0] for b in batch], axis=0)
+            features_real = np.concatenate([b[1] for b in batch], axis=0)
             n_real = captions_real.shape[0]
-            if n_real == 0:
-                continue
-            if n_real < width:  # pad the ragged tail to the compiled width
-                pad = width - n_real
+            if n_real < gwidth:  # pad to the compiled width
+                pad = gwidth - n_real
                 features_real = np.concatenate(
                     [features_real, np.repeat(features_real[-1:], pad, axis=0)], axis=0
                 )
@@ -595,12 +607,17 @@ def test_a2c_network(
                     [captions_real, np.repeat(captions_real[-1:], pad, axis=0)], axis=0
                 )
             toks, _ = decode(jnp.asarray(features_real), jnp.asarray(captions_real[:, 0]))
-            gen = np.asarray(toks[:n_real, 0])  # most_likely = beam 0
-            gen_strs = decode_captions(gen, test_data.idx_to_word)
-            real_strs = decode_captions(np.asarray(captions_real[:n_real]), test_data.idx_to_word)
-            real_f.write("\n".join(real_strs) + "\n")
-            gen_f.write("\n".join(gen_strs) + "\n")
-            url_f.write("\n".join(urls.tolist()) + "\n")
+            gen_all = np.asarray(toks[:n_real, 0])  # most_likely = beam 0
+            # write per original slice, preserving the reference's cadence
+            off = 0
+            for caps_s, _, urls_s in batch:
+                n_s = caps_s.shape[0]
+                gen_strs = decode_captions(gen_all[off : off + n_s], test_data.idx_to_word)
+                real_strs = decode_captions(caps_s, test_data.idx_to_word)
+                real_f.write("\n".join(real_strs) + "\n")
+                gen_f.write("\n".join(gen_strs) + "\n")
+                url_f.write("\n".join(urls_s.tolist()) + "\n")
+                off += n_s
             real_f.flush(); gen_f.flush(); url_f.flush()
 
 

@@ -61,6 +61,14 @@ class Captioner:
         if beam_size > 0:
             if self._value is None:
                 raise ValueError("beam search needs a value network (pass a2c params)")
+            if use_fused_kernel and not cfg.bidirectional and not faithful_beam:
+                from .ops.pallas_beam import fused_beam_search
+
+                toks, _ = fused_beam_search(
+                    self._policy, self._value, features, start,
+                    max_len=cfg.max_seq_len, beam=beam_size, block_n=8,
+                )
+                return np.asarray(toks[:, 0])
             dcfg = DecodeConfig(
                 beam_size=beam_size, max_seq_len=cfg.max_seq_len,
                 per_sample_beams=not faithful_beam,

@@ -5,33 +5,37 @@ The eval hot loop (reference trainers.py:73-105, ~480 RNN forwards per
 cell + vocab head, top-k expansion, B^2 critic cells + scoring, and the
 beam selection/reordering all run from VMEM-resident weights.
 
-Vectorization strategy (per batch tile of ``bn`` images):
+Mosaic-friendly vectorization (per batch tile of ``bn`` images):
 
-  * candidates advance as one ``[bn*B]`` row block through the policy
-    cell; expansions as ``[bn*B*B]`` rows through the critic cell;
-  * top-k over the vocab and top-B over the B^2 candidate scores are
-    k/B rounds of (arg)max-and-mask — tiny on the VPU, and avoids
-    relying on general sorts inside Mosaic;
-  * beam reordering (states, accumulated scores, token history) is a
-    one-hot selection matmul — gathers across lanes don't vectorize,
-    but ``[bn*B, B^2] @ [bn*B^2, X]`` block-diagonal selection does.
-    Token histories ride through the f32 MXU (token ids < 2^24 are
-    exact in f32);
+  * candidate rows are ``(n, b)``-major ``[bn*B, ...]`` blocks; every
+    intermediate stays 2D/3D with ONLY leading-dim splits/merges —
+    the TPU lowering does not support general transposes/relayouts
+    (``jnp.transpose`` of reshaped 3D values crashes Mosaic; bisected
+    in this environment), so:
+      - top-k over vocab and top-B over the B^2 candidates are k rounds
+        of (max, first-argmax-by-iota, mask) — pure elementwise+reduce;
+      - the B expansions run as B separate critic cell matmuls whose
+        outputs land directly in expansion-major *columns* ``[bn*B, B]``;
+      - beam reordering (states, scores, token history) is a per-k
+        weighted sum over the parent/expansion axes of leading-split 3D
+        views — no gathers, no transposes;
+      - token histories live batch-major ``[bn*B, T]``; the per-step
+        append is a masked full-buffer select (dynamic *lane* stores
+        don't lower).
   * per-sample beams with log-softmax scoring (the framework's default
     decode mode; the faithful batch-mean mode stays on the XLA path).
 
-Layouts: histories are time-major ``[T, bn*B]``; per-row scalars are
-``[rows, 1]`` so reductions stay in-lane.
-
-STATUS: experimental. Token-exact against the XLA beam
-(:func:`..decode.beam.beam_search`) under the Pallas interpreter
-(tests/test_pallas_beam.py). The Mosaic compile crashes on this
-kernel's arbitrary 3D relayouts — bisected to ``jnp.transpose`` of
-``reshape``d 3D values (e.g. ``[T, bn, B] -> [bn, B, T]``), which the
-TPU lowering does not support; the fix is a redesign that keeps every
-intermediate in a 2D ``[rows, lanes]`` layout and performs all beam
-reorderings as matmuls. Until then the production eval path remains the
-XLA beam (10.4 ms per 127-image slice, benchmarks/BENCHMARKS.md).
+Token-exact against the XLA beam (:func:`..decode.beam.beam_search`)
+under the Pallas interpreter (tests/test_pallas_beam.py), i.e. the
+algorithm is exact; the compiled kernel holds weights in bf16 (f32 does
+not fit VMEM: ~25 MB of weights vs ~16 MB), and beam search amplifies
+rounding — a single flipped near-tie near the root diverges the whole
+beam — so compiled outputs are *quality-equivalent but not
+token-identical* to the f32 XLA beam. Measured on v5e at the COCO
+shapes: 4.4 ms vs 10.2 ms for a 127-slice (2.3x); use ``block_n=8``
+(larger tiles exhaust VMEM). The XLA beam remains the default eval
+path; select this kernel for throughput-critical serving via
+``api.Captioner.caption(..., beam_size=B, use_fused_kernel=True)``.
 """
 
 from __future__ import annotations
@@ -48,7 +52,7 @@ from .pallas_decode import _round_up
 _NEG = -1e30
 
 
-def _lstm_gates(x, h, wi, wh, b, hidden):
+def _lstm_step(x, h, c, wi, wh, b, hidden):
     f32 = jnp.float32
     gates = (
         jnp.dot(x, wi, preferred_element_type=f32)
@@ -59,29 +63,27 @@ def _lstm_gates(x, h, wi, wh, b, hidden):
     f = jax.nn.sigmoid(gates[:, hidden : 2 * hidden])
     g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
     o = jax.nn.sigmoid(gates[:, 3 * hidden :])
-    return i, f, g, o
+    c_new = f * c + i * g
+    return o * jnp.tanh(c_new), c_new
 
 
-def _topk_maxmask(scores, k):
-    """k rounds of (max, argmax, mask): values+indices, sorted desc.
+def _max_mask_rounds(scores, k, col):
+    """k rounds of (max, first-argmax, mask) over the last axis.
 
-    scores: [rows, C] -> (vals [rows, k], onehots [k, rows, C])
+    scores: [rows, C]; col: iota [rows, C].
+    Returns (vals [rows, k] desc, onehots: k x [rows, C] f32).
     """
-    rows, c = scores.shape
-    col = jax.lax.broadcasted_iota(jnp.int32, (rows, c), 1)
-    vals = []
-    hots = []
+    c = scores.shape[-1]
+    vals, hots = [], []
     cur = scores
     for _ in range(k):
-        m = jnp.max(cur, axis=1, keepdims=True)  # [rows, 1]
-        is_max = (cur == m)
-        # break ties toward the smallest column index (torch.topk order)
-        first_col = jnp.min(jnp.where(is_max, col, c), axis=1, keepdims=True)
-        hot = (col == first_col).astype(jnp.float32)
+        m = jnp.max(cur, axis=-1, keepdims=True)
+        first = jnp.min(jnp.where(cur == m, col, c), axis=-1, keepdims=True)
+        hot = (col == first).astype(jnp.float32)
         vals.append(m)
         hots.append(hot)
         cur = jnp.where(hot > 0, _NEG, cur)
-    return jnp.concatenate(vals, axis=1), hots
+    return jnp.concatenate(vals, axis=-1), hots
 
 
 def _beam_kernel(
@@ -95,170 +97,176 @@ def _beam_kernel(
     bn = feats_ref.shape[0]
     vp = p_emb_ref.shape[0]
     hidden = p_wh_ref.shape[0]
-    nb = bn * beam
-    nbb = bn * beam * beam
+    t_max = steps + 1
+    nb = bn * beam  # candidate rows, (b, n)-major: row = b * bn + n
     wd = p_emb_ref.dtype
 
+    def rep_beam(x):  # [bn, X] -> [nb, X], (b, n)-major
+        return jnp.concatenate([x] * beam, axis=0)
+
     def body(hist, pol_h, pol_c, val_h, val_c, scores):
-
-        # --- init: all beams hold <START>; only beam 0 is live --------------
+        # --- init: every beam holds <START>; only beam 0 is live ------------
         start = start_ref[:, 0:1]  # [bn, 1]
-        hist[0:1, :] = jnp.broadcast_to(start, (bn, beam)).reshape(1, nb)
+        col_t = jax.lax.broadcasted_iota(jnp.int32, (nb, t_max), 1)
+        hist[:, :] = jnp.where(col_t == 0, rep_beam(start), 0)
 
-        h0 = jnp.dot(feats_ref[:], p_wc_ref[:], preferred_element_type=f32) + p_bc_ref[:]
         col_v = jax.lax.broadcasted_iota(jnp.int32, (bn, vp), 1)
-        emb0 = jnp.dot(
-            (col_v == start).astype(wd), p_emb_ref[:],
-            preferred_element_type=f32,
+        h0 = jnp.dot(feats_ref[:], p_wc_ref[:], preferred_element_type=f32) + p_bc_ref[:]
+        emb0 = jnp.dot((col_v == start).astype(wd), p_emb_ref[:], preferred_element_type=f32)
+        h1, c1 = _lstm_step(
+            emb0.astype(wd), h0, jnp.zeros((bn, hidden), f32),
+            p_wi_ref[:], p_wh_ref[:], p_b_ref[:], hidden,
         )
-        i, f, g, o = _lstm_gates(emb0, h0, p_wi_ref[:], p_wh_ref[:], p_b_ref[:], hidden)
-        c1 = i * g  # c0 = 0
-        h1 = o * jnp.tanh(c1)
-        pol_h[:] = jnp.broadcast_to(h1[:, None, :], (bn, beam, hidden)).reshape(nb, hidden)
-        pol_c[:] = jnp.broadcast_to(c1[:, None, :], (bn, beam, hidden)).reshape(nb, hidden)
+        pol_h[:] = rep_beam(h1)
+        pol_c[:] = rep_beam(c1)
 
-        vemb0 = jnp.dot(
-            (col_v == start).astype(wd), v_emb_ref[:],
-            preferred_element_type=f32,
+        vemb0 = jnp.dot((col_v == start).astype(wd), v_emb_ref[:], preferred_element_type=f32)
+        vh1, vc1 = _lstm_step(
+            vemb0.astype(wd), jnp.zeros((bn, hidden), f32), jnp.zeros((bn, hidden), f32),
+            v_wi_ref[:], v_wh_ref[:], v_b_ref[:], hidden,
         )
-        vi, vf, vg, vo = _lstm_gates(
-            vemb0, jnp.zeros((bn, hidden), f32), v_wi_ref[:], v_wh_ref[:], v_b_ref[:], hidden
-        )
-        vc1 = vi * vg
-        vh1 = vo * jnp.tanh(vc1)
-        val_h[:] = jnp.broadcast_to(vh1[:, None, :], (bn, beam, hidden)).reshape(nb, hidden)
-        val_c[:] = jnp.broadcast_to(vc1[:, None, :], (bn, beam, hidden)).reshape(nb, hidden)
+        val_h[:] = rep_beam(vh1)
+        val_c[:] = rep_beam(vc1)
 
-        beam_col = jax.lax.broadcasted_iota(jnp.int32, (bn, beam), 1)
-        scores[:] = jnp.where(beam_col == 0, 0.0, -_NEG).astype(f32)  # +inf clones
+        # scores [nb, 1], (b, n)-major: rows 0..bn-1 are beam 0 (live)
+        row_id = jax.lax.broadcasted_iota(jnp.int32, (nb, 1), 0)
+        scores[:] = jnp.where(row_id < bn, 0.0, -_NEG).astype(f32)
 
         col_vb = jax.lax.broadcasted_iota(jnp.int32, (nb, vp), 1)
-        col_vbb = jax.lax.broadcasted_iota(jnp.int32, (nbb, vp), 1)
+        col_bb = jax.lax.broadcasted_iota(jnp.int32, (bn, beam * beam), 1)
+        feats_nb = rep_beam(feats_ref[:])  # [nb, F]
 
         def step_fn(t, _):
-            # 1) policy logits for every candidate
+            # 1) policy logits + log-softmax normalizer per candidate
             logits = (
                 jnp.dot(pol_h[:].astype(wd), p_wo_ref[:], preferred_element_type=f32)
                 + p_bo_ref[:]
             )  # [nb, vp]
-            lse = jax.nn.logsumexp(logits, axis=1, keepdims=True)
+            lse = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
 
-            # 2) per-candidate top-B expansions
-            topv, hots = _topk_maxmask(logits, beam)  # [nb, beam], beam x [nb, vp]
-            logp = topv - lse  # [nb, beam] log-softmax at the top tokens
+            # 2) top-B expansions per candidate
+            topv, hots = _max_mask_rounds(logits, beam, col_vb)  # [nb, B], B x [nb, vp]
+            logp = topv - lse  # [nb, beam(e)]
+            tok_cols = jnp.concatenate(
+                [jnp.sum(h * col_vb.astype(f32), axis=1, keepdims=True) for h in hots],
+                axis=1,
+            )  # [nb, beam(e)] token ids (f32, exact below 2^24)
 
-            # expansion token ids, via iota dot: [beam, nb]
-            tok_ids = jnp.stack(
-                [jnp.sum(h * col_vb.astype(f32), axis=1) for h in hots], axis=0
-            )  # f32, exact for ids < 2^24
+            # 3) critic: one cell matmul per expansion; values land as columns
+            val_cols, vh_es, vc_es = [], [], []
+            for h in hots:
+                emb_e = jnp.dot(h.astype(wd), v_emb_ref[:], preferred_element_type=f32)
+                vh_e, vc_e = _lstm_step(
+                    emb_e.astype(wd), val_h[:], val_c[:],
+                    v_wi_ref[:], v_wh_ref[:], v_b_ref[:], hidden,
+                )
+                state_cat = jnp.concatenate([feats_nb, vh_e], axis=1)
+                v1 = (
+                    jnp.dot(state_cat.astype(wd), v_w1_ref[:], preferred_element_type=f32)
+                    + v_b1_ref[:]
+                )
+                # v_w2 is host-padded to 128 output columns (Mosaic cannot
+                # lower single-column matmuls); only column 0 is real
+                val_cols.append(
+                    (jnp.dot(v1.astype(wd), v_w2_ref[:], preferred_element_type=f32)
+                     + v_b2_ref[:])[:, 0:1]
+                )  # [nb, 1]
+                vh_es.append(vh_e)
+                vc_es.append(vc_e)
+            values = jnp.concatenate(val_cols, axis=1)  # [nb, beam(e)]
 
-            # 3) critic on each expansion: one [nbb] cell step
-            emb_exp = jnp.concatenate(
-                [jnp.dot(h.astype(wd), v_emb_ref[:], preferred_element_type=f32)
-                 for h in hots], axis=0,
-            )  # [beam*nb, E] grouped expansion-major
-            vh_rep = jnp.concatenate([val_h[:]] * beam, axis=0).astype(wd)
-            vc_rep = jnp.concatenate([val_c[:]] * beam, axis=0).astype(wd)
-            vi, vf, vg, vo = _lstm_gates(
-                emb_exp.astype(wd), vh_rep, v_wi_ref[:], v_wh_ref[:], v_b_ref[:], hidden
+            # 4) accumulated candidate scores as per-sample columns:
+            #    cand_flat[n, p*beam + e], built from static row-block slices
+            cand = scores[:] - (vw * values + lw * logp)  # [nb, beam(e)]
+            cand_flat = jnp.concatenate(
+                [cand[pb * bn : (pb + 1) * bn, :] for pb in range(beam)], axis=1
+            )  # [bn, beam*beam]
+
+            # 5) per-sample top-B smallest (max-mask rounds on the negation)
+            negv, sel_hots = _max_mask_rounds(-cand_flat, beam, col_bb)
+            # sel_hots: B x [bn, beam*beam] one-hot over (p, e) pairs
+
+            # 6) reorder under the selection — all 2D, static row blocks
+            new_scores, new_vh, new_vc, new_tokens, new_ph, new_pc = [], [], [], [], [], []
+            hist_now = hist[:, :].astype(f32)
+            new_hist = []
+            for k in range(beam):
+                hot = sel_hots[k]  # [bn, beam*beam]
+                new_scores.append(jnp.sum(cand_flat * hot, axis=1, keepdims=True))
+                # parent weights: sum the e-columns of each parent block
+                wp = [
+                    jnp.sum(hot[:, pb * beam : (pb + 1) * beam], axis=1, keepdims=True)
+                    for pb in range(beam)
+                ]  # B x [bn, 1]
+                # pair-weighted sums over (p, e)
+                vh_k = None
+                vc_k = None
+                tok_k = None
+                for pb in range(beam):
+                    rows = slice(pb * bn, (pb + 1) * bn)
+                    for e in range(beam):
+                        w = hot[:, pb * beam + e : pb * beam + e + 1]  # [bn, 1]
+                        vh_term = w * vh_es[e][rows]
+                        vc_term = w * vc_es[e][rows]
+                        tok_term = w * tok_cols[rows, e : e + 1]
+                        vh_k = vh_term if vh_k is None else vh_k + vh_term
+                        vc_k = vc_term if vc_k is None else vc_k + vc_term
+                        tok_k = tok_term if tok_k is None else tok_k + tok_term
+                new_vh.append(vh_k)
+                new_vc.append(vc_k)
+                new_tokens.append(tok_k)
+                # parent-weighted sums (policy state, history)
+                ph_k = None
+                pc_k = None
+                hist_k = None
+                for pb in range(beam):
+                    rows = slice(pb * bn, (pb + 1) * bn)
+                    ph_term = wp[pb] * pol_h[rows, :]
+                    pc_term = wp[pb] * pol_c[rows, :]
+                    h_term = wp[pb] * hist_now[rows, :]
+                    ph_k = ph_term if ph_k is None else ph_k + ph_term
+                    pc_k = pc_term if pc_k is None else pc_k + pc_term
+                    hist_k = h_term if hist_k is None else hist_k + h_term
+                new_ph.append(ph_k)
+                new_pc.append(pc_k)
+                new_hist.append(hist_k)
+
+            scores[:] = jnp.concatenate(new_scores, axis=0)  # (b, n)-major
+            val_h[:] = jnp.concatenate(new_vh, axis=0)
+            val_c[:] = jnp.concatenate(new_vc, axis=0)
+            new_tok = jnp.concatenate(new_tokens, axis=0).astype(jnp.int32)  # [nb, 1]
+
+            # policy: advance the reordered state with the chosen token
+            ph = jnp.concatenate(new_ph, axis=0)
+            pc = jnp.concatenate(new_pc, axis=0)
+            emb_new = jnp.dot(
+                (col_vb == new_tok).astype(wd), p_emb_ref[:], preferred_element_type=f32
             )
-            vc_new = vf * vc_rep.astype(f32) + vi * vg
-            vh_new = vo * jnp.tanh(vc_new)  # [beam*nb, H] f32
-
-            # features per row (n-major within nb, expansion-major outer)
-            feats_nb = jnp.broadcast_to(
-                feats_ref[:][:, None, :], (bn, beam, feats_ref.shape[1])
-            ).reshape(nb, -1)
-            feats_rep = jnp.concatenate([feats_nb] * beam, axis=0)  # [beam*nb, F]
-            state_cat = jnp.concatenate([feats_rep, vh_new], axis=1)
-            v1 = jnp.dot(state_cat.astype(wd), v_w1_ref[:], preferred_element_type=f32) + v_b1_ref[:]
-            value = (
-                jnp.dot(v1.astype(wd), v_w2_ref[:], preferred_element_type=f32) + v_b2_ref[:]
-            )[:, 0]  # [beam*nb]
-
-            # 4) accumulate scores: cand[e, n, p] for expansion e of parent p
-            # (rows of value are [e, n, p]: expansion-major outer, n-major inner)
-            value_e = value.reshape(beam, bn, beam)  # [e, n, p]
-            logp_e = jnp.transpose(logp.reshape(bn, beam, beam), (2, 0, 1))  # [e, n, p]
-            delta = vw * value_e + lw * logp_e
-            cand = scores[:].reshape(1, bn, beam) - delta  # [e, n, p]
-            cand_flat = jnp.transpose(cand, (1, 2, 0)).reshape(bn, beam * beam)
-            # flat index j = p*beam + e  (parent-major, matching reshape below)
-
-            # 5) keep the B smallest per sample
-            negv, sel_hots = _topk_maxmask(-cand_flat, beam)  # hots: beam x [bn, beam*beam]
-            scores[:] = -negv
-
-            sel = jnp.stack(sel_hots, axis=0)  # [k, bn, beam*beam] one-hot f32
-
-            # 6) reorder beam state under the selection (one-hot matmuls)
-            # parent weights: [k, bn, beam] ; expansion weights: [k, bn, beam]
-            sel_pb = sel.reshape(beam, bn, beam, beam)  # [k, bn, parent, exp]
-
-            w_parent = jnp.sum(sel_pb, axis=3)  # [k, bn, parent]
-
-            def mix_parent(x_nb):  # [nb, X] -> [nb, X] selected by parent
-                # out[n, k, :] = sum_p w[k, n, p] * x[n, p, :]
-                x = x_nb.reshape(bn, beam, -1)
-                outs = []
-                for k in range(beam):
-                    wk = w_parent[k][:, :, None]  # [bn, p, 1]
-                    outs.append(jnp.sum(wk * x, axis=1, keepdims=True))  # [bn, 1, X]
-                return jnp.concatenate(outs, axis=1).reshape(nb, -1)
-
-            def mix_pair(x_e_nb):  # rows [e, n, p] -> selected [nb, X]
-                # out[n, k, :] = sum_{p,e} sel[k, n, p, e] * x[e, n, p, :]
-                x = jnp.transpose(
-                    x_e_nb.reshape(beam, bn, beam, -1), (1, 2, 0, 3)
-                )  # [n, p, e, X]
-                outs = []
-                for k in range(beam):
-                    wk = jnp.transpose(sel_pb[k], (0, 1, 2))[:, :, :, None]  # [n, p, e, 1]
-                    outs.append(jnp.sum(wk * x, axis=(1, 2), keepdims=False)[:, None, :])
-                return jnp.concatenate(outs, axis=1).reshape(nb, -1)
-
-            val_h[:] = mix_pair(vh_new)
-            val_c[:] = mix_pair(vc_new)
-
-            # chosen new tokens (f32 exact for ids < 2^24)
-            new_tok = mix_pair(tok_ids.reshape(beam * nb, 1)).reshape(
-                bn, beam
-            ).astype(jnp.int32)
-
-            # policy state: parent reorder, then advance with the new token
-            ph = mix_parent(pol_h[:])
-            pc = mix_parent(pol_c[:])
-            hot_new = (col_vb == new_tok.reshape(nb, 1)).astype(wd)
-            emb_new = jnp.dot(hot_new, p_emb_ref[:], preferred_element_type=f32)
-            i2, f2, g2, o2 = _lstm_gates(
-                emb_new, ph, p_wi_ref[:], p_wh_ref[:], p_b_ref[:], hidden
+            h_new, c_new = _lstm_step(
+                emb_new.astype(wd), ph, pc, p_wi_ref[:], p_wh_ref[:], p_b_ref[:], hidden
             )
-            pol_c[:] = f2 * pc + i2 * g2
-            pol_h[:] = o2 * jnp.tanh(pol_c[:])
+            pol_h[:] = h_new
+            pol_c[:] = c_new
 
-            # token history: parent reorder, then append
-            hist_f = hist[:, :].astype(f32)  # [T, nb]
-            hist_sel = jnp.transpose(
-                mix_parent(jnp.transpose(hist_f, (1, 0))), (1, 0)
+            # history: reordered rows + masked append at column t+1
+            hist[:, :] = jnp.where(
+                col_t == t + 1, new_tok,
+                jnp.concatenate(new_hist, axis=0).astype(jnp.int32),
             )
-            hist[:, :] = hist_sel.astype(jnp.int32)
-            hist[pl.ds(t + 1, 1), :] = new_tok.reshape(1, nb)
             return 0
 
         jax.lax.fori_loop(0, steps, step_fn, 0)
-        # hist [T, nb] -> [bn, beam*T] batch-major (b-major then t)
-        h = jnp.transpose(hist[:, :].reshape(steps + 1, bn, beam), (1, 2, 0))
-        out_tokens_ref[:, :] = h.reshape(bn, beam * (steps + 1))
+        out_tokens_ref[:, :] = hist[:, :]
         out_scores_ref[:, :] = scores[:]
 
     pl.run_scoped(
         body,
-        pltpu.VMEM((steps + 1, nb), jnp.int32),  # history
+        pltpu.VMEM((nb, t_max), jnp.int32),  # token history, (b, n)-major
         pltpu.VMEM((nb, hidden), jnp.float32),  # pol_h
         pltpu.VMEM((nb, hidden), jnp.float32),  # pol_c
         pltpu.VMEM((nb, hidden), jnp.float32),  # val_h
         pltpu.VMEM((nb, hidden), jnp.float32),  # val_c
-        pltpu.VMEM((bn, beam), jnp.float32),  # scores
+        pltpu.VMEM((nb, 1), jnp.float32),  # scores
     )
 
 
@@ -336,16 +344,16 @@ def fused_beam_search(
             vm((1, 4 * hidden), whole),
             vm((feat_dim + hidden, hidden), whole),
             vm((1, hidden), whole),
-            vm((hidden, 1), whole),
-            vm((1, 1), whole),
+            vm((hidden, 128), whole),
+            vm((1, 128), whole),
         ],
         out_specs=(
-            vm((block_n, beam * max_len), tile),
-            vm((block_n, beam), tile),
+            vm((block_n * beam, max_len), tile),
+            vm((block_n * beam, 1), tile),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_pad, beam * max_len), jnp.int32),
-            jax.ShapeDtypeStruct((n_pad, beam), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad * beam, max_len), jnp.int32),
+            jax.ShapeDtypeStruct((n_pad * beam, 1), jnp.float32),
         ),
         interpret=interpret,
     )(
@@ -356,6 +364,10 @@ def fused_beam_search(
         v_emb, v["lstm"]["wi"].astype(wd), v["lstm"]["wh"].astype(wd),
         v["lstm"]["b"].astype(jnp.float32)[None, :],
         v["linear1"]["w"].astype(wd), v["linear1"]["b"].astype(jnp.float32)[None, :],
-        v["linear2"]["w"].astype(wd), v["linear2"]["b"].astype(jnp.float32)[None, :],
+        jnp.zeros((hidden, 128), wd).at[:, 0:1].set(v["linear2"]["w"].astype(wd)),
+        jnp.zeros((1, 128), jnp.float32).at[0, 0].set(v["linear2"]["b"][0].astype(jnp.float32)),
     )
-    return out_tokens[:n].reshape(n, beam, max_len), out_scores[:n]
+    # rows are (b, n)-major: un-interleave on the host side (cheap jnp ops)
+    toks = jnp.swapaxes(out_tokens.reshape(beam, n_pad, max_len), 0, 1)
+    scrs = jnp.swapaxes(out_scores.reshape(beam, n_pad), 0, 1)
+    return toks[:n], scrs[:n]

@@ -367,7 +367,14 @@ def fused_beam_search(
         jnp.zeros((hidden, 128), wd).at[:, 0:1].set(v["linear2"]["w"].astype(wd)),
         jnp.zeros((1, 128), jnp.float32).at[0, 0].set(v["linear2"]["b"][0].astype(jnp.float32)),
     )
-    # rows are (b, n)-major: un-interleave on the host side (cheap jnp ops)
-    toks = jnp.swapaxes(out_tokens.reshape(beam, n_pad, max_len), 0, 1)
-    scrs = jnp.swapaxes(out_scores.reshape(beam, n_pad), 0, 1)
+    # Each grid tile writes a contiguous (beam, block_n)-major block of
+    # rows, so the global layout is (tile, beam, n-within-tile)-major:
+    # un-interleave per tile (cheap jnp ops outside the kernel).
+    g = n_pad // block_n
+    toks = (
+        out_tokens.reshape(g, beam, block_n, max_len)
+        .transpose(0, 2, 1, 3)
+        .reshape(n_pad, beam, max_len)
+    )
+    scrs = out_scores.reshape(g, beam, block_n).transpose(0, 2, 1).reshape(n_pad, beam)
     return toks[:n], scrs[:n]

@@ -148,7 +148,7 @@ def main(args):
     test_a2c_network(
         a2c_params, cfg, test_data=data,
         image_caption_data=image_caption_data, data_size=args.test_size,
-        dcfg=dcfg, seed=args.seed,
+        dcfg=dcfg, seed=args.seed, compat_dump=args.compat_dump,
     )
     print_green("[Info] A2C Network Tested")
 
@@ -173,35 +173,43 @@ def build_arg_parser() -> argparse.ArgumentParser:
         description="Generate Image Captions through Deep Reinforcement Learning (TPU-native)"
     )
     p.add_argument("--training_size", type=int, default=0,
-                   help="Size of the training set to use (set 0 for the full set)")
-    p.add_argument("--test_size", type=int, default=40504, help="Size of the test set to use")
+                   help="Cap on how many training captions to load; 0 keeps everything")
+    p.add_argument("--test_size", type=int, default=40504,
+                   help="How many validation samples to draw for the eval pass")
     p.add_argument("--epochs", type=int, default=100,
-                   help="Number of Epochs to use for Training the A2C Network")
+                   help="A2C training epochs")
     p.add_argument("--batch_size", type=int, default=512,
-                   help="Number of Episodes (Batch Size) to use for Training the A2C Network")
+                   help="Episodes per A2C update (also the pretraining minibatch size)")
     p.add_argument("--retrain", action="store_true", default=False,
-                   help="Whether to retrain value, policy and reward networks")
+                   help="Train the reward, policy and value sub-networks from "
+                        "scratch instead of loading their checkpoints")
     p.add_argument("--postprocess", action="store_true", default=False,
-                   help="Post process data to download images from the validation cycle")
+                   help="After scoring, rank caption pairs, save the top five and "
+                        "fetch their source images")
     p.add_argument("--curriculum", action="store_true", default=False,
-                   help="Use curriculum training approach")
+                   help="Run the staged-rollout (curriculum) variant of A2C training")
     p.add_argument("--bidirectional", action="store_true", default=False,
-                   help="Use bidirectional recurrent neural networks")
+                   help="Build every recurrent encoder bidirectionally")
     p.add_argument("--test_model", type=str, default="",
-                   help="Test a pretrained advantage actor critic model (.ckpt or reference .pt)")
+                   help="Path to a finished A2C checkpoint to evaluate instead of "
+                        "training (.ckpt or reference .pt)")
     p.add_argument("--pretrained_path", type=str, default="models_pretrained",
-                   help="Location of pretrained model files")
+                   help="Directory holding the sub-network checkpoints")
     p.add_argument("--pretrained_word2vec", type=str, default="none",
-                   help="Word Embedding model to use "
-                        "(none|conceptnet|word2vec|fasttext|glove|path)")
+                   help="Pretrained word-vector source: none, conceptnet, word2vec, "
+                        "fasttext, glove, or a file path")
     p.add_argument("--train_word2vec", type=str, default="none",
                    choices=["none", "word2vec", "fasttext"],
-                   help="Whether to train a word embedding model on training data")
+                   help="Fit word embeddings on the caption corpus before training")
     # TPU-framework additions
     p.add_argument("--data_dir", type=str, default=BASE_DIR, help="Dataset directory")
     p.add_argument("--seed", type=int, default=0, help="Global RNG seed")
     p.add_argument("--faithful_beam", action="store_true", default=False,
-                   help="Use the reference's batch-mean shared-beam decoding (quirk Q2)")
+                   help="Reference-exact decoding: batch-mean shared beam (Q2) "
+                        "with stateful value encoding threaded through eval (Q1)")
+    p.add_argument("--compat_dump", action="store_true", default=False,
+                   help="Write caption dumps with the reference's merged slice "
+                        "boundaries (no trailing newline per slice, quirk Q13)")
     p.add_argument("--compat_batch_as_time", action="store_true", default=False,
                    help="Reference-exact batch-as-time value/reward encoders (quirk Q1)")
     p.add_argument("--resume", action="store_true", default=False,

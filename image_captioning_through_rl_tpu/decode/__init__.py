@@ -2,6 +2,7 @@
 
 from .greedy import greedy_decode, greedy_decode_full_prefix
 from .beam import beam_search
+from .beam_compat import beam_search_compat
 from .beam_full import beam_search_full_prefix
 from ..ops.pallas_decode import fused_greedy_decode
 
@@ -10,5 +11,6 @@ __all__ = [
     "greedy_decode_full_prefix",
     "fused_greedy_decode",
     "beam_search",
+    "beam_search_compat",
     "beam_search_full_prefix",
 ]

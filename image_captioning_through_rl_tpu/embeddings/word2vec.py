@@ -24,15 +24,17 @@ import numpy as np
 from ..utils.logging import print_green
 from .vocab_align import get_vectors_by_vocab
 
-_FNV_OFFSET = np.uint32(2166136261)
-_FNV_PRIME = np.uint32(16777619)
+_FNV_OFFSET = 2166136261
+_FNV_PRIME = 16777619
 
 
 def _fnv1a(s: str) -> int:
+    # plain Python ints with an explicit 32-bit wrap: same FNV-1a values
+    # as uint32 arithmetic, without numpy's per-byte overflow warnings
     h = _FNV_OFFSET
     for b in s.encode("utf-8"):
-        h = np.uint32(h ^ np.uint32(b)) * _FNV_PRIME
-    return int(h)
+        h = ((h ^ b) * _FNV_PRIME) & 0xFFFFFFFF
+    return h
 
 
 def _char_ngrams(word: str, min_n: int = 3, max_n: int = 6) -> List[str]:

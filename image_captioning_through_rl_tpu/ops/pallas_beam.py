@@ -111,7 +111,12 @@ def _beam_kernel(
         hist[:, :] = jnp.where(col_t == 0, rep_beam(start), 0)
 
         col_v = jax.lax.broadcasted_iota(jnp.int32, (bn, vp), 1)
-        h0 = jnp.dot(feats_ref[:], p_wc_ref[:], preferred_element_type=f32) + p_bc_ref[:]
+        # cast features like XLA DEFAULT does (both matmul operands in
+        # bf16): an uncast f32 x here diverges every downstream state
+        h0 = (
+            jnp.dot(feats_ref[:].astype(wd), p_wc_ref[:], preferred_element_type=f32)
+            + p_bc_ref[:]
+        )
         emb0 = jnp.dot((col_v == start).astype(wd), p_emb_ref[:], preferred_element_type=f32)
         h1, c1 = _lstm_step(
             emb0.astype(wd), h0, jnp.zeros((bn, hidden), f32),

@@ -552,12 +552,31 @@ def test_a2c_network(
     dcfg: Optional[DecodeConfig] = None,
     seed: int = 0,
     eval_superbatch: int = 8,
+    compat_dump: bool = False,
 ):
     """Evaluation pass (trainers.py:619-665): value-guided beam decode of
     random val draws, dumping real/generated captions + image urls.
 
-    Ragged tail slices are padded to the compiled batch width and
-    trimmed after decode, so beam search compiles for exactly one shape.
+    Default (per-sample) mode pads ragged tail slices to the compiled
+    batch width and trims after decode, so beam search compiles for
+    exactly one shape. Faithful mode (``dcfg.per_sample_beams=False``)
+    instead runs every slice at its exact size — padding rows would
+    participate in the batch-mean beam ranking (Q2a) and perturb real
+    samples — and uses the Q1-stateful beam (decode.beam_compat), whose
+    value-encoder ``hidden_cell`` threads through all candidate
+    evaluations within a slice and resets per slice, exactly like the
+    reference (trainers.py:96,661). For bidirectional models the
+    faithful mode falls back to Q2-only semantics (full-prefix beam
+    with clean encoders) — Q1 statefulness is unidirectional-only.
+
+    ``compat_dump=True`` reproduces quirk Q13: the reference writes each
+    slice with ``file.write("\\n".join(lines))`` and *no trailing
+    newline* (trainers.py:652-654), so the last line of slice ``i``
+    merges with the first line of slice ``i+1`` — its shipped 40k-draw
+    dump is 39,871 lines, not ~40,188. Both ref and hypo files merge
+    identically (lines stay aligned), and the reference's published
+    BLEU/CIDEr were computed on the merged corpus, so byte-faithful
+    reproduction requires this mode. Default writes clean lines.
     """
     dcfg = dcfg or DecodeConfig(max_seq_len=cfg.max_seq_len)
     rng = np.random.default_rng(seed + 5)
@@ -566,15 +585,27 @@ def test_a2c_network(
         test_data, batch_size=data_size, split="val", rng=rng
     )
 
-    if cfg.bidirectional:
-        from ..decode.beam_full import beam_search_full_prefix as beam_fn
+    faithful = not dcfg.per_sample_beams
+    if faithful and not cfg.bidirectional:
+        from ..decode.beam_compat import beam_search_compat
+
+        # Q1-stateful beam: fresh zero carry per slice (trainers.py:661)
+        compat_jit = jax.jit(
+            lambda pp, vp, f, s: beam_search_compat(pp, vp, cfg, dcfg, f, s)
+        )
+        decode = lambda f, s: compat_jit(  # noqa: E731
+            a2c_params["policy"], a2c_params["value"], f, s
+        )[:2]
     else:
-        beam_fn = beam_search
-    # params as jit arguments (closures embed them as program constants)
-    decode_jit = jax.jit(lambda pp, vp, f, s: beam_fn(pp, vp, cfg, dcfg, f, s))
-    decode = lambda f, s: decode_jit(  # noqa: E731
-        a2c_params["policy"], a2c_params["value"], f, s
-    )
+        if cfg.bidirectional:
+            from ..decode.beam_full import beam_search_full_prefix as beam_fn
+        else:
+            beam_fn = beam_search
+        # params as jit arguments (closures embed them as program constants)
+        decode_jit = jax.jit(lambda pp, vp, f, s: beam_fn(pp, vp, cfg, dcfg, f, s))
+        decode = lambda f, s: decode_jit(  # noqa: E731
+            a2c_params["policy"], a2c_params["value"], f, s
+        )
 
     width = validation_batch_size - 1  # Q9: 127-wide slices per 128 stride
     # Q9 slices of the random draw, exactly as the reference walks them
@@ -586,9 +617,16 @@ def test_a2c_network(
     # Per-sample beams are independent across images, so consecutive
     # slices can share one device call (8x fewer dispatches) without
     # changing any output line. The faithful batch-mean mode couples the
-    # whole decode batch (Q2), so it keeps one call per slice.
+    # whole decode batch (Q2), so it keeps one call per slice and runs
+    # the ragged tail at its exact size (one extra compile).
     group = eval_superbatch if dcfg.per_sample_beams else 1
     gwidth = width * group
+
+    def write_slice(f, lines):
+        if compat_dump:
+            f.write("\n".join(lines))  # Q13: no trailing newline
+        else:
+            f.write("\n".join(lines) + "\n")
 
     with open(image_caption_data["real_captions_path"], "a") as real_f, \
          open(image_caption_data["generated_captions_path"], "a") as gen_f, \
@@ -598,7 +636,7 @@ def test_a2c_network(
             captions_real = np.concatenate([b[0] for b in batch], axis=0)
             features_real = np.concatenate([b[1] for b in batch], axis=0)
             n_real = captions_real.shape[0]
-            if n_real < gwidth:  # pad to the compiled width
+            if n_real < gwidth and not faithful:  # pad to the compiled width
                 pad = gwidth - n_real
                 features_real = np.concatenate(
                     [features_real, np.repeat(features_real[-1:], pad, axis=0)], axis=0
@@ -614,9 +652,9 @@ def test_a2c_network(
                 n_s = caps_s.shape[0]
                 gen_strs = decode_captions(gen_all[off : off + n_s], test_data.idx_to_word)
                 real_strs = decode_captions(caps_s, test_data.idx_to_word)
-                real_f.write("\n".join(real_strs) + "\n")
-                gen_f.write("\n".join(gen_strs) + "\n")
-                url_f.write("\n".join(urls_s.tolist()) + "\n")
+                write_slice(real_f, real_strs)
+                write_slice(gen_f, gen_strs)
+                write_slice(url_f, urls_s.tolist())
                 off += n_s
             real_f.flush(); gen_f.flush(); url_f.flush()
 

@@ -59,6 +59,89 @@ def test_meteor_perfect_and_zero():
     assert meteor({0: ["a b c"]}, {0: ["x y z"]}) == 0.0
 
 
+def _brute_force_align(hyp, ref):
+    """Oracle: enumerate ALL maximum-cardinality exact matchings and
+    return (max matches, min chunks)."""
+    from collections import Counter
+
+    total = sum(min(c, Counter(ref)[w]) for w, c in Counter(hyp).items())
+    if total == 0:
+        return 0, 0
+    best = [total + 1]
+
+    def chunks_of(pairs):
+        c = 1
+        for (i0, j0), (i1, j1) in zip(pairs, pairs[1:]):
+            if i1 != i0 + 1 or j1 != j0 + 1:
+                c += 1
+        return c
+
+    def rec(i, used, pairs):
+        if len(pairs) == total:
+            best[0] = min(best[0], chunks_of(pairs))
+            return
+        if i == len(hyp):
+            return
+        for j, w in enumerate(ref):
+            if w == hyp[i] and j not in used:
+                rec(i + 1, used | {j}, pairs + [(i, j)])
+        rec(i + 1, used, pairs)
+
+    rec(0, set(), [])
+    return total, best[0]
+
+
+def test_meteor_alignment_is_exact_on_adversarial_cases():
+    """Cases where the greedy left-to-right matcher picks a suboptimal
+    chunking; the exact aligner must find the true minimum."""
+    from image_captioning_through_rl_tpu.metrics.meteor import _align
+
+    cases = [
+        # greedy matches a0->ref0, b->ref2, a2->ref1 (3 chunks); optimal
+        # is a0->ref1, b->ref2 contiguous, a2->ref0 (2 chunks)
+        ("a b a", "a a b"),
+        ("a b a b", "b a b a"),
+        ("the cat the mat", "the mat the cat"),
+        ("a a b b", "b b a a"),
+        ("x a x b x", "a x b x x"),
+    ]
+    for hyp_s, ref_s in cases:
+        hyp, ref = hyp_s.split(), ref_s.split()
+        assert _align(hyp, ref) == _brute_force_align(hyp, ref)
+
+
+def test_meteor_alignment_matches_brute_force_randomly():
+    import random
+
+    from image_captioning_through_rl_tpu.metrics.meteor import _align
+
+    rnd = random.Random(7)
+    words = ["a", "b", "c", "d"]
+    for _ in range(120):
+        hyp = [rnd.choice(words) for _ in range(rnd.randint(1, 7))]
+        ref = [rnd.choice(words) for _ in range(rnd.randint(1, 7))]
+        assert _align(hyp, ref) == _brute_force_align(hyp, ref), (hyp, ref)
+
+
+def test_meteor_alignment_fast_on_repetitive_full_length():
+    """17-token highly repetitive sentences (worst-case branching) must
+    align exactly without blowing up."""
+    import time
+
+    from image_captioning_through_rl_tpu.metrics.meteor import _align
+
+    hyp = ("a b " * 9).split()[:17]
+    ref = ("b a " * 9).split()[:17]
+    t0 = time.perf_counter()
+    m, chunks = _align(hyp, ref)
+    assert time.perf_counter() - t0 < 2.0
+    assert m == 17 - 1  # 9 a's + 8 b's vs 9 b's + 8 a's -> 8 + 8
+    # hyp[1:] ("b a b a ...", 16 tokens) == ref[:16] exactly -> the
+    # optimum is a single contiguous chunk, which greedy-left-to-right
+    # ("a"->ref[1], "b"->ref[0], ...) can never find
+    assert chunks == 1
+
+
 def test_score_returns_all_keys():
     s = score({0: ["a b"]}, {0: ["a b"]})
     assert set(s) == {"Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "METEOR", "ROUGE_L", "CIDEr"}

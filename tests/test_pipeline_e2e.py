@@ -31,7 +31,7 @@ def _args(coco_dir, workdir, **over):
         test_model="", pretrained_path=os.path.join(workdir, "models_pretrained"),
         pretrained_word2vec="none", train_word2vec="none",
         data_dir=coco_dir, seed=0, faithful_beam=False,
-        compat_batch_as_time=False, resume=False,
+        compat_batch_as_time=False, resume=False, compat_dump=False,
     )
     base.update(over)
     return types.SimpleNamespace(**base)

@@ -32,6 +32,14 @@ class Captioner:
     >>> cap = Captioner(a2c_params, cfg, data.idx_to_word)
     >>> cap.caption(features)                 # greedy, O(T)
     >>> cap.caption(features, beam_size=5)    # value-guided beam search
+
+    The fused Pallas kernels are the default serving path via *verified
+    dispatch* (``use_fused_kernel=None``): the first call runs both the
+    fused kernel and the XLA path and compares tokens — if they agree
+    exactly (trained COCO-shape weights: 0/127 divergence measured on
+    v5e; see benchmarks/BENCHMARKS.md) the kernel serves every later
+    call, otherwise (near-tie-dominated weights, no TPU, bidirectional)
+    the XLA path does. Pass ``True``/``False`` to force either side.
     """
 
     def __init__(self, params: dict, cfg: NetConfig, idx_to_word: dict):
@@ -44,12 +52,13 @@ class Captioner:
         self._cfg = cfg
         self._idx_to_word = idx_to_word
         self._jitted = {}
+        self._fused_verdict = {}  # decode key -> bool (canary outcome)
 
     def caption_tokens(
         self,
         features: jax.Array,
         beam_size: int = 0,
-        use_fused_kernel: bool = False,
+        use_fused_kernel=None,
         faithful_beam: bool = False,
     ) -> np.ndarray:
         """Token ids ``[N, T]`` for a feature batch."""
@@ -61,35 +70,81 @@ class Captioner:
         if beam_size > 0:
             if self._value is None:
                 raise ValueError("beam search needs a value network (pass a2c params)")
-            if use_fused_kernel and not cfg.bidirectional and not faithful_beam:
-                from .ops.pallas_beam import fused_beam_search
-
-                toks, _ = fused_beam_search(
-                    self._policy, self._value, features, start,
-                    max_len=cfg.max_seq_len, beam=beam_size, block_n=8,
-                )
-                return np.asarray(toks[:, 0])
+            fusable = not cfg.bidirectional and not faithful_beam
             dcfg = DecodeConfig(
                 beam_size=beam_size, max_seq_len=cfg.max_seq_len,
                 per_sample_beams=not faithful_beam,
             )
-            fn = self._get(("beam", beam_size, faithful_beam), lambda: jax.jit(
+            xla_fn = self._get(("beam", beam_size, faithful_beam), lambda: jax.jit(
                 lambda pp, vp, f, s: (
                     beam_search_full_prefix if cfg.bidirectional else beam_search
                 )(pp, vp, cfg, dcfg, f, s)
             ))
-            toks, _ = fn(self._policy, self._value, features, start)
+
+            def fused(f, s):
+                from .ops.pallas_beam import fused_beam_search
+
+                toks, _ = fused_beam_search(
+                    self._policy, self._value, f, s,
+                    max_len=cfg.max_seq_len, beam=beam_size, block_n=8,
+                )
+                return np.asarray(toks[:, 0])
+
+            if fusable and use_fused_kernel:
+                return fused(features, start)
+            if fusable and use_fused_kernel is None:
+                out = self._dispatch_verified(
+                    ("beam", beam_size), fused,
+                    lambda f, s: np.asarray(xla_fn(self._policy, self._value, f, s)[0][:, 0]),
+                    features, start,
+                )
+                if out is not None:
+                    return out
+            toks, _ = xla_fn(self._policy, self._value, features, start)
             return np.asarray(toks[:, 0])
-        if use_fused_kernel and not cfg.bidirectional:
-            return np.asarray(
-                fused_greedy_decode(self._policy, features, start, max_len=cfg.max_seq_len)
-            )
-        fn = self._get("greedy", lambda: jax.jit(
+
+        xla_fn = self._get("greedy", lambda: jax.jit(
             lambda pp, f, s: (
                 greedy_decode_full_prefix if cfg.bidirectional else greedy_decode
             )(pp, cfg, f, s)
         ))
-        return np.asarray(fn(self._policy, features, start))
+
+        def fused(f, s):
+            return np.asarray(
+                fused_greedy_decode(self._policy, f, s, max_len=cfg.max_seq_len)
+            )
+
+        if use_fused_kernel and not cfg.bidirectional:
+            return fused(features, start)
+        if use_fused_kernel is None and not cfg.bidirectional:
+            out = self._dispatch_verified(
+                ("greedy",), fused,
+                lambda f, s: np.asarray(xla_fn(self._policy, f, s)),
+                features, start,
+            )
+            if out is not None:
+                return out
+        return np.asarray(xla_fn(self._policy, features, start))
+
+    def _dispatch_verified(self, key, fused_fn, xla_fn, features, start):
+        """Auto dispatch: first call compares fused vs XLA tokens on the
+        live batch; exact agreement locks in the kernel, anything else
+        (mismatch, or no Mosaic backend) locks in XLA. Returns tokens,
+        or None to tell the caller to take its XLA path."""
+        verdict = self._fused_verdict.get(key)
+        if verdict is False:
+            return None
+        if verdict:
+            return fused_fn(features, start)
+        try:
+            got = fused_fn(features, start)
+        except Exception:  # no TPU / Mosaic lowering unavailable
+            self._fused_verdict[key] = False
+            return None
+        want = xla_fn(features, start)
+        ok = bool(np.array_equal(got, want))
+        self._fused_verdict[key] = ok
+        return got if ok else want
 
     def caption(self, features, **kw) -> List[str]:
         """Caption strings for a feature batch."""

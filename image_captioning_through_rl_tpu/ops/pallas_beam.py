@@ -27,15 +27,23 @@ Mosaic-friendly vectorization (per batch tile of ``bn`` images):
 
 Token-exact against the XLA beam (:func:`..decode.beam.beam_search`)
 under the Pallas interpreter (tests/test_pallas_beam.py), i.e. the
-algorithm is exact; the compiled kernel holds weights in bf16 (f32 does
-not fit VMEM: ~25 MB of weights vs ~16 MB), and beam search amplifies
-rounding — a single flipped near-tie near the root diverges the whole
-beam — so compiled outputs are *quality-equivalent but not
-token-identical* to the f32 XLA beam. Measured on v5e at the COCO
-shapes: 4.4 ms vs 10.2 ms for a 127-slice (2.3x); use ``block_n=8``
-(larger tiles exhaust VMEM). The XLA beam remains the default eval
-path; select this kernel for throughput-critical serving via
-``api.Captioner.caption(..., beam_size=B, use_fused_kernel=True)``.
+algorithm is exact. Compiled numerics: the kernel keeps weights in bf16
+— which is the SAME rounding class as the XLA beam, because XLA's
+DEFAULT matmul precision on TPU also multiplies f32 operands in bf16
+(measured: Mosaic and XLA bf16 matmuls differ only in f32 accumulation
+order, ~1e-5 absolute; VPU transcendentals are bitwise identical).
+Residual token flips therefore happen only at genuine near-ties, where
+XLA disagrees even with itself: at COCO shapes with random weights,
+XLA-default vs XLA-highest flips 20/127 beam-0 captions while this
+kernel vs XLA-default flips 16/127; with trained (peaked) weights the
+kernel matches XLA-default 127/127 token-exactly (v5e, see
+benchmarks/BENCHMARKS.md). Serving/eval therefore use *verified
+dispatch*: first batch decoded by both, exact agreement locks in the
+kernel (api.Captioner and train.loops.test_a2c_network, default
+``use_fused_kernel=None``).
+
+Measured on v5e at the COCO shapes: 4.4 ms vs 10.2 ms for a 127-slice
+(2.3x); use ``block_n=8`` (larger tiles exhaust VMEM).
 """
 
 from __future__ import annotations

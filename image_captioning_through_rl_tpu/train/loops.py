@@ -553,6 +553,7 @@ def test_a2c_network(
     seed: int = 0,
     eval_superbatch: int = 8,
     compat_dump: bool = False,
+    use_fused_kernel=None,
 ):
     """Evaluation pass (trainers.py:619-665): value-guided beam decode of
     random val draws, dumping real/generated captions + image urls.
@@ -577,6 +578,12 @@ def test_a2c_network(
     identically (lines stay aligned), and the reference's published
     BLEU/CIDEr were computed on the merged corpus, so byte-faithful
     reproduction requires this mode. Default writes clean lines.
+
+    ``use_fused_kernel``: ``None`` (default) = verified dispatch — the
+    fused Pallas beam kernel serves the eval after token-exact agreement
+    with the XLA beam on the first group, otherwise XLA does;
+    ``True``/``False`` force one side. Applies to the default
+    (per-sample, unidirectional) mode only.
     """
     dcfg = dcfg or DecodeConfig(max_seq_len=cfg.max_seq_len)
     rng = np.random.default_rng(seed + 5)
@@ -603,9 +610,48 @@ def test_a2c_network(
             beam_fn = beam_search
         # params as jit arguments (closures embed them as program constants)
         decode_jit = jax.jit(lambda pp, vp, f, s: beam_fn(pp, vp, cfg, dcfg, f, s))
-        decode = lambda f, s: decode_jit(  # noqa: E731
+        xla_decode = lambda f, s: decode_jit(  # noqa: E731
             a2c_params["policy"], a2c_params["value"], f, s
         )
+        decode = xla_decode
+        if not cfg.bidirectional and use_fused_kernel is not False:
+            # Fused Pallas beam via verified dispatch: the first group is
+            # decoded by both the kernel and the XLA beam; exact token
+            # agreement locks in the kernel (~2.3x) for the remaining
+            # groups, anything else (divergence on near-tie-dominated
+            # weights, no Mosaic backend on CPU) locks in XLA.
+            def fused_decode(f, s):
+                from ..ops.pallas_beam import fused_beam_search
+
+                return fused_beam_search(
+                    a2c_params["policy"], a2c_params["value"], f, s,
+                    max_len=dcfg.max_seq_len, beam=dcfg.beam_size, block_n=8,
+                )
+
+            if use_fused_kernel:  # explicitly forced
+                decode = fused_decode
+            else:
+                verdict = {"ok": None}
+
+                def decode(f, s):
+                    if verdict["ok"] is None:
+                        try:
+                            ft, fs = fused_decode(f, s)
+                        except Exception:
+                            verdict["ok"] = False
+                            return xla_decode(f, s)
+                        xt, xs = xla_decode(f, s)
+                        verdict["ok"] = bool(
+                            np.array_equal(np.asarray(ft[:, 0]), np.asarray(xt[:, 0]))
+                        )
+                        print_green(
+                            "[Testing] fused beam kernel "
+                            + ("verified on canary batch — serving with the Pallas kernel"
+                               if verdict["ok"]
+                               else "diverged/unavailable on canary — using the XLA beam")
+                        )
+                        return (ft, fs) if verdict["ok"] else (xt, xs)
+                    return fused_decode(f, s) if verdict["ok"] else xla_decode(f, s)
 
     width = validation_batch_size - 1  # Q9: 127-wide slices per 128 stride
     # Q9 slices of the random draw, exactly as the reference walks them

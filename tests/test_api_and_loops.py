@@ -34,6 +34,30 @@ def test_captioner_greedy_and_beam(rng_np):
     assert np.all(toks[:, 0] == 1)
 
 
+def test_captioner_verified_dispatch_agrees_with_xla(rng_np):
+    """Auto mode (use_fused_kernel=None) must return the XLA path's
+    tokens whether the fused kernel is available or not: on CPU the
+    canary fails to compile and locks in XLA; on TPU agreement is
+    required before the kernel serves. Either way the first-call result
+    equals the forced-XLA result, and the verdict is cached."""
+    params = a2c.init(jax.random.PRNGKey(2), CFG)
+    idx_to_word = {i: f"w{i}" for i in range(31)}
+    cap = Captioner(params, CFG, idx_to_word)
+    feats = rand_features(rng_np, 5, CFG.input_dim)
+
+    auto_g = cap.caption_tokens(feats)
+    xla_g = cap.caption_tokens(feats, use_fused_kernel=False)
+    np.testing.assert_array_equal(auto_g, xla_g)
+    assert ("greedy",) in cap._fused_verdict
+
+    auto_b = cap.caption_tokens(feats, beam_size=3)
+    xla_b = cap.caption_tokens(feats, beam_size=3, use_fused_kernel=False)
+    np.testing.assert_array_equal(auto_b, xla_b)
+    assert ("beam", 3) in cap._fused_verdict
+    # cached verdict: second auto call takes the same branch
+    np.testing.assert_array_equal(cap.caption_tokens(feats, beam_size=3), xla_b)
+
+
 def test_captioner_policy_only_rejects_beam(rng_np):
     pparams = policy.init(jax.random.PRNGKey(1), CFG)
     cap = Captioner(pparams, CFG, {i: "w" for i in range(31)})

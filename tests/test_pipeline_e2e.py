@@ -76,12 +76,25 @@ def test_full_pipeline_train_test_score_reload(coco_dir, tmp_path, monkeypatch):
     assert {"rewardNetwork.ckpt", "policyNetwork.ckpt", "valueNetwork.ckpt",
             "a2cNetwork.ckpt"} <= pretrained
 
-    # -- reload path: --test_model skips training entirely
-    main(_args(coco_dir, str(tmp_path),
+    # -- reload path: --test_model skips training entirely; --postprocess
+    # exercises the scoring/top-k/download branch (downloads mocked)
+    import urllib.request
+
+    downloads = []
+    monkeypatch.setattr(
+        urllib.request, "urlretrieve", lambda url, fn: downloads.append(url)
+    )
+    main(_args(coco_dir, str(tmp_path), postprocess=True,
                test_model=os.path.join(log_dir, "a2cNetwork.ckpt"), retrain=False))
     # eval appended more generated lines into the same log dir
     with open(os.path.join(log_dir, "generated_captions.txt")) as f:
         assert len([l for l in f.read().splitlines() if l]) > len(gen_lines) - 1
+    # postprocess artifacts: best_scores.txt + attempted downloads
+    with open(os.path.join(log_dir, "best_scores.txt")) as f:
+        best = [l for l in f.read().splitlines() if l]
+    assert 0 < len(best) <= 5
+    assert all(l.startswith("item_index[") for l in best)
+    assert len(downloads) == len(best)
 
 
 def test_curriculum_pipeline(coco_dir, tmp_path, monkeypatch):

@@ -1,13 +1,19 @@
-"""Pretrained embedding loaders (gensim-gated).
+"""Pretrained embedding loaders.
 
 The reference maps short names to gensim-downloader models
-(utilities.py:375-397). gensim is an optional dependency here; when it
-is absent these raise a clear error instead of failing deep inside.
+(utilities.py:375-397); downloading those still needs gensim (optional
+dependency, clear error when absent). File paths, however, load through
+a NATIVE reader supporting the word2vec text format (``N D`` header),
+the GloVe text format (headerless), and the word2vec binary format —
+so ``--pretrained_word2vec /path/to/vectors`` works in this
+environment, where gensim does not exist.
 """
 
 from __future__ import annotations
 
 import os
+
+import numpy as np
 
 _NAME_MAP = {
     "conceptnet": "conceptnet-numberbatch-17-06-300",
@@ -44,11 +50,74 @@ def get_embedding_model(path):
     if hasattr(path, "key_to_index") or hasattr(path, "vocab"):
         return path
     if isinstance(path, str) and os.path.isfile(path):
-        try:
-            from gensim.models import KeyedVectors
-        except ImportError as e:
-            raise ImportError("loading word2vec-format files requires gensim") from e
-        return KeyedVectors.load_word2vec_format(path)
+        return load_word2vec_format(path)
     raise ValueError(
         f"Got {type(path)}; expected a path to embeddings or an embedding model"
     )
+
+
+def _chunk_looks_binary(chunk: bytes) -> bool:
+    """Binary word2vec payloads contain raw float32 bytes; text payloads
+    are printable ASCII + whitespace."""
+    text_ok = set(range(0x20, 0x7F)) | {0x09, 0x0A, 0x0D}
+    return any(b not in text_ok for b in chunk)
+
+
+def load_word2vec_format(path: str, binary=None, encoding: str = "utf-8"):
+    """Native word-vector file reader -> ``{word: np.float32[dim]}``.
+
+    Handles the three common interchange layouts (the formats gensim's
+    ``load_word2vec_format``/GloVe loaders read, reference
+    utilities.py:396-415):
+
+      * word2vec TEXT: first line ``"<count> <dim>"``, then one
+        ``word v1 ... vdim`` line per entry;
+      * GloVe TEXT: same rows, no header line;
+      * word2vec BINARY: the header line, then per entry the word bytes
+        up to a space followed by ``dim`` raw little-endian float32s.
+
+    ``binary=None`` auto-detects by sniffing the post-header bytes.
+    """
+    with open(path, "rb") as f:
+        first = f.readline()
+        parts = first.split()
+        has_header = len(parts) == 2 and all(p.isdigit() for p in parts)
+        vectors: dict = {}
+        if has_header:
+            n_words, dim = int(parts[0]), int(parts[1])
+            if binary is None:
+                pos = f.tell()
+                binary = _chunk_looks_binary(f.read(4096))
+                f.seek(pos)
+            if binary:
+                for _ in range(n_words):
+                    word = bytearray()
+                    while True:
+                        ch = f.read(1)
+                        if ch in (b" ", b""):
+                            break
+                        if ch != b"\n":  # some writers pad with newlines
+                            word.extend(ch)
+                    if not word and not ch:
+                        break
+                    vec = np.frombuffer(f.read(4 * dim), dtype="<f4").astype(np.float32)
+                    vectors[word.decode(encoding)] = vec
+                return vectors
+        else:
+            dim = len(parts) - 1  # GloVe: the first line is already a record
+            vectors[parts[0].decode(encoding)] = np.asarray(
+                [float(x) for x in parts[1:]], dtype=np.float32
+            )
+        for line in f:
+            row = line.rstrip().split()
+            if not row:
+                continue
+            if len(row) != dim + 1:
+                raise ValueError(
+                    f"malformed embedding row in {path}: expected {dim} values, "
+                    f"got {len(row) - 1}"
+                )
+            vectors[row[0].decode(encoding)] = np.asarray(
+                [float(x) for x in row[1:]], dtype=np.float32
+            )
+    return vectors

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..config import NetConfig
 from ..ops.linalg import dense
-from ..ops.rnn import flat_stream_scan, gru_cell, gru_scan
+from ..ops.rnn import column_stream_scan_bidi, flat_stream_scan, gru_cell, gru_scan
 from .initializers import embedding_init, gru_init, linear_init
 
 
@@ -106,8 +106,13 @@ def rnn_step(params: dict, cfg: NetConfig, tokens: jax.Array, h: jax.Array) -> j
 
 # --- reference-compat batch-as-time mode (quirk Q1) -------------------------
 
-def compat_zero_state(cfg: NetConfig, dtype=jnp.float32) -> jax.Array:
-    return jnp.zeros((cfg.hidden_dim,), dtype=dtype)
+def compat_zero_state(cfg: NetConfig, dtype=jnp.float32):
+    """Persistent hidden equivalent; bidirectional carries one ``[H]``
+    state per direction (the reference's ``(2, 1, H)``, models.py:217-224)."""
+    z = jnp.zeros((cfg.hidden_dim,), dtype=dtype)
+    if cfg.bidirectional:
+        return (z, z)
+    return z
 
 
 def forward_compat(
@@ -115,18 +120,23 @@ def forward_compat(
     cfg: NetConfig,
     features: jax.Array,
     captions: jax.Array,
-    carry: jax.Array,
+    carry,
 ) -> Tuple[Tuple[jax.Array, jax.Array], jax.Array]:
     """Reference-exact forward with batch-as-time GRU statefulness.
 
     Returns ``((ve, se), new_carry)``; reset the carry per minibatch
     where the reference calls ``init_hidden()`` (trainers.py:307, 495).
+    Bidirectional mode threads a per-direction carry pair through every
+    column and call (see :func:`..ops.rnn.column_stream_scan_bidi`).
     """
-    if cfg.bidirectional:
-        raise NotImplementedError(
-            "compat (batch-as-time) mode is defined for unidirectional encoders"
-        )
     n, t = captions.shape
+    if cfg.bidirectional:
+        xs_tne = jnp.swapaxes(params["embedding"][captions], 0, 1)  # [T, N, E]
+        rnn_out, new_carry = column_stream_scan_bidi(
+            "gru", params["gru_fwd"], params["gru_bwd"], xs_tne, carry,
+            precision=cfg.precision,
+        )
+        return embed_pair(params, cfg, features, rnn_out), new_carry
     stream = jnp.reshape(jnp.swapaxes(captions, 0, 1), (-1,))
     xs = params["embedding"][stream]
     outs, new_carry = flat_stream_scan(

@@ -34,7 +34,14 @@ import jax.numpy as jnp
 
 from ..config import NetConfig
 from ..ops.linalg import dense
-from ..ops.rnn import LSTMState, bilstm_scan, flat_stream_scan, lstm_cell, lstm_scan
+from ..ops.rnn import (
+    LSTMState,
+    bilstm_scan,
+    column_stream_scan_bidi,
+    flat_stream_scan,
+    lstm_cell,
+    lstm_scan,
+)
 from .initializers import embedding_init, linear_init, lstm_init
 
 
@@ -111,9 +118,16 @@ def value_from_state(params: dict, cfg: NetConfig, features: jax.Array, state: L
 
 # --- reference-compat batch-as-time mode (quirk Q1) -------------------------
 
-def compat_zero_state(cfg: NetConfig, dtype=jnp.float32) -> LSTMState:
-    """The persistent ``hidden_cell`` equivalent (reference models.py:122-128)."""
+def compat_zero_state(cfg: NetConfig, dtype=jnp.float32):
+    """The persistent ``hidden_cell`` equivalent (reference models.py:122-128).
+
+    Unidirectional: ``(h, c)`` each ``[H]``. Bidirectional: a
+    ``(fwd (h, c), bwd (h, c))`` pair — the reference's ``(2, 1, H)``
+    hidden with the direction axis made explicit.
+    """
     z = jnp.zeros((cfg.hidden_dim,), dtype=dtype)
+    if cfg.bidirectional:
+        return ((z, z), (z, z))
     return (z, z)
 
 
@@ -122,19 +136,27 @@ def forward_compat(
     cfg: NetConfig,
     features: jax.Array,
     captions: jax.Array,
-    carry: LSTMState,
+    carry,
 ) -> Tuple[jax.Array, LSTMState]:
     """Reference-exact value forward with batch-as-time statefulness.
 
     Returns ``(values [N, 1], new_carry)``; thread ``new_carry`` into the
     next call and reset it per minibatch exactly where the reference
     calls ``init_hidden()`` (trainers.py:196-197, 495-496, 611-612).
+    Bidirectional mode threads one carry per direction — the backward
+    direction enters each column (and each call) at sample N-1, exactly
+    like a persistent-hidden ``nn.LSTM(bidirectional=True)``
+    (models.py:120-135).
     """
-    if cfg.bidirectional:
-        raise NotImplementedError(
-            "compat (batch-as-time) mode is defined for unidirectional encoders"
-        )
     n, t = captions.shape
+    if cfg.bidirectional:
+        xs_tne = jnp.swapaxes(params["embedding"][captions], 0, 1)  # [T, N, E]
+        rnn_out, new_carry = column_stream_scan_bidi(
+            "lstm", params["lstm_fwd"], params["lstm_bwd"], xs_tne, carry,
+            precision=cfg.precision,
+        )
+        rnn_out = dense(rnn_out, params["rnn_linear"], precision=cfg.precision)
+        return value_head(params, cfg, features, rnn_out), new_carry
     stream = jnp.reshape(jnp.swapaxes(captions, 0, 1), (-1,))  # column-major [N*T]
     xs = params["embedding"][stream]
     outs, new_carry = flat_stream_scan(

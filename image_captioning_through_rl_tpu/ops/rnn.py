@@ -172,3 +172,43 @@ def flat_stream_scan(
 
     final, outs = jax.lax.scan(step, init_state, tokens_te)
     return outs, final
+
+
+def column_stream_scan_bidi(
+    cell_kind: str,
+    fwd_params: dict,
+    bwd_params: dict,
+    xs_tne: jax.Array,
+    carry,
+    precision=None,
+):
+    """Bidirectional batch-as-time compat scan (quirk Q1, bidirectional).
+
+    The reference's bidirectional value/reward RNNs feed each caption
+    *column* as a length-N batch-size-1 sequence with a persistent
+    ``(2, 1, H)`` hidden (reference models.py:120-135): per column, the
+    forward direction consumes samples 0..N-1 with the carried forward
+    state, the backward direction consumes samples N-1..0 with the
+    carried backward state, and BOTH carries thread across the outer
+    per-column loop and across calls until ``init_hidden``.
+
+    Args:
+      xs_tne: embedded caption columns ``[T, N, E]`` (time-major).
+      carry: ``(fwd_state, bwd_state)`` — each the cell's state with
+        ``[H]``-shaped leaves (``(h, c)`` for LSTM, ``h`` for GRU).
+
+    Returns:
+      ``(last_column_outputs [N, 2H], new_carry)`` — what the
+      reference's ``for t`` loop leaves in ``value_rnn_output``.
+    """
+
+    def col(state, x_ne):
+        cf, cb = state
+        outs_f, cf = flat_stream_scan(cell_kind, fwd_params, x_ne, cf, precision=precision)
+        outs_b_rev, cb = flat_stream_scan(
+            cell_kind, bwd_params, x_ne[::-1], cb, precision=precision
+        )
+        return (cf, cb), jnp.concatenate([outs_f, outs_b_rev[::-1]], axis=-1)
+
+    new_carry, outs_cols = jax.lax.scan(col, carry, xs_tne)
+    return outs_cols[-1], new_carry

@@ -99,3 +99,70 @@ def test_value_step_bidirectional(rng_np):
             vparams, opt_state, pparams, rparams, feats, caps, plen
         )
         assert np.isfinite(float(loss))
+
+
+def test_value_compat_bidirectional_matches_stateful_torch_oracle(rng_np):
+    """Q1 batch-as-time statefulness in BIDIRECTIONAL mode: both
+    directions' carries thread across columns and across calls, matching
+    a persistent-hidden nn.LSTM(bidirectional=True) oracle."""
+    import torch
+
+    from image_captioning_through_rl_tpu.models import value_from_torch
+    from torch_oracles import TorchValueOracle, value_state_dict
+
+    cfg = NetConfig(
+        vocab_size=VOCAB, input_dim=12, wordvec_dim=14, hidden_dim=16,
+        bidirectional=True, precision="highest",
+    )
+    oracle = TorchValueOracle(VOCAB, 12, 14, 16, bidirectional=True)
+    oracle.reset_hidden()
+    feats = rand_features(rng_np, 5, 12)
+    caps1 = rand_captions(rng_np, 5, 6, VOCAB)
+    caps2 = rand_captions(rng_np, 5, 6, VOCAB)
+    with torch.no_grad():
+        ref1 = oracle.forward_compat(torch.from_numpy(feats), torch.from_numpy(caps1)).numpy()
+        ref2 = oracle.forward_compat(torch.from_numpy(feats), torch.from_numpy(caps2)).numpy()
+
+    params = value_from_torch(value_state_dict(oracle), bidirectional=True)
+    carry = value.compat_zero_state(cfg)
+    got1, carry = value.forward_compat(params, cfg, jnp.asarray(feats), jnp.asarray(caps1), carry)
+    got2, carry = value.forward_compat(params, cfg, jnp.asarray(feats), jnp.asarray(caps2), carry)
+    np.testing.assert_allclose(np.asarray(got1), ref1, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got2), ref2, rtol=1e-4, atol=1e-5)
+    # outgoing carries match the oracle's persistent hidden_cell
+    (hf, cf), (hb, cb) = carry
+    np.testing.assert_allclose(np.asarray(hf), oracle.hidden_cell[0][0, 0].numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hb), oracle.hidden_cell[0][1, 0].numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cf), oracle.hidden_cell[1][0, 0].numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cb), oracle.hidden_cell[1][1, 0].numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_reward_compat_bidirectional_matches_stateful_torch_oracle(rng_np):
+    import torch
+
+    from image_captioning_through_rl_tpu.models import reward_from_torch
+    from torch_oracles import TorchRewardOracle, reward_state_dict
+
+    cfg = NetConfig(
+        vocab_size=VOCAB, input_dim=12, wordvec_dim=14, hidden_dim=16,
+        bidirectional=True, precision="highest",
+    )
+    oracle = TorchRewardOracle(VOCAB, 12, 14, 16, bidirectional=True)
+    oracle.reset_hidden()
+    feats = rand_features(rng_np, 4, 12)
+    caps1 = rand_captions(rng_np, 4, 5, VOCAB)
+    caps2 = rand_captions(rng_np, 4, 5, VOCAB)
+    with torch.no_grad():
+        rve1, rse1 = oracle.forward_compat(torch.from_numpy(feats), torch.from_numpy(caps1))
+        rve2, rse2 = oracle.forward_compat(torch.from_numpy(feats), torch.from_numpy(caps2))
+
+    params = reward_from_torch(reward_state_dict(oracle), bidirectional=True)
+    carry = reward.compat_zero_state(cfg)
+    (gve1, gse1), carry = reward.forward_compat(params, cfg, jnp.asarray(feats), jnp.asarray(caps1), carry)
+    (gve2, gse2), carry = reward.forward_compat(params, cfg, jnp.asarray(feats), jnp.asarray(caps2), carry)
+    np.testing.assert_allclose(np.asarray(gse1), rse1.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gse2), rse2.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gve1), rve1.numpy(), rtol=1e-4, atol=1e-5)
+    hf, hb = carry
+    np.testing.assert_allclose(np.asarray(hf), oracle.hidden_cell[0, 0].numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hb), oracle.hidden_cell[1, 0].numpy(), rtol=1e-4, atol=1e-5)

@@ -53,3 +53,52 @@ def test_get_vectors_by_vocab_oov_fallbacks():
     assert vecs.shape == (3, 4)
     np.testing.assert_array_equal(vecs[0], 1.0)
     np.testing.assert_array_equal(vecs[2], 1.5)  # mean of seen vectors
+
+
+def test_native_word2vec_format_loader_text_glove_binary(tmp_path):
+    """File-path embeddings load without gensim: word2vec text (header),
+    GloVe text (headerless) and word2vec binary, auto-detected."""
+    import struct
+
+    from image_captioning_through_rl_tpu.embeddings.pretrained import (
+        get_embeddings,
+        load_word2vec_format,
+    )
+
+    text = tmp_path / "vecs.vec"
+    text.write_text("3 4\ncat 1 2 3 4\ndog 0.5 -1 2.25 0\nmat -1 -2 -3 -4\n")
+    v = load_word2vec_format(str(text))
+    assert len(v) == 3
+    np.testing.assert_allclose(v["dog"], [0.5, -1, 2.25, 0])
+
+    glove = tmp_path / "glove.txt"
+    glove.write_text("cat 1 2 3 4\ndog 5 6 7 8\n")
+    v = load_word2vec_format(str(glove))
+    assert len(v) == 2
+    np.testing.assert_allclose(v["dog"], [5, 6, 7, 8])
+
+    binary = tmp_path / "vecs.bin"
+    with open(binary, "wb") as f:
+        f.write(b"2 3\n")
+        f.write(b"cat " + struct.pack("<3f", 1.5, 2.5, 3.5) + b"\n")
+        f.write(b"dog " + struct.pack("<3f", -1, 0, 1) + b"\n")
+    v = load_word2vec_format(str(binary))  # binary auto-detected
+    np.testing.assert_allclose(v["cat"], [1.5, 2.5, 3.5])
+
+    # full path: get_embeddings(file) -> align to a vocab
+    model = get_embeddings(str(text))
+    vecs = get_vectors_by_vocab(model, {"cat": 0, "mat": 1, "oov": 2})
+    assert vecs.shape == (3, 4)
+    np.testing.assert_allclose(vecs[1], [-1, -2, -3, -4])
+
+
+def test_native_loader_rejects_malformed_rows(tmp_path):
+    from image_captioning_through_rl_tpu.embeddings.pretrained import load_word2vec_format
+
+    bad = tmp_path / "bad.vec"
+    bad.write_text("2 4\ncat 1 2 3 4\ndog 1 2\n")
+    try:
+        load_word2vec_format(str(bad))
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "malformed" in str(e)

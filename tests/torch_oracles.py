@@ -44,23 +44,32 @@ class TorchValueOracle(nn.Module):
     """Reference-equivalent value net incl. batch-as-time statefulness
     (reference models.py:87-180)."""
 
-    def __init__(self, vocab, feat_dim=512, emb_dim=512, hidden=512):
+    def __init__(self, vocab, feat_dim=512, emb_dim=512, hidden=512, bidirectional=False):
         super().__init__()
         self.hidden = hidden
+        self.bidirectional = bidirectional
+        self.nd = 2 if bidirectional else 1
         self.caption_embedding = nn.Embedding(vocab, emb_dim)
-        self.lstm = nn.LSTM(emb_dim, hidden)
+        self.lstm = nn.LSTM(emb_dim, hidden, bidirectional=bidirectional)
         self.linear1 = nn.Linear(feat_dim + hidden, hidden)
         self.linear2 = nn.Linear(hidden, 1)
+        if bidirectional:
+            self.rnn_linear = nn.Linear(2 * hidden, hidden)
         self.reset_hidden()
 
     def reset_hidden(self):
-        self.hidden_cell = (torch.zeros(1, 1, self.hidden), torch.zeros(1, 1, self.hidden))
+        self.hidden_cell = (
+            torch.zeros(self.nd, 1, self.hidden),
+            torch.zeros(self.nd, 1, self.hidden),
+        )
 
     def forward_compat(self, features, captions):
         # reference semantics: per column, feed the batch as the time axis
         for t in range(captions.shape[1]):
             emb = self.caption_embedding(captions[:, t])
             out, self.hidden_cell = self.lstm(emb.view(len(emb), 1, -1), self.hidden_cell)
+        if self.bidirectional:
+            out = self.rnn_linear(out)
         rnn_out = out.squeeze(1)
         state = torch.cat((features, rnn_out), dim=1)
         return self.linear2(self.linear1(state))
@@ -76,17 +85,18 @@ class TorchValueOracle(nn.Module):
 class TorchRewardOracle(nn.Module):
     """Reference-equivalent reward net (reference models.py:183-262)."""
 
-    def __init__(self, vocab, feat_dim=512, emb_dim=512, hidden=512):
+    def __init__(self, vocab, feat_dim=512, emb_dim=512, hidden=512, bidirectional=False):
         super().__init__()
         self.hidden = hidden
+        self.nd = 2 if bidirectional else 1
         self.caption_embedding = nn.Embedding(vocab, emb_dim)
-        self.gru = nn.GRU(emb_dim, hidden)
+        self.gru = nn.GRU(emb_dim, hidden, bidirectional=bidirectional)
         self.visual_embed = nn.Linear(feat_dim, hidden)
-        self.semantic_embed = nn.Linear(hidden, hidden)
+        self.semantic_embed = nn.Linear(self.nd * hidden, hidden)
         self.reset_hidden()
 
     def reset_hidden(self):
-        self.hidden_cell = torch.zeros(1, 1, self.hidden)
+        self.hidden_cell = torch.zeros(self.nd, 1, self.hidden)
 
     def forward_compat(self, features, captions):
         for t in range(captions.shape[1]):

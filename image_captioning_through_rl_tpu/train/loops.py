@@ -431,7 +431,7 @@ def a2c_training(
                 key, sub = jax.random.split(key)
                 if k >= 1:
                     caps_b, feats_b = tables.gather(perm[i : i + k * batch_size])
-                    a2c_params, opt_state, stats = chunk_fn(
+                    a2c_params, opt_state, stats, _ = chunk_fn(
                         a2c_params, opt_state, reward_params,
                         feats_b.reshape(k, batch_size, -1),
                         caps_b.reshape(k, batch_size, -1),
@@ -490,15 +490,26 @@ def a2c_curriculum_training(
     seed: int = 0,
     compat_batch_as_time: bool = False,
     device_data: bool = True,
+    chunk_steps: int = 8,
 ):
     """Curriculum A2C (trainers.py:503-616): per level, teacher-force the
     ground-truth prefix of length ``caplen - level`` and roll out the
-    final ``level`` tokens."""
+    final ``level`` tokens.
+
+    Like :func:`a2c_training`, ``chunk_steps > 1`` drives that many
+    minibatch updates per host dispatch; the per-minibatch skip rule
+    (``curr_seq_len < 1`` -> no update, no scalars, trainers.py:550)
+    moves on device as a masked update, reported back through the
+    chunk's validity mask so the logged artifacts are identical.
+    """
     writer = make_metrics_writer(plot_dir if is_main_process() else None)
     rng = np.random.default_rng(seed + 4)
     key = jax.random.PRNGKey(seed + 4)
     step = steps.make_a2c_step(cfg, tx, per_step_mean=True, compat=compat_batch_as_time, donate=True)
     tables = _device_tables(train_data, device_data)
+    use_chunks = chunk_steps > 1 and not compat_batch_as_time and tables is not None
+    if use_chunks:
+        chunk_fn = steps.make_a2c_chunk_step(cfg, tx, per_step_mean=True, curriculum=True)
 
     print_green("[Training] Training Advantage Actor-Critic Network")
     print_green(f"[Training] mode set to curriculum training using levels: {list(curriculum)}")
@@ -519,23 +530,66 @@ def a2c_curriculum_training(
 
         keeper = _DeferredBookkeeper(resolve)
         for epoch in range(epochs):
-            batches, total = _epoch_batches(train_data, batch_size, rng, tables)
-            bar = tqdm(batches, total=total,
-                       desc=f"Training A2C Curriculum Level {level} ({epoch}/{epochs}): Best Loss: {state['best']}")
-            state["bar"] = bar
-            for minibatch_id, (captions, features, _) in enumerate(bar):
-                caplen = int(np.max(np.argmax(captions == 2, axis=1)) + 1)
-                curr_seq_len = caplen - level
-                if curr_seq_len < 1:  # trainers.py:550
-                    continue
-                key, sub = jax.random.split(key)
-                a2c_params, opt_state, stats = step(
-                    a2c_params, opt_state, reward_params,
-                    jnp.asarray(features), jnp.asarray(captions),
-                    jnp.int32(curr_seq_len), sub,
-                )
-                keeper.push(stats, epoch, minibatch_id)
-            keeper.flush()
+            if use_chunks:
+                num = tables.num_captions
+                perm = rng.permutation(num)
+                total = math.ceil(num / batch_size)
+                bar = tqdm(total=total,
+                           desc=f"Training A2C Curriculum Level {level} ({epoch}/{epochs}): Best Loss: {state['best']}")
+                state["bar"] = bar
+                i = 0
+                minibatch_id = 0
+                while i < num:
+                    k = min(chunk_steps, (num - i) // batch_size)
+                    key, sub = jax.random.split(key)
+                    if k >= 1:
+                        caps_b, feats_b = tables.gather(perm[i : i + k * batch_size])
+                        a2c_params, opt_state, stats, valid = chunk_fn(
+                            a2c_params, opt_state, reward_params,
+                            feats_b.reshape(k, batch_size, -1),
+                            caps_b.reshape(k, batch_size, -1),
+                            jnp.int32(level), sub,
+                        )
+                        host_stats = jax.device_get(stats)
+                        host_valid = np.asarray(valid)
+                        for j in range(k):
+                            if host_valid[j]:  # skipped minibatches log nothing
+                                resolve(jax.tree.map(lambda x, j=j: x[j], host_stats),
+                                        epoch, minibatch_id)
+                            minibatch_id += 1
+                        i += k * batch_size
+                        bar.update(k)
+                    else:  # ragged tail: one single-step call
+                        caps_b, feats_b = tables.gather(perm[i:])
+                        caplen = int(np.max(np.argmax(np.asarray(caps_b) == 2, axis=1)) + 1)
+                        if caplen - level >= 1:
+                            a2c_params, opt_state, stats = step(
+                                a2c_params, opt_state, reward_params,
+                                feats_b, caps_b, jnp.int32(caplen - level), sub,
+                            )
+                            resolve(stats, epoch, minibatch_id)
+                        minibatch_id += 1
+                        i = num
+                        bar.update(1)
+                bar.close()
+            else:
+                batches, total = _epoch_batches(train_data, batch_size, rng, tables)
+                bar = tqdm(batches, total=total,
+                           desc=f"Training A2C Curriculum Level {level} ({epoch}/{epochs}): Best Loss: {state['best']}")
+                state["bar"] = bar
+                for minibatch_id, (captions, features, _) in enumerate(bar):
+                    caplen = int(np.max(np.argmax(captions == 2, axis=1)) + 1)
+                    curr_seq_len = caplen - level
+                    if curr_seq_len < 1:  # trainers.py:550
+                        continue
+                    key, sub = jax.random.split(key)
+                    a2c_params, opt_state, stats = step(
+                        a2c_params, opt_state, reward_params,
+                        jnp.asarray(features), jnp.asarray(captions),
+                        jnp.int32(curr_seq_len), sub,
+                    )
+                    keeper.push(stats, epoch, minibatch_id)
+                keeper.flush()
             if is_main_process():
                 ckpt.save_to_paths(a2c_params, save_paths)
     writer.close()

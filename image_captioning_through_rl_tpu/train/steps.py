@@ -103,6 +103,7 @@ def make_a2c_chunk_step(
     cfg: NetConfig,
     tx: optax.GradientTransformation,
     per_step_mean: bool = False,
+    curriculum: bool = False,
 ):
     """Chunked A2C update: ``k`` minibatch steps inside one jitted scan.
 
@@ -111,11 +112,19 @@ def make_a2c_chunk_step(
     only host dispatch overhead is amortized. (Plain A2C has no
     per-minibatch checkpointing, so chunking changes no artifacts;
     best-loss-checkpointed trainers keep single-step loops.)
+
+    ``curriculum=True`` changes the sixth argument from ``curr_seq_len``
+    to the curriculum ``level``: each minibatch derives its own
+    ``curr_seq_len = caplen - level`` on device, and minibatches with
+    ``curr_seq_len < 1`` are skipped exactly like the reference's
+    ``continue`` (trainers.py:550) — no parameter/optimizer update, and
+    a ``False`` entry in the returned validity mask so the host logs
+    nothing for them. Returns ``(params, opt_state, stats, valid)``.
     """
     rollout = a2c_rollout_loss_full if cfg.bidirectional else a2c_rollout_loss
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def chunk(a2c_params, opt_state, reward_params, features, captions, curr_seq_len, rng):
+    def chunk(a2c_params, opt_state, reward_params, features, captions, curr_or_level, rng):
         # features: [k, N, F], captions: [k, N, T]
         k = features.shape[0]
         keys = jax.random.split(rng, k)
@@ -124,17 +133,35 @@ def make_a2c_chunk_step(
             params, opt_state = carry
             feats_b, caps_b, key = inp
             caplen = jnp.max(batch_caption_lens(caps_b))
-            (loss, stats), grads = jax.value_and_grad(rollout, has_aux=True)(
-                params, cfg, reward_params, feats_b, caps_b,
-                curr_seq_len, caplen, key, per_step_mean=per_step_mean,
-            )
-            updates, opt_state = tx.update(grads, opt_state, params)
-            return (optax.apply_updates(params, updates), opt_state), stats
+            curr_seq_len = caplen - curr_or_level if curriculum else curr_or_level
 
-        (a2c_params, opt_state), stats = jax.lax.scan(
+            def do_update(operand):
+                params, opt_state = operand
+                (loss, stats), grads = jax.value_and_grad(rollout, has_aux=True)(
+                    params, cfg, reward_params, feats_b, caps_b,
+                    curr_seq_len, caplen, key, per_step_mean=per_step_mean,
+                )
+                updates, opt_state = tx.update(grads, opt_state, params)
+                return (optax.apply_updates(params, updates), opt_state), stats
+
+            if not curriculum:
+                (params, opt_state), stats = do_update((params, opt_state))
+                return (params, opt_state), (stats, jnp.bool_(True))
+
+            def skip(operand):
+                z = jnp.float32(0.0)
+                return operand, RolloutStats(z, z, z, z, z)
+
+            valid = curr_seq_len >= 1
+            (params, opt_state), stats = jax.lax.cond(
+                valid, do_update, skip, (params, opt_state)
+            )
+            return (params, opt_state), (stats, valid)
+
+        (a2c_params, opt_state), (stats, valid) = jax.lax.scan(
             body, (a2c_params, opt_state), (features, captions, keys)
         )
-        return a2c_params, opt_state, stats  # stats leaves: [k]
+        return a2c_params, opt_state, stats, valid  # stats leaves: [k]
 
     return chunk
 

@@ -153,3 +153,56 @@ def test_frozen_embeddings_stay_fixed(batch):
     assert not np.allclose(
         np.asarray(new_params["head"]["w"]), np.asarray(params["head"]["w"])
     )
+
+
+def test_a2c_chunk_curriculum_matches_single_steps_and_skips(rng_np):
+    """The curriculum chunk step must equal running the same minibatches
+    through single steps with the same per-slot keys, and must skip
+    (no update, valid=False) minibatches whose curr_seq_len < 1
+    (reference trainers.py:550)."""
+    level = 4
+    k = 3
+    feats = jnp.asarray(rand_features(rng_np, k * N, CFG.input_dim))
+    caps_np = rand_captions(rng_np, k * N, CFG.max_seq_len, VOCAB).astype(np.int32)
+    # minibatch 1: every caption ends at position <= level -> caplen - level < 1
+    caps_np[N : 2 * N, 1:] = 0
+    caps_np[N : 2 * N, 2] = 2  # <END> at position 2 -> caplen = 3 < level+1
+    # minibatches 0, 2: guarantee a long caption so caplen - level >= 1
+    caps_np[0, :] = np.arange(CFG.max_seq_len) % (VOCAB - 4) + 4
+    caps_np[0, 0] = 1
+    caps_np[0, -1] = 2
+    caps_np[2 * N, :] = caps_np[0, :]
+    caps = jnp.asarray(caps_np)
+
+    params = a2c.init(jax.random.PRNGKey(0), CFG)
+    rparams = reward.init(jax.random.PRNGKey(1), CFG)
+    tx = optim.adam(1e-3)
+
+    key = jax.random.PRNGKey(9)
+
+    # oracle first (the chunk step donates its params/opt-state buffers):
+    # single steps on slots 0 and 2 with the chunk's slot keys
+    step = steps.make_a2c_step(CFG, tx, per_step_mean=True)
+    keys = jax.random.split(key, k)
+    p, o = params, tx.init(params)
+    oracle_losses = {}
+    for j in (0, 2):
+        f_j = feats[j * N : (j + 1) * N]
+        c_j = caps[j * N : (j + 1) * N]
+        caplen = int(np.max(np.argmax(np.asarray(c_j) == 2, axis=1)) + 1)
+        p, o, stats_j = step(p, o, rparams, f_j, c_j, jnp.int32(caplen - level), keys[j])
+        oracle_losses[j] = float(stats_j.loss)
+
+    chunk_fn = steps.make_a2c_chunk_step(CFG, tx, per_step_mean=True, curriculum=True)
+    got_params, _, got_stats, valid = chunk_fn(
+        params, tx.init(params), rparams,
+        feats.reshape(k, N, -1), caps.reshape(k, N, -1), jnp.int32(level), key,
+    )
+    np.testing.assert_array_equal(np.asarray(valid), [True, False, True])
+    assert float(got_stats.loss[1]) == 0.0  # skipped slot reports zeros
+    for j in (0, 2):
+        np.testing.assert_allclose(
+            float(got_stats.loss[j]), oracle_losses[j], rtol=1e-5, atol=1e-6
+        )
+    for a, b in zip(jax.tree.leaves(got_params), jax.tree.leaves(p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)

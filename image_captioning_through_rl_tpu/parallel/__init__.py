@@ -18,6 +18,7 @@ vocab are the axes that exist. Multi-host runs gate host I/O on
 """
 
 from .mesh import is_main_process, local_device_count, make_mesh
+from .serve import sharded_beam_tokens, sharded_greedy_tokens
 from .shard_map_step import make_shard_map_a2c_step
 from .sharding import (
     a2c_param_spec,
@@ -34,6 +35,8 @@ __all__ = [
     "local_device_count",
     "is_main_process",
     "make_shard_map_a2c_step",
+    "sharded_greedy_tokens",
+    "sharded_beam_tokens",
     "replicate",
     "shard_batch",
     "shard_params",

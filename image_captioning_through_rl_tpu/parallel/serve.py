@@ -1,0 +1,99 @@
+"""Batch-sharded decoding over a device mesh (multi-chip serving/eval).
+
+The reference serves strictly single-device (SURVEY §2); here decoding
+scales over the ``data`` axis of a :class:`jax.sharding.Mesh`: inputs
+are committed to a batch sharding, parameters are replicated (the
+models are ~40 MB — far below HBM, so tensor parallelism buys nothing
+at serving time), and jit partitions the decode across chips with XLA
+inserting any collectives. Per-sample beams and greedy decode are
+embarrassingly batch-parallel, so the only cross-chip traffic is the
+program launch itself.
+
+Used by :func:`..train.loops.test_a2c_network` when a mesh is passed,
+and directly for throughput serving. The batch is padded up to a
+multiple of the mesh's ``data`` size (decode results for padded rows
+are sliced off).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import DecodeConfig, NetConfig
+from ..decode.beam import beam_search
+from ..decode.greedy import greedy_decode
+from .sharding import replicate
+
+
+def _pad_to_multiple(x: jax.Array, multiple: int) -> Tuple[jax.Array, int]:
+    n = x.shape[0]
+    rem = (-n) % multiple
+    if rem:
+        x = jnp.concatenate([x, jnp.repeat(x[-1:], rem, axis=0)], axis=0)
+    return x, n
+
+
+def _commit_batch(mesh: Mesh, *arrays, axis: str = "data"):
+    outs = []
+    for a in arrays:
+        spec = P(axis, *([None] * (a.ndim - 1)))
+        outs.append(jax.device_put(a, NamedSharding(mesh, spec)))
+    return tuple(outs)
+
+
+def sharded_greedy_tokens(
+    mesh: Mesh,
+    policy_params: dict,
+    cfg: NetConfig,
+    features: jax.Array,
+    start_tokens: jax.Array,
+) -> jax.Array:
+    """Greedy decode with the batch sharded over ``mesh``'s data axis."""
+    data = mesh.shape["data"]
+    feats, n = _pad_to_multiple(jnp.asarray(features), data)
+    start, _ = _pad_to_multiple(jnp.asarray(start_tokens), data)
+    with mesh:
+        params = replicate(mesh, policy_params)
+        feats, start = _commit_batch(mesh, feats, start)
+        toks = jax.jit(lambda p, f, s: greedy_decode(p, cfg, f, s))(params, feats, start)
+    return toks[:n]
+
+
+def sharded_beam_tokens(
+    mesh: Mesh,
+    policy_params: dict,
+    value_params: dict,
+    cfg: NetConfig,
+    dcfg: Optional[DecodeConfig],
+    features: jax.Array,
+    start_tokens: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Value-guided beam search sharded over ``mesh``'s data axis.
+
+    Per-sample beams only (``dcfg.per_sample_beams=True``): the faithful
+    batch-mean mode (Q2a) couples every sample in the batch through one
+    shared ranking, which is a global argsort per step — semantically a
+    single-device computation; shard requests, not that batch.
+    Returns ``(tokens [N, B, T], scores [N, B])``.
+    """
+    dcfg = dcfg or DecodeConfig(max_seq_len=cfg.max_seq_len)
+    if not dcfg.per_sample_beams:
+        raise ValueError(
+            "sharded beam decode requires per-sample beams; the batch-mean "
+            "faithful mode (Q2) couples the whole batch on one device"
+        )
+    data = mesh.shape["data"]
+    feats, n = _pad_to_multiple(jnp.asarray(features), data)
+    start, _ = _pad_to_multiple(jnp.asarray(start_tokens), data)
+    with mesh:
+        pp = replicate(mesh, policy_params)
+        vp = replicate(mesh, value_params)
+        feats, start = _commit_batch(mesh, feats, start)
+        toks, scores = jax.jit(
+            lambda p, v, f, s: beam_search(p, v, cfg, dcfg, f, s)
+        )(pp, vp, feats, start)
+    return toks[:n], scores[:n]

@@ -608,6 +608,7 @@ def test_a2c_network(
     eval_superbatch: int = 8,
     compat_dump: bool = False,
     use_fused_kernel=None,
+    mesh=None,
 ):
     """Evaluation pass (trainers.py:619-665): value-guided beam decode of
     random val draws, dumping real/generated captions + image urls.
@@ -638,6 +639,11 @@ def test_a2c_network(
     with the XLA beam on the first group, otherwise XLA does;
     ``True``/``False`` force one side. Applies to the default
     (per-sample, unidirectional) mode only.
+
+    ``mesh``: a :class:`jax.sharding.Mesh` with a ``data`` axis shards
+    each decode group across chips (per-sample mode only — the Q2
+    batch-mean mode couples the whole batch); the fused kernel is
+    single-chip, so a mesh takes precedence over it.
     """
     dcfg = dcfg or DecodeConfig(max_seq_len=cfg.max_seq_len)
     rng = np.random.default_rng(seed + 5)
@@ -668,7 +674,13 @@ def test_a2c_network(
             a2c_params["policy"], a2c_params["value"], f, s
         )
         decode = xla_decode
-        if not cfg.bidirectional and use_fused_kernel is not False:
+        if mesh is not None:
+            from ..parallel.serve import sharded_beam_tokens
+
+            decode = lambda f, s: sharded_beam_tokens(  # noqa: E731
+                mesh, a2c_params["policy"], a2c_params["value"], cfg, dcfg, f, s
+            )
+        elif not cfg.bidirectional and use_fused_kernel is not False:
             # Fused Pallas beam via verified dispatch: the first group is
             # decoded by both the kernel and the XLA beam; exact token
             # agreement locks in the kernel (~2.3x) for the remaining

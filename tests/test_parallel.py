@@ -94,3 +94,69 @@ def test_greedy_decode_dp_matches_single_device(batch):
     start_s = shard_batch(mesh, caps[:, 0])
     toks2 = greedy_decode(replicate(mesh, params), CFG, feats_s, start_s)
     np.testing.assert_array_equal(np.asarray(toks1), np.asarray(toks2))
+
+
+def test_sharded_decode_matches_single_device(rng_np):
+    """Batch-sharded greedy and per-sample beam decode over the 8-way
+    data mesh must equal single-device decode token-for-token (incl.
+    non-multiple batch sizes, which pad internally)."""
+    from image_captioning_through_rl_tpu.config import DecodeConfig, NetConfig
+    from image_captioning_through_rl_tpu.decode import beam_search, greedy_decode
+    from image_captioning_through_rl_tpu.models import policy as policy_mod
+    from image_captioning_through_rl_tpu.models import value as value_mod
+    from image_captioning_through_rl_tpu.parallel import (
+        make_mesh,
+        sharded_beam_tokens,
+        sharded_greedy_tokens,
+    )
+
+    cfg = NetConfig(vocab_size=30, input_dim=12, wordvec_dim=14, hidden_dim=16, max_seq_len=7)
+    pp = policy_mod.init(jax.random.PRNGKey(0), cfg)
+    vp = value_mod.init(jax.random.PRNGKey(1), cfg)
+    n = 13  # not a multiple of 8
+    feats = jnp.asarray(rng_np.standard_normal((n, 12)).astype(np.float32))
+    start = jnp.ones(n, jnp.int32)
+    mesh = make_mesh((8,), ("data",))
+
+    ref_g = np.asarray(greedy_decode(pp, cfg, feats, start))
+    got_g = np.asarray(sharded_greedy_tokens(mesh, pp, cfg, feats, start))
+    np.testing.assert_array_equal(got_g, ref_g)
+
+    dcfg = DecodeConfig(beam_size=3, max_seq_len=7)
+    ref_t, _ = beam_search(pp, vp, cfg, dcfg, feats, start)
+    got_t, _ = sharded_beam_tokens(mesh, pp, vp, cfg, dcfg, feats, start)
+    np.testing.assert_array_equal(np.asarray(got_t), np.asarray(ref_t))
+
+
+def test_sharded_eval_writes_same_captions(tmp_path, rng_np):
+    """test_a2c_network(mesh=...) produces the same dump lines as the
+    single-device eval."""
+    from image_captioning_through_rl_tpu.config import DecodeConfig, NetConfig
+    from image_captioning_through_rl_tpu.data import load_data, make_synthetic_coco
+    from image_captioning_through_rl_tpu.models import a2c
+    from image_captioning_through_rl_tpu.parallel import make_mesh
+    from image_captioning_through_rl_tpu.train.loops import test_a2c_network
+
+    coco = make_synthetic_coco(str(tmp_path / "coco"), num_val_images=10,
+                               vocab_size=30, feature_dim=16, seed=13)
+    data = load_data(coco)
+    cfg = NetConfig(vocab_size=30, input_dim=16, wordvec_dim=8, hidden_dim=8, max_seq_len=6)
+    params = a2c.init(jax.random.PRNGKey(4), cfg)
+
+    def run(sub, mesh):
+        (tmp_path / sub).mkdir()
+        paths = {
+            "real_captions_path": str(tmp_path / sub / "real.txt"),
+            "generated_captions_path": str(tmp_path / sub / "gen.txt"),
+            "image_urls_path": str(tmp_path / sub / "urls.txt"),
+        }
+        test_a2c_network(
+            params, cfg, data, paths, data_size=20, validation_batch_size=8,
+            dcfg=DecodeConfig(beam_size=2, max_seq_len=6), seed=0, mesh=mesh,
+            use_fused_kernel=False,
+        )
+        return open(paths["generated_captions_path"]).read()
+
+    single = run("single", None)
+    sharded = run("sharded", make_mesh((8,), ("data",)))
+    assert single == sharded

@@ -140,6 +140,7 @@ def main(args):
             seed=args.seed,
             compat_batch_as_time=args.compat_batch_as_time,
             resume=args.resume,
+            fused_rollout=args.fused_rollout,
         )
         print_green("[Info] A2C Network trained")
 
@@ -214,6 +215,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="Reference-exact batch-as-time value/reward encoders (quirk Q1)")
     p.add_argument("--resume", action="store_true", default=False,
                    help="Resume A2C training from the last per-epoch checkpoint")
+    p.add_argument("--fused_rollout", action="store_true", default=False,
+                   help="Train A2C with the fused Pallas rollout kernels "
+                        "(TPU, unidirectional; ~1.5x the XLA step)")
     return p
 
 

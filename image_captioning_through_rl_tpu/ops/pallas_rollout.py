@@ -1,0 +1,684 @@
+"""Fused A2C rollout Pallas TPU kernels (forward + hand-written VJP).
+
+The A2C training step's hot core (reference trainers.py:441-459; XLA
+version ``train.steps.a2c_rollout_loss``) rolls the policy and value
+LSTMs forward for S = T-1 steps: per step, policy logits -> categorical
+action -> log-prob, critic value of the current prefix, then both
+encoders advance with the placed token (teacher inside the curriculum
+prefix, sampled action outside). XLA reaches ~31-40% MFU here — 16
+sequential scan iterations of small matmuls — so this module fuses the
+whole rollout into two VMEM-resident Pallas programs:
+
+  * ``_rollout_fwd_kernel``: one grid step per (batch tile, rollout
+    step); policy head + Gumbel-max sampling + log-softmax + value head
+    + both LSTM advances, with the carried states living in VMEM
+    scratch across the step axis of the grid. Emits the per-step
+    activation tape (cell inputs, entering states, gate activations)
+    that the backward pass needs.
+  * ``_policy_bwd_kernel`` / ``_value_bwd_kernel``: reverse-order grid
+    over the same tape, accumulating the weight gradients in VMEM
+    scratch (one f32 accumulator per weight) and emitting per-step
+    ``dx`` streams whose embedding-table scatter happens outside.
+
+The REWARD network is deliberately excluded: it is frozen and its
+output is stop-gradient'ed (trainers.py:372-373, Q7), so the reward
+stream is a cheap XLA scan over the token stream this kernel returns
+(``train.steps`` glues them together).
+
+Sampling parity: actions are ``argmax(logits + G)`` where ``G`` is
+Gumbel noise generated OUTSIDE with the same per-step keys as
+``jax.random.categorical`` uses — the Gumbel-max trick IS
+``categorical``, so the fused rollout reproduces the XLA rollout's
+sampled tokens exactly (bit-exact under the interpreter; bf16-class on
+hardware, where XLA's DEFAULT matmuls are bf16 too).
+
+Numerics: weights live in VMEM as bf16 (same rounding class as XLA
+DEFAULT, see ops/pallas_beam.py); accumulations, gate math, the tape,
+and all gradient accumulators are f32.
+
+Layouts (Mosaic constraints, see CLAUDE.md): everything is 2D with
+step-major row blocks — streams are ``[S*N, X]`` where grid step
+``(tile, s)`` touches rows ``[(s*tiles + tile) * bn, ...)``; no
+transposes (contractions via ``dot_general`` dimension numbers), no
+dynamic lane indexing (teacher columns are pre-transposed host-side).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_decode import _round_up
+
+_NEG = -1e30
+
+
+def _lstm_gates(xh, w, b, hidden):
+    """Concat-form LSTM gates ([x;h] @ [wi;wh] — ops/rnn.lstm_cell)."""
+    f32 = jnp.float32
+    gates = jnp.dot(xh.astype(w.dtype), w, preferred_element_type=f32) + b
+    i = jax.nn.sigmoid(gates[:, :hidden])
+    f = jax.nn.sigmoid(gates[:, hidden : 2 * hidden])
+    g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
+    o = jax.nn.sigmoid(gates[:, 3 * hidden :])
+    return i, f, g, o
+
+
+def _rollout_fwd_kernel(
+    # inputs
+    curr_ref, feats_ref, ph_ref, pc_ref, vh_ref, vc_ref, teach_ref, gumbel_ref,
+    p_emb_ref, p_w_ref, p_b_ref, p_hw_ref, p_hb_ref,
+    v_emb_ref, v_w_ref, v_b_ref, v_w1_ref, v_b1_ref, v_w2_ref, v_b2_ref,
+    # outputs
+    val_ref, logp_ref, act_ref, tok_ref,
+    xp_ref, hp_ref, cp_ref, gp_ref, xv_ref, hv_ref, cv_ref, gv_ref,
+    # scratch (persist across the step axis of the grid)
+    sph, spc, svh, svc,
+    *, hidden: int,
+):
+    f32 = jnp.float32
+    s = pl.program_id(1)
+    bn = feats_ref.shape[0]
+    vp = p_emb_ref.shape[0]
+    wd = p_emb_ref.dtype
+
+    @pl.when(s == 0)
+    def _init():
+        sph[:] = ph_ref[:]
+        spc[:] = pc_ref[:]
+        svh[:] = vh_ref[:]
+        svc[:] = vc_ref[:]
+
+    h_p, c_p = sph[:], spc[:]
+    h_v, c_v = svh[:], svc[:]
+
+    # tape: states ENTERING this step
+    hp_ref[:, :] = h_p
+    cp_ref[:, :] = c_p
+    hv_ref[:, :] = h_v
+    cv_ref[:, :] = c_v
+
+    # 1) policy logits for position p = s+1 (mirrors ops/linalg.dense)
+    logits = (
+        jnp.dot(h_p.astype(wd), p_hw_ref[:], preferred_element_type=f32) + p_hb_ref[:]
+    )  # [bn, vp]; padding columns carry -1e30 bias
+
+    # 2) Gumbel-max sampling == jax.random.categorical with the same key
+    col_v = jax.lax.broadcasted_iota(jnp.int32, (bn, vp), 1)
+    noisy = logits + gumbel_ref[:]
+    m = jnp.max(noisy, axis=-1, keepdims=True)
+    action = jnp.min(jnp.where(noisy == m, col_v, vp), axis=-1, keepdims=True)  # [bn,1]
+    act_ref[:, :] = action
+
+    # 3) log-prob, composed exactly like jax.nn.log_softmax
+    shifted = logits - jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
+    logp_all = shifted - jnp.log(jnp.sum(jnp.exp(shifted), axis=-1, keepdims=True))
+    hot_a = (col_v == action).astype(f32)
+    logp_ref[:, :] = jnp.sum(logp_all * hot_a, axis=-1, keepdims=True)
+
+    # 4) critic on the current prefix (value head over [feats, h_v])
+    fh = jnp.concatenate([feats_ref[:], h_v], axis=1)
+    v1 = jnp.dot(fh.astype(wd), v_w1_ref[:], preferred_element_type=f32) + v_b1_ref[:]
+    value = jnp.dot(v1.astype(wd), v_w2_ref[:], preferred_element_type=f32) + v_b2_ref[:]
+    val_ref[:, :] = value[:, 0:1]
+
+    # 5) placed token: teacher inside the curriculum prefix (p < curr)
+    p_pos = s + 1
+    token = jnp.where(p_pos < curr_ref[0, 0], teach_ref[:], action)
+    tok_ref[:, :] = token
+
+    # 6) advance policy
+    hot_t = (col_v == token).astype(wd)
+    x_p = jnp.dot(hot_t, p_emb_ref[:], preferred_element_type=f32)
+    xp_ref[:, :] = x_p
+    i, f, g, o = _lstm_gates(
+        jnp.concatenate([x_p, h_p], axis=1), p_w_ref[:], p_b_ref[:], hidden
+    )
+    gp_ref[:, :] = jnp.concatenate([i, f, g, o], axis=1)
+    c_new = f * c_p + i * g
+    sph[:] = o * jnp.tanh(c_new)
+    spc[:] = c_new
+
+    # 7) advance value
+    x_v = jnp.dot(hot_t, v_emb_ref[:], preferred_element_type=f32)
+    xv_ref[:, :] = x_v
+    i, f, g, o = _lstm_gates(
+        jnp.concatenate([x_v, h_v], axis=1), v_w_ref[:], v_b_ref[:], hidden
+    )
+    gv_ref[:, :] = jnp.concatenate([i, f, g, o], axis=1)
+    c_new = f * c_v + i * g
+    svh[:] = o * jnp.tanh(c_new)
+    svc[:] = c_new
+
+
+def _fwd_pallas(
+    curr, feats, ph1, pc1, vh1, vc1, teach_sm, gumbel_sm,
+    p_emb, p_w, p_b, p_hw, p_hb, v_emb, v_w, v_b, v_w1, v_b1, v_w2, v_b2,
+    *, steps: int, bn: int, hidden: int, interpret: bool,
+):
+    n_pad, feat_dim = feats.shape
+    vp, emb_dim = p_emb.shape
+    tiles = n_pad // bn
+    grid = (tiles, steps)
+
+    vm = lambda shape, index_map: pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)  # noqa: E731
+    tile = lambda i, s: (i, 0)  # noqa: E731
+    whole = lambda i, s: (0, 0)  # noqa: E731
+    stream = lambda i, s: (s * tiles + i, 0)  # noqa: E731 — step-major row blocks
+
+    f32 = jnp.float32
+    row = lambda width, dt=f32: jax.ShapeDtypeStruct((steps * n_pad, width), dt)  # noqa: E731
+
+    out_shape = (
+        row(1), row(1), row(1, jnp.int32), row(1, jnp.int32),  # value, logp, action, token
+        row(emb_dim), row(hidden), row(hidden), row(4 * hidden),  # x_p, h_p, c_p, gates_p
+        row(emb_dim), row(hidden), row(hidden), row(4 * hidden),  # x_v, h_v, c_v, gates_v
+    )
+    out_specs = (
+        vm((bn, 1), stream), vm((bn, 1), stream), vm((bn, 1), stream), vm((bn, 1), stream),
+        vm((bn, emb_dim), stream), vm((bn, hidden), stream),
+        vm((bn, hidden), stream), vm((bn, 4 * hidden), stream),
+        vm((bn, emb_dim), stream), vm((bn, hidden), stream),
+        vm((bn, hidden), stream), vm((bn, 4 * hidden), stream),
+    )
+    in_specs = [
+        vm((1, 1), whole),                     # curr_seq_len
+        vm((bn, feat_dim), tile),              # features
+        vm((bn, hidden), tile), vm((bn, hidden), tile),   # policy h1, c1
+        vm((bn, hidden), tile), vm((bn, hidden), tile),   # value h1, c1
+        vm((bn, 1), stream),                   # teachers, step-major
+        vm((bn, vp), stream),                  # gumbel, step-major
+        vm((vp, emb_dim), whole),
+        vm((emb_dim + hidden, 4 * hidden), whole), vm((1, 4 * hidden), whole),
+        vm((hidden, vp), whole), vm((1, vp), whole),
+        vm((vp, emb_dim), whole),
+        vm((emb_dim + hidden, 4 * hidden), whole), vm((1, 4 * hidden), whole),
+        vm((feat_dim + hidden, hidden), whole), vm((1, hidden), whole),
+        vm((hidden, 128), whole), vm((1, 128), whole),
+    ]
+    return pl.pallas_call(
+        functools.partial(_rollout_fwd_kernel, hidden=hidden),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((bn, hidden), f32)] * 4,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        curr, feats, ph1, pc1, vh1, vc1, teach_sm, gumbel_sm,
+        p_emb, p_w, p_b, p_hw, p_hb, v_emb, v_w, v_b, v_w1, v_b1, v_w2, v_b2,
+    )
+
+
+def _cell_bwd(dh_next, dc_next, gates, c_prev, w_ref, hidden):
+    """LSTM cell backward from the saved gate activations.
+
+    Returns (dgates_pre [bn, 4H], dxh [bn, E+H], dc_prev)."""
+    f32 = jnp.float32
+    i = gates[:, :hidden]
+    f = gates[:, hidden : 2 * hidden]
+    g = gates[:, 2 * hidden : 3 * hidden]
+    o = gates[:, 3 * hidden :]
+    c_new = f * c_prev + i * g
+    tc = jnp.tanh(c_new)
+    do = dh_next * tc
+    dct = dh_next * o * (1.0 - tc * tc) + dc_next
+    di = dct * g
+    dg = dct * i
+    df = dct * c_prev
+    dc_prev = dct * f
+    dgates = jnp.concatenate(
+        [
+            di * i * (1.0 - i),
+            df * f * (1.0 - f),
+            dg * (1.0 - g * g),
+            do * o * (1.0 - o),
+        ],
+        axis=1,
+    )
+    # dxh = dgates @ W^T (contract the 4H axis; no transposes materialized)
+    dxh = jax.lax.dot_general(
+        dgates.astype(w_ref.dtype), w_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+    )
+    return dgates, dxh, dc_prev
+
+
+def _outer(a, b, wd):
+    """a^T @ b via dot_general row contraction: [bn, X], [bn, Y] -> [X, Y].
+
+    Operands are cast to the kernel's weight dtype so gradient matmuls
+    run in the same precision class as the forward (f32 under the
+    interpreter for exact jax.grad parity, bf16 on hardware like XLA's
+    DEFAULT backward matmuls)."""
+    return jax.lax.dot_general(
+        a.astype(wd), b.astype(wd),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _policy_bwd_kernel(
+    # inputs (streams feed REVERSED: grid step s reads real step S-1-s)
+    dlogp_ref, xp_ref, hp_ref, cp_ref, gp_ref, act_ref,
+    p_w_ref, p_hw_ref, p_hb_ref,
+    # outputs
+    dxp_ref, dph1_ref, dpc1_ref, dw_ref, db_ref, dhw_ref, dhb_ref,
+    # scratch
+    sdh, sdc,
+    *, hidden: int,
+):
+    f32 = jnp.float32
+    i_t = pl.program_id(0)
+    s = pl.program_id(1)
+    last = pl.num_programs(1) - 1
+    bn = hp_ref.shape[0]
+    vp = p_hw_ref.shape[1]
+
+    @pl.when(s == 0)
+    def _init_carry():
+        sdh[:] = jnp.zeros_like(sdh)  # the final advance's outputs are unused
+        sdc[:] = jnp.zeros_like(sdc)
+
+    @pl.when(jnp.logical_and(i_t == 0, s == 0))
+    def _init_accums():
+        dw_ref[:, :] = jnp.zeros_like(dw_ref)
+        db_ref[:, :] = jnp.zeros_like(db_ref)
+        dhw_ref[:, :] = jnp.zeros_like(dhw_ref)
+        dhb_ref[:, :] = jnp.zeros_like(dhb_ref)
+
+    h_p = hp_ref[:]
+    # head backward: recompute logits/softmax from the entering state
+    logits = (
+        jnp.dot(h_p.astype(p_hw_ref.dtype), p_hw_ref[:], preferred_element_type=f32)
+        + p_hb_ref[:]
+    )
+    shifted = logits - jnp.max(logits, axis=-1, keepdims=True)
+    ex = jnp.exp(shifted)
+    softmax = ex / jnp.sum(ex, axis=-1, keepdims=True)
+    col_v = jax.lax.broadcasted_iota(jnp.int32, (bn, vp), 1)
+    hot_a = (col_v == act_ref[:]).astype(f32)
+    wd = p_w_ref.dtype
+    dlogits = dlogp_ref[:] * (hot_a - softmax)  # [bn, vp]
+    dhw_ref[:, :] += _outer(h_p, dlogits, wd)
+    dhb_ref[:, :] += jnp.sum(dlogits, axis=0, keepdims=True)
+    dh_head = jax.lax.dot_general(
+        dlogits.astype(p_hw_ref.dtype), p_hw_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+    )  # [bn, H]
+
+    # cell backward for this step's advance
+    xh = jnp.concatenate([xp_ref[:], h_p], axis=1)
+    dgates, dxh, dc_prev = _cell_bwd(sdh[:], sdc[:], gp_ref[:], cp_ref[:], p_w_ref, hidden)
+    dw_ref[:, :] += _outer(xh, dgates, wd)
+    db_ref[:, :] += jnp.sum(dgates, axis=0, keepdims=True)
+    dxp_ref[:, :] = dxh[:, : xp_ref.shape[1]]
+
+    sdh[:] = dxh[:, xp_ref.shape[1] :] + dh_head
+    sdc[:] = dc_prev
+    # after the earliest step, the carry is the cotangent of (ph1, pc1)
+    dph1_ref[:, :] = sdh[:]
+    dpc1_ref[:, :] = sdc[:]
+
+
+def _value_bwd_kernel(
+    dval_ref, feats_ref, xv_ref, hv_ref, cv_ref, gv_ref,
+    v_w_ref, v_w1_ref, v_b1_ref, v_w2_ref,
+    dxv_ref, dfeat_ref, dvh1_ref, dvc1_ref,
+    dw_ref, db_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+    sdh, sdc,
+    *, hidden: int,
+):
+    f32 = jnp.float32
+    i_t = pl.program_id(0)
+    s = pl.program_id(1)
+    bn = hv_ref.shape[0]
+    feat_dim = feats_ref.shape[1]
+
+    @pl.when(s == 0)
+    def _init_carry():
+        sdh[:] = jnp.zeros_like(sdh)
+        sdc[:] = jnp.zeros_like(sdc)
+
+    @pl.when(jnp.logical_and(i_t == 0, s == 0))
+    def _init_accums():
+        dw_ref[:, :] = jnp.zeros_like(dw_ref)
+        db_ref[:, :] = jnp.zeros_like(db_ref)
+        dw1_ref[:, :] = jnp.zeros_like(dw1_ref)
+        db1_ref[:, :] = jnp.zeros_like(db1_ref)
+        dw2_ref[:, :] = jnp.zeros_like(dw2_ref)
+        db2_ref[:, :] = jnp.zeros_like(db2_ref)
+
+    h_v = hv_ref[:]
+    wd = v_w1_ref.dtype
+    # value head backward: recompute v1, pad the scalar cotangent to col 0
+    fh = jnp.concatenate([feats_ref[:], h_v], axis=1)
+    v1 = jnp.dot(fh.astype(wd), v_w1_ref[:], preferred_element_type=f32) + v_b1_ref[:]
+    col = jax.lax.broadcasted_iota(jnp.int32, (bn, 128), 1)
+    dvb = dval_ref[:] * (col == 0).astype(f32)  # [bn, 128], col 0 real
+    dw2_ref[:, :] += _outer(v1, dvb, wd)
+    db2_ref[:, :] += jnp.sum(dvb, axis=0, keepdims=True)
+    dv1 = jax.lax.dot_general(
+        dvb.astype(wd), v_w2_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+    )  # [bn, H]
+    dw1_ref[:, :] += _outer(fh, dv1, wd)
+    db1_ref[:, :] += jnp.sum(dv1, axis=0, keepdims=True)
+    dfh = jax.lax.dot_general(
+        dv1.astype(wd), v_w1_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+    )  # [bn, F+H]
+    dfeat_ref[:, :] = dfh[:, :feat_dim]
+    dh_head = dfh[:, feat_dim:]
+
+    xh = jnp.concatenate([xv_ref[:], h_v], axis=1)
+    dgates, dxh, dc_prev = _cell_bwd(sdh[:], sdc[:], gv_ref[:], cv_ref[:], v_w_ref, hidden)
+    dw_ref[:, :] += _outer(xh, dgates, wd)
+    db_ref[:, :] += jnp.sum(dgates, axis=0, keepdims=True)
+    dxv_ref[:, :] = dxh[:, : xv_ref.shape[1]]
+
+    sdh[:] = dxh[:, xv_ref.shape[1] :] + dh_head
+    sdc[:] = dc_prev
+    dvh1_ref[:, :] = sdh[:]
+    dvc1_ref[:, :] = sdc[:]
+
+
+def _policy_bwd_pallas(
+    dlogp_sm, xp, hp, cp, gp, act_sm, p_w, p_hw, p_hb,
+    *, steps: int, bn: int, hidden: int, emb_dim: int, interpret: bool,
+):
+    n_pad = hp.shape[0] // steps
+    vp = p_hw.shape[1]
+    tiles = n_pad // bn
+    grid = (tiles, steps)
+    f32 = jnp.float32
+
+    vm = lambda shape, index_map: pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)  # noqa: E731
+    tile = lambda i, s: (i, 0)  # noqa: E731
+    whole = lambda i, s: (0, 0)  # noqa: E731
+    # reverse-time streams: grid step s touches real step steps-1-s
+    rev = lambda i, s: ((steps - 1 - s) * tiles + i, 0)  # noqa: E731
+
+    return pl.pallas_call(
+        functools.partial(_policy_bwd_kernel, hidden=hidden),
+        grid=grid,
+        in_specs=[
+            vm((bn, 1), rev),             # dlogp
+            vm((bn, emb_dim), rev),       # x_p
+            vm((bn, hidden), rev),        # h_p (entering)
+            vm((bn, hidden), rev),        # c_p (entering)
+            vm((bn, 4 * hidden), rev),    # gates
+            vm((bn, 1), rev),             # actions
+            vm((emb_dim + hidden, 4 * hidden), whole),
+            vm((hidden, vp), whole), vm((1, vp), whole),
+        ],
+        out_specs=(
+            vm((bn, emb_dim), rev),       # dx_p stream (real-step order)
+            vm((bn, hidden), tile), vm((bn, hidden), tile),  # d(ph1), d(pc1)
+            vm((emb_dim + hidden, 4 * hidden), whole), vm((1, 4 * hidden), whole),
+            vm((hidden, vp), whole), vm((1, vp), whole),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((steps * n_pad, emb_dim), f32),
+            jax.ShapeDtypeStruct((n_pad, hidden), f32),
+            jax.ShapeDtypeStruct((n_pad, hidden), f32),
+            jax.ShapeDtypeStruct((emb_dim + hidden, 4 * hidden), f32),
+            jax.ShapeDtypeStruct((1, 4 * hidden), f32),
+            jax.ShapeDtypeStruct((hidden, vp), f32),
+            jax.ShapeDtypeStruct((1, vp), f32),
+        ),
+        scratch_shapes=[pltpu.VMEM((bn, hidden), f32)] * 2,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(dlogp_sm, xp, hp, cp, gp, act_sm, p_w, p_hw, p_hb)
+
+
+def _value_bwd_pallas(
+    dval_sm, feats, xv, hv, cv, gv, v_w, v_w1, v_b1, v_w2,
+    *, steps: int, bn: int, hidden: int, emb_dim: int, interpret: bool,
+):
+    n_pad, feat_dim = feats.shape
+    tiles = n_pad // bn
+    grid = (tiles, steps)
+    f32 = jnp.float32
+
+    vm = lambda shape, index_map: pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)  # noqa: E731
+    tile = lambda i, s: (i, 0)  # noqa: E731
+    whole = lambda i, s: (0, 0)  # noqa: E731
+    rev = lambda i, s: ((steps - 1 - s) * tiles + i, 0)  # noqa: E731
+
+    return pl.pallas_call(
+        functools.partial(_value_bwd_kernel, hidden=hidden),
+        grid=grid,
+        in_specs=[
+            vm((bn, 1), rev),             # dvalue
+            vm((bn, feat_dim), tile),     # features
+            vm((bn, emb_dim), rev),       # x_v
+            vm((bn, hidden), rev),        # h_v (entering)
+            vm((bn, hidden), rev),        # c_v (entering)
+            vm((bn, 4 * hidden), rev),    # gates
+            vm((emb_dim + hidden, 4 * hidden), whole),
+            vm((feat_dim + hidden, hidden), whole), vm((1, hidden), whole),
+            vm((hidden, 128), whole),
+        ],
+        out_specs=(
+            vm((bn, emb_dim), rev),       # dx_v stream
+            vm((bn, feat_dim), rev),      # dfeat per step
+            vm((bn, hidden), tile), vm((bn, hidden), tile),  # d(vh1), d(vc1)
+            vm((emb_dim + hidden, 4 * hidden), whole), vm((1, 4 * hidden), whole),
+            vm((feat_dim + hidden, hidden), whole), vm((1, hidden), whole),
+            vm((hidden, 128), whole), vm((1, 128), whole),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((steps * n_pad, emb_dim), f32),
+            jax.ShapeDtypeStruct((steps * n_pad, feat_dim), f32),
+            jax.ShapeDtypeStruct((n_pad, hidden), f32),
+            jax.ShapeDtypeStruct((n_pad, hidden), f32),
+            jax.ShapeDtypeStruct((emb_dim + hidden, 4 * hidden), f32),
+            jax.ShapeDtypeStruct((1, 4 * hidden), f32),
+            jax.ShapeDtypeStruct((feat_dim + hidden, hidden), f32),
+            jax.ShapeDtypeStruct((1, hidden), f32),
+            jax.ShapeDtypeStruct((hidden, 128), f32),
+            jax.ShapeDtypeStruct((1, 128), f32),
+        ),
+        scratch_shapes=[pltpu.VMEM((bn, hidden), f32)] * 2,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(dval_sm, feats, xv, hv, cv, gv, v_w, v_w1, v_b1, v_w2)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_core(steps: int, bn: int, hidden: int, emb_dim: int, vp: int,
+               weight_dtype_name: str, interpret: bool):
+    """Factory: the custom-VJP'd rollout core for one static shape set.
+
+    The core's array arguments are the PADDED weight forms (built in
+    plain JAX by the public wrapper so pad/concat cotangents un-do
+    themselves under autodiff); bf16 casting happens inside, and the
+    hand-written backward returns f32 cotangents for every float input.
+    """
+    wd = jnp.bfloat16 if weight_dtype_name == "bfloat16" else jnp.float32
+    f32 = jnp.float32
+
+    def _run_fwd(curr, feats, ph1, pc1, vh1, vc1, teach_sm, gumbel_sm,
+                 p_emb, p_w, p_b, p_hw, p_hb,
+                 v_emb, v_w, v_b, v_w1, v_b1, v_w2, v_b2):
+        return _fwd_pallas(
+            curr, feats, ph1, pc1, vh1, vc1, teach_sm, gumbel_sm,
+            p_emb.astype(wd), p_w.astype(wd), p_b.astype(f32),
+            p_hw.astype(wd), p_hb.astype(f32),
+            v_emb.astype(wd), v_w.astype(wd), v_b.astype(f32),
+            v_w1.astype(wd), v_b1.astype(f32), v_w2.astype(wd), v_b2.astype(f32),
+            steps=steps, bn=bn, hidden=hidden, interpret=interpret,
+        )
+
+    @jax.custom_vjp
+    def core(curr, feats, ph1, pc1, vh1, vc1, teach_sm, gumbel_sm,
+             p_emb, p_w, p_b, p_hw, p_hb, v_emb, v_w, v_b, v_w1, v_b1, v_w2, v_b2):
+        outs = _run_fwd(curr, feats, ph1, pc1, vh1, vc1, teach_sm, gumbel_sm,
+                        p_emb, p_w, p_b, p_hw, p_hb,
+                        v_emb, v_w, v_b, v_w1, v_b1, v_w2, v_b2)
+        values, logps, actions, tokens = outs[:4]
+        return values, logps, actions, tokens
+
+    def core_fwd(curr, feats, ph1, pc1, vh1, vc1, teach_sm, gumbel_sm,
+                 p_emb, p_w, p_b, p_hw, p_hb, v_emb, v_w, v_b, v_w1, v_b1, v_w2, v_b2):
+        outs = _run_fwd(curr, feats, ph1, pc1, vh1, vc1, teach_sm, gumbel_sm,
+                        p_emb, p_w, p_b, p_hw, p_hb,
+                        v_emb, v_w, v_b, v_w1, v_b1, v_w2, v_b2)
+        (values, logps, actions, tokens,
+         xp, hp, cp, gp, xv, hv, cv, gv) = outs
+        res = (feats, actions, tokens, xp, hp, cp, gp, xv, hv, cv, gv,
+               p_w.astype(wd), p_hw.astype(wd), p_hb.astype(f32),
+               v_w.astype(wd), v_w1.astype(wd), v_b1.astype(f32), v_w2.astype(wd))
+        return (values, logps, actions, tokens), res
+
+    def core_bwd(res, cots):
+        import numpy as np
+
+        (feats, act_sm, tok_sm, xp, hp, cp, gp, xv, hv, cv, gv,
+         p_w_c, p_hw_c, p_hb_c, v_w_c, v_w1_c, v_b1_c, v_w2_c) = res
+        dvalues, dlogps, _, _ = cots  # int outputs carry no gradient
+
+        (dxp, dph1, dpc1, dpw, dpb, dphw, dphb) = _policy_bwd_pallas(
+            dlogps, xp, hp, cp, gp, act_sm, p_w_c, p_hw_c, p_hb_c,
+            steps=steps, bn=bn, hidden=hidden, emb_dim=emb_dim, interpret=interpret,
+        )
+        (dxv, dfeat_steps, dvh1, dvc1, dvw, dvb, dvw1, dvb1, dvw2, dvb2) = _value_bwd_pallas(
+            dvalues, feats, xv, hv, cv, gv, v_w_c, v_w1_c, v_b1_c, v_w2_c,
+            steps=steps, bn=bn, hidden=hidden, emb_dim=emb_dim, interpret=interpret,
+        )
+        # embedding-table scatter: tokens drove both encoders' inputs
+        tok_flat = tok_sm[:, 0]
+        dp_emb = jax.ops.segment_sum(dxp, tok_flat, num_segments=vp)
+        dv_emb = jax.ops.segment_sum(dxv, tok_flat, num_segments=vp)
+        # features cotangent: the value head reads feats every step
+        n_pad = feats.shape[0]
+        dfeats = jnp.sum(dfeat_steps.reshape(steps, n_pad, -1), axis=0)
+
+        fz = lambda x: np.zeros(x.shape, jax.dtypes.float0)  # noqa: E731 int args
+        return (
+            fz(jnp.zeros((1, 1), jnp.int32)),      # curr
+            dfeats,                                  # feats
+            dph1, dpc1, dvh1, dvc1,                  # initial states
+            fz(tok_sm),                              # teachers (int)
+            jnp.zeros((steps * n_pad, vp), f32),     # gumbel (no grad path)
+            dp_emb, dpw, dpb, dphw, dphb,
+            dv_emb, dvw, dvb, dvw1, dvb1, dvw2, dvb2,
+        )
+
+    core.defvjp(core_fwd, core_bwd)
+    return core
+
+
+def fused_rollout(
+    a2c_params: dict,
+    cfg,
+    features: jax.Array,
+    captions: jax.Array,
+    curr_seq_len: jax.Array,
+    rng: jax.Array,
+    block_n: int = 128,
+    weight_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Fused policy+value rollout; drop-in core of ``a2c_rollout_loss``.
+
+    Returns ``(values [N, S], log_probs [N, S], actions [N, S],
+    token_in [N, S])`` with S = max_seq_len - 1, differentiable wrt the
+    policy/value parameters through the hand-written Pallas VJP. The
+    frozen reward stream is computed by the caller from ``actions`` /
+    ``token_in`` (see ``train.steps.a2c_rollout_loss_fused``).
+    """
+    from ..models import policy as policy_mod
+    from ..models import value as value_mod
+    from ..ops.rnn import lstm_cell
+
+    pparams, vparams = a2c_params["policy"], a2c_params["value"]
+    n, t_max = captions.shape
+    steps = t_max - 1
+    hidden = cfg.hidden_dim
+    vocab, emb_dim = pparams["embedding"].shape
+    vp = _round_up(vocab, 128)
+    n_pad = _round_up(n, block_n)
+    f32 = jnp.float32
+
+    # init states in plain JAX (autodiff backprops them into cnn2linear
+    # and the start-token embedding rows through the core's cotangents)
+    start = captions[:, 0]
+    pol_state = policy_mod.init_decode_state(pparams, cfg, features)
+    ph1, pc1 = lstm_cell(pparams["lstm"], pparams["embedding"][start], pol_state,
+                         precision=cfg.precision)
+    vh1, vc1 = value_mod.rnn_step(vparams, cfg, start, value_mod.zero_rnn_state(cfg, n))
+
+    # Gumbel noise with jax.random.categorical's exact keys/shapes
+    step_keys = jax.random.split(rng, steps)
+    gumbel = jax.vmap(lambda k: jax.random.gumbel(k, (n, vocab), f32))(step_keys)
+
+    def pad_rows(x):
+        if n_pad == n:
+            return x
+        return jnp.concatenate(
+            [x, jnp.broadcast_to(x[-1:], (n_pad - n,) + x.shape[1:])], axis=0
+        )
+
+    feats_p = pad_rows(features.astype(f32))
+    ph1, pc1, vh1, vc1 = (pad_rows(x) for x in (ph1, pc1, vh1, vc1))
+    gum_p = jnp.zeros((steps, n_pad, vp), f32).at[:, :n, :vocab].set(gumbel)
+    gum_sm = gum_p.reshape(steps * n_pad, vp)
+    teach = pad_rows(captions[:, 1:].astype(jnp.int32))
+    teach_sm = jnp.swapaxes(teach, 0, 1).reshape(steps * n_pad, 1)
+    curr = jnp.full((1, 1), curr_seq_len, jnp.int32)
+
+    # padded weight forms via pad/concatenate (their transposes are
+    # slices, so the cotangents un-pad themselves; .at[].set scalar
+    # scatters break under JAX's transpose rule)
+    def pad_emb(e):
+        return jnp.pad(e.astype(f32), ((0, vp - vocab), (0, 0)))
+
+    p_w = jnp.concatenate([pparams["lstm"]["wi"], pparams["lstm"]["wh"]], axis=0)
+    v_w = jnp.concatenate([vparams["lstm"]["wi"], vparams["lstm"]["wh"]], axis=0)
+    p_hw = jnp.pad(pparams["head"]["w"], ((0, 0), (0, vp - vocab)))
+    p_hb = jnp.concatenate(
+        [pparams["head"]["b"][None, :], jnp.full((1, vp - vocab), _NEG, f32)], axis=1
+    )
+    v_w2 = jnp.pad(vparams["linear2"]["w"], ((0, 0), (0, 127)))
+    v_b2 = jnp.pad(vparams["linear2"]["b"][None, :], ((0, 0), (0, 127)))
+
+    core = _make_core(
+        steps, block_n, hidden, emb_dim, vp,
+        jnp.dtype(weight_dtype).name, interpret,
+    )
+    values, logps, actions, tokens = core(
+        curr, feats_p, ph1, pc1, vh1, vc1, teach_sm, gum_sm,
+        pad_emb(pparams["embedding"]), p_w, pparams["lstm"]["b"][None, :],
+        p_hw, p_hb,
+        pad_emb(vparams["embedding"]), v_w, vparams["lstm"]["b"][None, :],
+        vparams["linear1"]["w"], vparams["linear1"]["b"][None, :], v_w2, v_b2,
+    )
+
+    def unstream(x, dt):  # [S*n_pad, 1] -> [N, S]
+        return jnp.swapaxes(x.reshape(steps, n_pad), 0, 1)[:n].astype(dt)
+
+    return (
+        unstream(values, f32),
+        unstream(logps, f32),
+        unstream(actions, jnp.int32),
+        unstream(tokens, jnp.int32),
+    )

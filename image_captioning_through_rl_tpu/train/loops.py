@@ -293,6 +293,7 @@ def train_a2c_network(
     seed: int = 0,
     compat_batch_as_time: bool = False,
     resume: bool = False,
+    fused_rollout: bool = False,
 ):
     """Orchestrator (trainers.py:312-399): train or load the three
     sub-networks, freeze the reward net, then run (curriculum) A2C.
@@ -353,6 +354,7 @@ def train_a2c_network(
             train_data, a2c_params, rparams, tx, opt_state, cfg, plot_dir,
             all_save_paths, batch_size, epochs, seed=seed,
             compat_batch_as_time=compat_batch_as_time,
+            fused_rollout=fused_rollout,
         )
     else:
         curriculum = list(curriculum)
@@ -362,6 +364,7 @@ def train_a2c_network(
             train_data, a2c_params, rparams, tx, opt_state, cfg, plot_dir,
             all_save_paths, batch_size, epochs, curriculum, seed=seed,
             compat_batch_as_time=compat_batch_as_time,
+            fused_rollout=fused_rollout,
         )
 
     if is_main_process():
@@ -384,6 +387,7 @@ def a2c_training(
     compat_batch_as_time: bool = False,
     device_data: bool = True,
     chunk_steps: int = 8,
+    fused_rollout: bool = False,
 ):
     """Core A2C loop (trainers.py:402-500).
 
@@ -395,11 +399,13 @@ def a2c_training(
     writer = make_metrics_writer(plot_dir if is_main_process() else None)
     rng = np.random.default_rng(seed + 3)
     key = jax.random.PRNGKey(seed + 3)
-    step = steps.make_a2c_step(cfg, tx, per_step_mean=False, compat=compat_batch_as_time, donate=True)
+    fused_rollout = fused_rollout and not compat_batch_as_time and not cfg.bidirectional
+    step = steps.make_a2c_step(cfg, tx, per_step_mean=False, compat=compat_batch_as_time,
+                               donate=True, fused=fused_rollout)
     tables = _device_tables(train_data, device_data)
     use_chunks = chunk_steps > 1 and not compat_batch_as_time and tables is not None
     if use_chunks:
-        chunk_fn = steps.make_a2c_chunk_step(cfg, tx, per_step_mean=False)
+        chunk_fn = steps.make_a2c_chunk_step(cfg, tx, per_step_mean=False, fused=fused_rollout)
 
     state = {"best": float("inf"), "bar": None}
 
@@ -491,6 +497,7 @@ def a2c_curriculum_training(
     compat_batch_as_time: bool = False,
     device_data: bool = True,
     chunk_steps: int = 8,
+    fused_rollout: bool = False,
 ):
     """Curriculum A2C (trainers.py:503-616): per level, teacher-force the
     ground-truth prefix of length ``caplen - level`` and roll out the
@@ -505,11 +512,14 @@ def a2c_curriculum_training(
     writer = make_metrics_writer(plot_dir if is_main_process() else None)
     rng = np.random.default_rng(seed + 4)
     key = jax.random.PRNGKey(seed + 4)
-    step = steps.make_a2c_step(cfg, tx, per_step_mean=True, compat=compat_batch_as_time, donate=True)
+    fused_rollout = fused_rollout and not compat_batch_as_time and not cfg.bidirectional
+    step = steps.make_a2c_step(cfg, tx, per_step_mean=True, compat=compat_batch_as_time,
+                               donate=True, fused=fused_rollout)
     tables = _device_tables(train_data, device_data)
     use_chunks = chunk_steps > 1 and not compat_batch_as_time and tables is not None
     if use_chunks:
-        chunk_fn = steps.make_a2c_chunk_step(cfg, tx, per_step_mean=True, curriculum=True)
+        chunk_fn = steps.make_a2c_chunk_step(cfg, tx, per_step_mean=True, curriculum=True,
+                                             fused=fused_rollout)
 
     print_green("[Training] Training Advantage Actor-Critic Network")
     print_green(f"[Training] mode set to curriculum training using levels: {list(curriculum)}")

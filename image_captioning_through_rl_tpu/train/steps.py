@@ -104,6 +104,7 @@ def make_a2c_chunk_step(
     tx: optax.GradientTransformation,
     per_step_mean: bool = False,
     curriculum: bool = False,
+    fused: bool = False,
 ):
     """Chunked A2C update: ``k`` minibatch steps inside one jitted scan.
 
@@ -120,8 +121,16 @@ def make_a2c_chunk_step(
     ``continue`` (trainers.py:550) — no parameter/optimizer update, and
     a ``False`` entry in the returned validity mask so the host logs
     nothing for them. Returns ``(params, opt_state, stats, valid)``.
+
+    ``fused=True`` drives each minibatch through the Pallas rollout
+    kernels (TPU, unidirectional).
     """
-    rollout = a2c_rollout_loss_full if cfg.bidirectional else a2c_rollout_loss
+    if fused:
+        if cfg.bidirectional:
+            raise ValueError("fused rollout is unidirectional only")
+        rollout = a2c_rollout_loss_fused
+    else:
+        rollout = a2c_rollout_loss_full if cfg.bidirectional else a2c_rollout_loss
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def chunk(a2c_params, opt_state, reward_params, features, captions, curr_or_level, rng):
@@ -538,12 +547,92 @@ def a2c_rollout_loss_compat(
     return loss, stats
 
 
+def a2c_rollout_loss_fused(
+    a2c_params: dict,
+    cfg: NetConfig,
+    reward_params: dict,
+    features: jax.Array,
+    captions: jax.Array,
+    curr_seq_len: jax.Array,
+    caplen: jax.Array,
+    rng: jax.Array,
+    per_step_mean: bool = False,
+    block_n: int = 128,
+    weight_dtype=None,
+    interpret: bool = False,
+) -> Tuple[jax.Array, RolloutStats]:
+    """:func:`a2c_rollout_loss` with the policy+value rollout fused into
+    Pallas TPU kernels (ops/pallas_rollout.py, hand-written VJP).
+
+    Identical semantics: same Gumbel-max sampling keys (token parity
+    with the XLA rollout under the interpreter), same loss/mask math.
+    The frozen reward stream — stop-gradient by construction (Q7,
+    trainers.py:372-373) — runs as a plain XLA scan over the token and
+    action streams the kernel returns.
+    """
+    from ..ops.pallas_rollout import fused_rollout
+
+    if weight_dtype is None:
+        weight_dtype = jnp.bfloat16
+    n, t_max = captions.shape
+    values, log_probs, actions, tokens = fused_rollout(
+        a2c_params, cfg, features, captions, curr_seq_len, rng,
+        block_n=block_n, weight_dtype=weight_dtype, interpret=interpret,
+    )
+
+    # frozen reward stream (lookahead on the sampled action, then the
+    # placed token advances the carried GRU — mirrors the scan body)
+    start = captions[:, 0]
+    rew0 = gru_cell(
+        reward_params["gru"], reward_params["embedding"][start],
+        reward_mod.zero_rnn_state(cfg, n), precision=cfg.precision,
+    )
+    ve = jax.lax.stop_gradient(
+        dense(features, reward_params["visual_embed"], precision=cfg.precision)
+    )
+
+    def rbody(state, inp):
+        action, token = inp
+        after = gru_cell(
+            reward_params["gru"], reward_params["embedding"][action], state,
+            precision=cfg.precision,
+        )
+        se = dense(after, reward_params["semantic_embed"], precision=cfg.precision)
+        reward = jax.lax.stop_gradient(cosine_embedding_reward(ve, se))
+        state = gru_cell(
+            reward_params["gru"], reward_params["embedding"][token], state,
+            precision=cfg.precision,
+        )
+        return state, reward
+
+    _, rewards = jax.lax.scan(
+        rbody, rew0, (jnp.swapaxes(actions, 0, 1), jnp.swapaxes(tokens, 0, 1))
+    )
+    rewards = jnp.swapaxes(rewards, 0, 1)  # [N, S]
+
+    p_idx = jnp.arange(1, t_max)[None, :]
+    mask = ((p_idx >= curr_seq_len) & (p_idx <= caplen - 1)).astype(values.dtype)
+    mask = jnp.broadcast_to(mask, values.shape)
+    actor, critic = a2c_losses(
+        values, rewards, log_probs, step_mask=mask, per_step_mean=per_step_mean
+    )
+    loss = actor + critic
+    denom = jnp.maximum(jnp.sum(mask), 1.0)
+    stats = RolloutStats(
+        loss=loss, actor_loss=actor, critic_loss=critic,
+        mean_reward=jnp.sum(rewards * mask) / denom,
+        mean_advantage=jnp.sum((values - rewards) * mask) / denom,
+    )
+    return loss, stats
+
+
 def make_a2c_step(
     cfg: NetConfig,
     tx: optax.GradientTransformation,
     per_step_mean: bool = False,
     compat: bool = False,
     donate: bool = False,
+    fused: bool = False,
 ):
     """Builder for the jitted A2C update (plain or curriculum).
 
@@ -552,9 +641,16 @@ def make_a2c_step(
     selects the reference-exact batch-as-time rollout (quirk Q1).
     ``donate`` donates the params/opt-state buffers so Adam updates in
     place (training loops set it; keep it off when the caller reuses the
-    input pytrees after the call).
+    input pytrees after the call). ``fused`` runs the rollout through
+    the Pallas kernels with the hand-written VJP
+    (:func:`a2c_rollout_loss_fused`; TPU only, unidirectional,
+    non-compat).
     """
-    if compat:
+    if fused:
+        if compat or cfg.bidirectional:
+            raise ValueError("fused rollout is unidirectional, non-compat only")
+        rollout = a2c_rollout_loss_fused
+    elif compat:
         rollout = a2c_rollout_loss_compat
     else:
         rollout = a2c_rollout_loss_full if cfg.bidirectional else a2c_rollout_loss

@@ -1,0 +1,141 @@
+"""Fused A2C rollout kernels vs the XLA rollout (interpret mode).
+
+The fused forward must reproduce the XLA rollout bit-for-bit (same
+Gumbel keys -> same sampled actions -> same loss), and the hand-written
+Pallas VJP must match jax.grad of the XLA rollout on every parameter
+leaf at float-rounding tolerance.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from image_captioning_through_rl_tpu.config import NetConfig
+from image_captioning_through_rl_tpu.models import a2c, reward
+from image_captioning_through_rl_tpu.train import optim, steps
+
+CFG = NetConfig(
+    vocab_size=30, input_dim=10, wordvec_dim=12, hidden_dim=14,
+    max_seq_len=9, precision="highest",
+)
+N = 8
+
+
+def _setup(rng_np, n=N):
+    params = a2c.init(jax.random.PRNGKey(0), CFG)
+    rparams = reward.init(jax.random.PRNGKey(1), CFG)
+    feats = jnp.asarray(rng_np.standard_normal((n, CFG.input_dim)).astype(np.float32))
+    caps = rng_np.integers(4, CFG.vocab_size, size=(n, CFG.max_seq_len)).astype(np.int32)
+    caps[:, 0] = 1
+    caps[:, -1] = 2
+    return params, rparams, feats, jnp.asarray(caps)
+
+
+def _fused(params, rparams, feats, caps, curr, key, **kw):
+    return steps.a2c_rollout_loss_fused(
+        params, CFG, rparams, feats, caps, jnp.int32(curr),
+        jnp.int32(CFG.max_seq_len), key,
+        block_n=8, weight_dtype=jnp.float32, interpret=True, **kw,
+    )
+
+
+def _xla(params, rparams, feats, caps, curr, key, **kw):
+    return steps.a2c_rollout_loss(
+        params, CFG, rparams, feats, caps, jnp.int32(curr),
+        jnp.int32(CFG.max_seq_len), key, **kw,
+    )
+
+
+def test_fused_rollout_forward_matches_xla_exactly(rng_np):
+    """Same keys -> same sampled trajectory -> identical loss/stats."""
+    params, rparams, feats, caps = _setup(rng_np)
+    key = jax.random.PRNGKey(5)
+    ref_loss, ref_stats = _xla(params, rparams, feats, caps, 1, key)
+    got_loss, got_stats = _fused(params, rparams, feats, caps, 1, key)
+    np.testing.assert_allclose(float(got_loss), float(ref_loss), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(got_stats.mean_reward), float(ref_stats.mean_reward), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(got_stats.mean_advantage), float(ref_stats.mean_advantage), rtol=1e-6)
+
+
+def test_fused_rollout_grads_match_jax_autodiff(rng_np):
+    """The hand-written Pallas VJP vs jax.grad of the XLA rollout: every
+    policy and value parameter leaf."""
+    params, rparams, feats, caps = _setup(rng_np)
+    key = jax.random.PRNGKey(6)
+    g_ref = jax.grad(lambda p: _xla(p, rparams, feats, caps, 1, key)[0])(params)
+    g_got = jax.grad(lambda p: _fused(p, rparams, feats, caps, 1, key)[0])(params)
+    for (path, a), (_, b) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(g_ref), key=lambda t: str(t[0])),
+        sorted(jax.tree_util.tree_leaves_with_path(g_got), key=lambda t: str(t[0])),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-6,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}",
+        )
+
+
+def test_fused_rollout_curriculum_and_per_step_mean(rng_np):
+    """Teacher-forced prefixes (curr_seq_len > 1) and the curriculum's
+    per-step-mean loss reduce identically, including gradients."""
+    params, rparams, feats, caps = _setup(rng_np)
+    key = jax.random.PRNGKey(7)
+    kw = dict(per_step_mean=True)
+    ref_loss, _ = _xla(params, rparams, feats, caps, 5, key, **kw)
+    got_loss, _ = _fused(params, rparams, feats, caps, 5, key, **kw)
+    np.testing.assert_allclose(float(got_loss), float(ref_loss), rtol=1e-6)
+    g_ref = jax.grad(lambda p: _xla(p, rparams, feats, caps, 5, key, **kw)[0])(params)
+    g_got = jax.grad(lambda p: _fused(p, rparams, feats, caps, 5, key, **kw)[0])(params)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_got)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-6)
+
+
+def test_fused_rollout_pads_ragged_batch(rng_np):
+    """Batch not a multiple of block_n: padded rows must not perturb the
+    real rows' loss or gradients."""
+    params, rparams, feats, caps = _setup(rng_np, n=5)  # block_n=8 pads to 8
+    key = jax.random.PRNGKey(8)
+    ref_loss, _ = _xla(params, rparams, feats, caps, 1, key)
+    got_loss, _ = _fused(params, rparams, feats, caps, 1, key)
+    np.testing.assert_allclose(float(got_loss), float(ref_loss), rtol=1e-6)
+    g_ref = jax.grad(lambda p: _xla(p, rparams, feats, caps, 1, key)[0])(params)
+    g_got = jax.grad(lambda p: _fused(p, rparams, feats, caps, 1, key)[0])(params)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_got)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-6)
+
+
+def test_fused_step_trains(rng_np):
+    """make_a2c_step(fused=True) integrates with the optimizer: params
+    update and the loss stays finite over steps."""
+    params, rparams, feats, caps = _setup(rng_np)
+    tx = optim.adam(1e-3)
+    # interpret-mode fused step (CPU): patch the rollout's kernel flags
+    import functools
+
+    step = steps.make_a2c_step(CFG, tx, fused=True)
+    # the builder's jitted step calls a2c_rollout_loss_fused with default
+    # (compiled) kernels; on CPU force interpret through a small wrapper
+    import optax
+
+    @jax.jit
+    def istep(p, o, rp, f, c, key):
+        (loss, stats), grads = jax.value_and_grad(
+            functools.partial(
+                steps.a2c_rollout_loss_fused, block_n=8,
+                weight_dtype=jnp.float32, interpret=True,
+            ),
+            has_aux=True,
+        )(p, CFG, rp, f, c, jnp.int32(1), jnp.int32(CFG.max_seq_len), key)
+        updates, o = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, stats
+
+    opt = tx.init(params)
+    key = jax.random.PRNGKey(9)
+    p = params
+    for i in range(3):
+        p, opt, stats = istep(p, opt, rparams, feats, caps, jax.random.fold_in(key, i))
+        assert np.isfinite(float(stats.loss))
+    changed = jax.tree.map(lambda a, b: not np.allclose(a, b), params, p)
+    assert any(jax.tree.leaves(changed))

@@ -32,6 +32,7 @@ def _args(coco_dir, workdir, **over):
         pretrained_word2vec="none", train_word2vec="none",
         data_dir=coco_dir, seed=0, faithful_beam=False,
         compat_batch_as_time=False, resume=False, compat_dump=False,
+        fused_rollout=False,
     )
     base.update(over)
     return types.SimpleNamespace(**base)

@@ -146,9 +146,51 @@ def bench_torch_cpu() -> float:
     return TORCH_BATCH * iters / dt
 
 
+def bench_a2c_step() -> float:
+    """A2C training steps/sec at 512 episodes (BASELINE's second metric:
+    'A2C step time at speed-of-light on one v5e'). Uses the fused Pallas
+    rollout when it runs (TPU), else the XLA scan rollout."""
+    import jax
+    import jax.numpy as jnp
+
+    from image_captioning_through_rl_tpu.config import NetConfig
+    from image_captioning_through_rl_tpu.models import a2c, reward
+    from image_captioning_through_rl_tpu.train import optim, steps
+
+    cfg = NetConfig(vocab_size=VOCAB, input_dim=FEAT, wordvec_dim=HID, hidden_dim=HID)
+    params = a2c.init(jax.random.PRNGKey(0), cfg)
+    rparams = reward.init(jax.random.PRNGKey(1), cfg)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.standard_normal((512, FEAT), dtype=np.float32))
+    caps = rng.integers(4, VOCAB, size=(512, T)).astype(np.int32)
+    caps[:, 0] = 1
+    caps[:, -1] = 2
+    caps = jnp.asarray(caps)
+    tx = optim.adam(1e-4)
+    opt = tx.init(params)
+    key = jax.random.PRNGKey(7)
+
+    def measure(step):
+        for _ in range(8):
+            out = step(params, opt, rparams, feats, caps, jnp.int32(1), key)
+        np.asarray(out[2].loss)
+        iters = 30
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = step(params, opt, rparams, feats, caps, jnp.int32(1), key)
+        np.asarray(out[2].loss)
+        return iters / (time.perf_counter() - t0)
+
+    try:
+        return measure(steps.make_a2c_step(cfg, tx, fused=True))
+    except Exception:
+        return measure(steps.make_a2c_step(cfg, tx))
+
+
 def main() -> None:
     jax_cps, fused_ok = bench_jax()
     torch_cps = bench_torch_cpu()
+    a2c_sps = bench_a2c_step()
     # Batch note: JAX runs 8192/dispatch (one chip's serving batch);
     # torch-CPU runs 128 (larger batches only slow eager CPU further, so
     # this favors the baseline). Rates are per-caption, batch-amortized.
@@ -158,6 +200,7 @@ def main() -> None:
         "unit": "captions/sec/chip",
         "vs_baseline": round(jax_cps / torch_cps, 2),
         "fused_ok": fused_ok,
+        "a2c_steps_per_sec_512ep": round(a2c_sps, 2),
     }))
 
 

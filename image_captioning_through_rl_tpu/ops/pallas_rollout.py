@@ -76,7 +76,7 @@ def _rollout_fwd_kernel(
     v_emb_ref, v_w_ref, v_b_ref, v_w1_ref, v_b1_ref, v_w2_ref, v_b2_ref,
     # outputs
     val_ref, logp_ref, act_ref, tok_ref,
-    xp_ref, hp_ref, cp_ref, gp_ref, xv_ref, hv_ref, cv_ref, gv_ref,
+    hp_ref, cp_ref, gp_ref, hv_ref, cv_ref, gv_ref,
     # scratch (persist across the step axis of the grid)
     sph, spc, svh, svc,
     *, hidden: int,
@@ -135,7 +135,6 @@ def _rollout_fwd_kernel(
     # 6) advance policy
     hot_t = (col_v == token).astype(wd)
     x_p = jnp.dot(hot_t, p_emb_ref[:], preferred_element_type=f32)
-    xp_ref[:, :] = x_p
     i, f, g, o = _lstm_gates(
         jnp.concatenate([x_p, h_p], axis=1), p_w_ref[:], p_b_ref[:], hidden
     )
@@ -146,7 +145,6 @@ def _rollout_fwd_kernel(
 
     # 7) advance value
     x_v = jnp.dot(hot_t, v_emb_ref[:], preferred_element_type=f32)
-    xv_ref[:, :] = x_v
     i, f, g, o = _lstm_gates(
         jnp.concatenate([x_v, h_v], axis=1), v_w_ref[:], v_b_ref[:], hidden
     )
@@ -176,15 +174,13 @@ def _fwd_pallas(
 
     out_shape = (
         row(1), row(1), row(1, jnp.int32), row(1, jnp.int32),  # value, logp, action, token
-        row(emb_dim), row(hidden), row(hidden), row(4 * hidden),  # x_p, h_p, c_p, gates_p
-        row(emb_dim), row(hidden), row(hidden), row(4 * hidden),  # x_v, h_v, c_v, gates_v
+        row(hidden), row(hidden), row(4 * hidden),  # h_p, c_p, gates_p
+        row(hidden), row(hidden), row(4 * hidden),  # h_v, c_v, gates_v
     )
     out_specs = (
         vm((bn, 1), stream), vm((bn, 1), stream), vm((bn, 1), stream), vm((bn, 1), stream),
-        vm((bn, emb_dim), stream), vm((bn, hidden), stream),
-        vm((bn, hidden), stream), vm((bn, 4 * hidden), stream),
-        vm((bn, emb_dim), stream), vm((bn, hidden), stream),
-        vm((bn, hidden), stream), vm((bn, 4 * hidden), stream),
+        vm((bn, hidden), stream), vm((bn, hidden), stream), vm((bn, 4 * hidden), stream),
+        vm((bn, hidden), stream), vm((bn, hidden), stream), vm((bn, 4 * hidden), stream),
     )
     in_specs = [
         vm((1, 1), whole),                     # curr_seq_len
@@ -269,8 +265,8 @@ def _outer(a, b, wd):
 
 def _policy_bwd_kernel(
     # inputs (streams feed REVERSED: grid step s reads real step S-1-s)
-    dlogp_ref, xp_ref, hp_ref, cp_ref, gp_ref, act_ref,
-    p_w_ref, p_hw_ref, p_hb_ref,
+    dlogp_ref, hp_ref, cp_ref, gp_ref, act_ref, tok_ref,
+    p_emb_ref, p_w_ref, p_hw_ref, p_hb_ref,
     # outputs
     dxp_ref, dph1_ref, dpc1_ref, dw_ref, db_ref, dhw_ref, dhb_ref,
     # scratch
@@ -317,14 +313,18 @@ def _policy_bwd_kernel(
         preferred_element_type=f32,
     )  # [bn, H]
 
-    # cell backward for this step's advance
-    xh = jnp.concatenate([xp_ref[:], h_p], axis=1)
+    # cell backward for this step's advance; the cell input is
+    # recomputed exactly (one-hot matmul on the same-dtype table)
+    x_p = jnp.dot((col_v == tok_ref[:]).astype(wd), p_emb_ref[:],
+                  preferred_element_type=f32)
+    emb_dim = x_p.shape[1]
+    xh = jnp.concatenate([x_p, h_p], axis=1)
     dgates, dxh, dc_prev = _cell_bwd(sdh[:], sdc[:], gp_ref[:], cp_ref[:], p_w_ref, hidden)
     dw_ref[:, :] += _outer(xh, dgates, wd)
     db_ref[:, :] += jnp.sum(dgates, axis=0, keepdims=True)
-    dxp_ref[:, :] = dxh[:, : xp_ref.shape[1]]
+    dxp_ref[:, :] = dxh[:, :emb_dim]
 
-    sdh[:] = dxh[:, xp_ref.shape[1] :] + dh_head
+    sdh[:] = dxh[:, emb_dim:] + dh_head
     sdc[:] = dc_prev
     # after the earliest step, the carry is the cotangent of (ph1, pc1)
     dph1_ref[:, :] = sdh[:]
@@ -332,8 +332,8 @@ def _policy_bwd_kernel(
 
 
 def _value_bwd_kernel(
-    dval_ref, feats_ref, xv_ref, hv_ref, cv_ref, gv_ref,
-    v_w_ref, v_w1_ref, v_b1_ref, v_w2_ref,
+    dval_ref, feats_ref, hv_ref, cv_ref, gv_ref, tok_ref,
+    v_emb_ref, v_w_ref, v_w1_ref, v_b1_ref, v_w2_ref,
     dxv_ref, dfeat_ref, dvh1_ref, dvc1_ref,
     dw_ref, db_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
     sdh, sdc,
@@ -383,20 +383,25 @@ def _value_bwd_kernel(
     dfeat_ref[:, :] = dfh[:, :feat_dim]
     dh_head = dfh[:, feat_dim:]
 
-    xh = jnp.concatenate([xv_ref[:], h_v], axis=1)
+    vp = v_emb_ref.shape[0]
+    col_v = jax.lax.broadcasted_iota(jnp.int32, (bn, vp), 1)
+    x_v = jnp.dot((col_v == tok_ref[:]).astype(wd), v_emb_ref[:],
+                  preferred_element_type=f32)
+    emb_dim = x_v.shape[1]
+    xh = jnp.concatenate([x_v, h_v], axis=1)
     dgates, dxh, dc_prev = _cell_bwd(sdh[:], sdc[:], gv_ref[:], cv_ref[:], v_w_ref, hidden)
     dw_ref[:, :] += _outer(xh, dgates, wd)
     db_ref[:, :] += jnp.sum(dgates, axis=0, keepdims=True)
-    dxv_ref[:, :] = dxh[:, : xv_ref.shape[1]]
+    dxv_ref[:, :] = dxh[:, :emb_dim]
 
-    sdh[:] = dxh[:, xv_ref.shape[1] :] + dh_head
+    sdh[:] = dxh[:, emb_dim:] + dh_head
     sdc[:] = dc_prev
     dvh1_ref[:, :] = sdh[:]
     dvc1_ref[:, :] = sdc[:]
 
 
 def _policy_bwd_pallas(
-    dlogp_sm, xp, hp, cp, gp, act_sm, p_w, p_hw, p_hb,
+    dlogp_sm, hp, cp, gp, act_sm, tok_sm, p_emb, p_w, p_hw, p_hb,
     *, steps: int, bn: int, hidden: int, emb_dim: int, interpret: bool,
 ):
     n_pad = hp.shape[0] // steps
@@ -416,11 +421,12 @@ def _policy_bwd_pallas(
         grid=grid,
         in_specs=[
             vm((bn, 1), rev),             # dlogp
-            vm((bn, emb_dim), rev),       # x_p
             vm((bn, hidden), rev),        # h_p (entering)
             vm((bn, hidden), rev),        # c_p (entering)
             vm((bn, 4 * hidden), rev),    # gates
             vm((bn, 1), rev),             # actions
+            vm((bn, 1), rev),             # placed tokens
+            vm((vp, emb_dim), whole),     # embedding (x recompute)
             vm((emb_dim + hidden, 4 * hidden), whole),
             vm((hidden, vp), whole), vm((1, vp), whole),
         ],
@@ -444,12 +450,12 @@ def _policy_bwd_pallas(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(dlogp_sm, xp, hp, cp, gp, act_sm, p_w, p_hw, p_hb)
+    )(dlogp_sm, hp, cp, gp, act_sm, tok_sm, p_emb, p_w, p_hw, p_hb)
 
 
 def _value_bwd_pallas(
-    dval_sm, feats, xv, hv, cv, gv, v_w, v_w1, v_b1, v_w2,
-    *, steps: int, bn: int, hidden: int, emb_dim: int, interpret: bool,
+    dval_sm, feats, hv, cv, gv, tok_sm, v_emb, v_w, v_w1, v_b1, v_w2,
+    *, steps: int, bn: int, hidden: int, emb_dim: int, vp: int, interpret: bool,
 ):
     n_pad, feat_dim = feats.shape
     tiles = n_pad // bn
@@ -467,10 +473,11 @@ def _value_bwd_pallas(
         in_specs=[
             vm((bn, 1), rev),             # dvalue
             vm((bn, feat_dim), tile),     # features
-            vm((bn, emb_dim), rev),       # x_v
             vm((bn, hidden), rev),        # h_v (entering)
             vm((bn, hidden), rev),        # c_v (entering)
             vm((bn, 4 * hidden), rev),    # gates
+            vm((bn, 1), rev),             # placed tokens
+            vm((vp, emb_dim), whole),     # embedding (x recompute)
             vm((emb_dim + hidden, 4 * hidden), whole),
             vm((feat_dim + hidden, hidden), whole), vm((1, hidden), whole),
             vm((hidden, 128), whole),
@@ -500,7 +507,7 @@ def _value_bwd_pallas(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(dval_sm, feats, xv, hv, cv, gv, v_w, v_w1, v_b1, v_w2)
+    )(dval_sm, feats, hv, cv, gv, tok_sm, v_emb, v_w, v_w1, v_b1, v_w2)
 
 
 @functools.lru_cache(maxsize=None)
@@ -543,26 +550,28 @@ def _make_core(steps: int, bn: int, hidden: int, emb_dim: int, vp: int,
                         p_emb, p_w, p_b, p_hw, p_hb,
                         v_emb, v_w, v_b, v_w1, v_b1, v_w2, v_b2)
         (values, logps, actions, tokens,
-         xp, hp, cp, gp, xv, hv, cv, gv) = outs
-        res = (feats, actions, tokens, xp, hp, cp, gp, xv, hv, cv, gv,
-               p_w.astype(wd), p_hw.astype(wd), p_hb.astype(f32),
-               v_w.astype(wd), v_w1.astype(wd), v_b1.astype(f32), v_w2.astype(wd))
+         hp, cp, gp, hv, cv, gv) = outs
+        res = (feats, actions, tokens, hp, cp, gp, hv, cv, gv,
+               p_emb.astype(wd), p_w.astype(wd), p_hw.astype(wd), p_hb.astype(f32),
+               v_emb.astype(wd), v_w.astype(wd), v_w1.astype(wd),
+               v_b1.astype(f32), v_w2.astype(wd))
         return (values, logps, actions, tokens), res
 
     def core_bwd(res, cots):
         import numpy as np
 
-        (feats, act_sm, tok_sm, xp, hp, cp, gp, xv, hv, cv, gv,
-         p_w_c, p_hw_c, p_hb_c, v_w_c, v_w1_c, v_b1_c, v_w2_c) = res
+        (feats, act_sm, tok_sm, hp, cp, gp, hv, cv, gv,
+         p_emb_c, p_w_c, p_hw_c, p_hb_c, v_emb_c, v_w_c, v_w1_c, v_b1_c,
+         v_w2_c) = res
         dvalues, dlogps, _, _ = cots  # int outputs carry no gradient
 
         (dxp, dph1, dpc1, dpw, dpb, dphw, dphb) = _policy_bwd_pallas(
-            dlogps, xp, hp, cp, gp, act_sm, p_w_c, p_hw_c, p_hb_c,
+            dlogps, hp, cp, gp, act_sm, tok_sm, p_emb_c, p_w_c, p_hw_c, p_hb_c,
             steps=steps, bn=bn, hidden=hidden, emb_dim=emb_dim, interpret=interpret,
         )
         (dxv, dfeat_steps, dvh1, dvc1, dvw, dvb, dvw1, dvb1, dvw2, dvb2) = _value_bwd_pallas(
-            dvalues, feats, xv, hv, cv, gv, v_w_c, v_w1_c, v_b1_c, v_w2_c,
-            steps=steps, bn=bn, hidden=hidden, emb_dim=emb_dim, interpret=interpret,
+            dvalues, feats, hv, cv, gv, tok_sm, v_emb_c, v_w_c, v_w1_c, v_b1_c, v_w2_c,
+            steps=steps, bn=bn, hidden=hidden, emb_dim=emb_dim, vp=vp, interpret=interpret,
         )
         # embedding-table scatter: tokens drove both encoders' inputs
         tok_flat = tok_sm[:, 0]

@@ -140,7 +140,9 @@ def main(args):
             seed=args.seed,
             compat_batch_as_time=args.compat_batch_as_time,
             resume=args.resume,
-            fused_rollout=args.fused_rollout,
+            # flag forces the kernels on; default = auto-probe (fused on
+            # TPU after loss agreement with the XLA rollout, else XLA)
+            fused_rollout=True if args.fused_rollout else None,
         )
         print_green("[Info] A2C Network trained")
 
@@ -216,8 +218,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true", default=False,
                    help="Resume A2C training from the last per-epoch checkpoint")
     p.add_argument("--fused_rollout", action="store_true", default=False,
-                   help="Train A2C with the fused Pallas rollout kernels "
-                        "(TPU, unidirectional; ~1.5x the XLA step)")
+                   help="Force the fused Pallas rollout kernels for A2C training "
+                        "(TPU, unidirectional; ~1.5x the XLA step). Default is "
+                        "auto: probe once, use them when they verify")
     return p
 
 

@@ -625,6 +625,13 @@ def fused_rollout(
     hidden = cfg.hidden_dim
     vocab, emb_dim = pparams["embedding"].shape
     vp = _round_up(vocab, 128)
+    # adaptive tile size: small batches take small tiles — a SINGLE grid
+    # tile at block 128 exceeds the ~16 MB scoped-VMEM limit (weights +
+    # stream double-buffers), while multi-tile grids fit; measured OOM
+    # at (tiles=1, bn=128), fine at (tiles>=2, bn=128) and (tiles=1, bn<=32)
+    block_n = min(block_n, max(8, _round_up(n, 8)))
+    if _round_up(n, block_n) == block_n and block_n > 32:
+        block_n = 32
     n_pad = _round_up(n, block_n)
     f32 = jnp.float32
 

@@ -293,7 +293,7 @@ def train_a2c_network(
     seed: int = 0,
     compat_batch_as_time: bool = False,
     resume: bool = False,
-    fused_rollout: bool = False,
+    fused_rollout=None,
 ):
     """Orchestrator (trainers.py:312-399): train or load the three
     sub-networks, freeze the reward net, then run (curriculum) A2C.
@@ -372,6 +372,31 @@ def train_a2c_network(
     return a2c_params, rparams, cfg
 
 
+
+
+def _probe_fused_rollout(cfg: NetConfig, a2c_params, reward_params) -> bool:
+    """Auto-dispatch probe for the fused training kernels: compile and
+    run one tiny fused rollout loss and require agreement with the XLA
+    rollout (same keys -> same sampled trajectory; loss differences are
+    bf16-accumulation-order level, measured ~1e-4). Returns False on
+    CPU or when Mosaic lowering fails, so auto mode degrades cleanly."""
+    if jax.devices()[0].platform == "cpu":
+        return False
+    try:
+        rng = np.random.default_rng(0)
+        feats = jnp.asarray(rng.standard_normal((8, cfg.input_dim), dtype=np.float32))
+        caps = rng.integers(4, cfg.vocab_size, size=(8, cfg.max_seq_len)).astype(np.int32)
+        caps[:, 0] = 1
+        caps[:, -1] = 2
+        caps = jnp.asarray(caps)
+        args = (a2c_params, cfg, reward_params, feats, caps,
+                jnp.int32(1), jnp.int32(cfg.max_seq_len), jax.random.PRNGKey(0))
+        lf, _ = steps.a2c_rollout_loss_fused(*args)
+        lx, _ = steps.a2c_rollout_loss(*args)
+        return bool(abs(float(lf) - float(lx)) <= 1e-2 * max(1.0, abs(float(lx))))
+    except Exception:
+        return False
+
 def a2c_training(
     train_data: CocoData,
     a2c_params,
@@ -387,7 +412,7 @@ def a2c_training(
     compat_batch_as_time: bool = False,
     device_data: bool = True,
     chunk_steps: int = 8,
-    fused_rollout: bool = False,
+    fused_rollout=None,
 ):
     """Core A2C loop (trainers.py:402-500).
 
@@ -399,7 +424,12 @@ def a2c_training(
     writer = make_metrics_writer(plot_dir if is_main_process() else None)
     rng = np.random.default_rng(seed + 3)
     key = jax.random.PRNGKey(seed + 3)
-    fused_rollout = fused_rollout and not compat_batch_as_time and not cfg.bidirectional
+    if compat_batch_as_time or cfg.bidirectional:
+        fused_rollout = False
+    elif fused_rollout is None:  # auto: fused kernels when they verify
+        fused_rollout = _probe_fused_rollout(cfg, a2c_params, reward_params)
+        print_green(f"[Training] fused rollout kernels "
+                    f"{'verified — training with Pallas rollout' if fused_rollout else 'unavailable — XLA rollout'}")
     step = steps.make_a2c_step(cfg, tx, per_step_mean=False, compat=compat_batch_as_time,
                                donate=True, fused=fused_rollout)
     tables = _device_tables(train_data, device_data)
@@ -497,7 +527,7 @@ def a2c_curriculum_training(
     compat_batch_as_time: bool = False,
     device_data: bool = True,
     chunk_steps: int = 8,
-    fused_rollout: bool = False,
+    fused_rollout=None,
 ):
     """Curriculum A2C (trainers.py:503-616): per level, teacher-force the
     ground-truth prefix of length ``caplen - level`` and roll out the
@@ -512,7 +542,12 @@ def a2c_curriculum_training(
     writer = make_metrics_writer(plot_dir if is_main_process() else None)
     rng = np.random.default_rng(seed + 4)
     key = jax.random.PRNGKey(seed + 4)
-    fused_rollout = fused_rollout and not compat_batch_as_time and not cfg.bidirectional
+    if compat_batch_as_time or cfg.bidirectional:
+        fused_rollout = False
+    elif fused_rollout is None:  # auto: fused kernels when they verify
+        fused_rollout = _probe_fused_rollout(cfg, a2c_params, reward_params)
+        print_green(f"[Training] fused rollout kernels "
+                    f"{'verified — training with Pallas rollout' if fused_rollout else 'unavailable — XLA rollout'}")
     step = steps.make_a2c_step(cfg, tx, per_step_mean=True, compat=compat_batch_as_time,
                                donate=True, fused=fused_rollout)
     tables = _device_tables(train_data, device_data)

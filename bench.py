@@ -97,7 +97,7 @@ def bench_jax():
 
         vparams = value.init(jax.random.PRNGKey(1), cfg)
         btoks, _ = fused_beam_search(
-            tparams, vparams, feats[:127], start[:127], max_len=T, beam=5, block_n=8
+            tparams, vparams, feats[:127], start[:127], max_len=T, beam=5, block_n=16
         )
         beam_ran = np.asarray(btoks).shape == (127, 5, T)
         fused_ok = greedy_exact and beam_ran

@@ -31,6 +31,8 @@ def make_shard_map_a2c_step(
     mesh: Mesh,
     per_step_mean: bool = False,
     data_axis: str = "data",
+    fused: bool = False,
+    interpret: bool = False,
 ):
     """A2C update as a shard_map program: batch sharded over ``data``,
     params/opt-state replicated, gradients psum-reduced explicitly.
@@ -38,11 +40,25 @@ def make_shard_map_a2c_step(
     The per-device rng key folds in the device index so rollout
     sampling matches the single-device program run on the same global
     batch (each shard consumes its own slice of fold-in space).
+
+    ``fused=True`` runs each shard's rollout through the Pallas kernels
+    (ops/pallas_rollout.py) — data-parallel training of the custom
+    kernel path, with the same explicit psum; ``interpret`` drives the
+    kernels through the Pallas interpreter (CPU-mesh testing).
     """
-    rollout = (
-        steps_mod.a2c_rollout_loss_full if cfg.bidirectional
-        else steps_mod.a2c_rollout_loss
-    )
+    if fused:
+        if cfg.bidirectional:
+            raise ValueError("fused rollout is unidirectional only")
+        rollout = functools.partial(
+            steps_mod.a2c_rollout_loss_fused,
+            block_n=32 if interpret else 128, interpret=interpret,
+            weight_dtype=jnp.float32 if interpret else None,
+        )
+    else:
+        rollout = (
+            steps_mod.a2c_rollout_loss_full if cfg.bidirectional
+            else steps_mod.a2c_rollout_loss
+        )
 
     def per_device(a2c_params, opt_state, reward_params, features, captions,
                    curr_seq_len, caplen, rng):

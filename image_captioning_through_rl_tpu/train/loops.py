@@ -736,7 +736,7 @@ def test_a2c_network(
 
                 return fused_beam_search(
                     a2c_params["policy"], a2c_params["value"], f, s,
-                    max_len=dcfg.max_seq_len, beam=dcfg.beam_size, block_n=8,
+                    max_len=dcfg.max_seq_len, beam=dcfg.beam_size, block_n=16,
                 )
 
             if use_fused_kernel:  # explicitly forced

@@ -83,3 +83,37 @@ def test_shard_map_matches_auto_spmd_gradient_structure(rng_np):
     np.testing.assert_allclose(float(s_sm.loss), float(s_auto.loss), rtol=1e-5, atol=1e-6)
     for a, b in zip(jax.tree.leaves(p_sm), jax.tree.leaves(p_auto)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_shard_map_fused_rollout_matches_xla_rollout(rng_np):
+    """DP shard_map with the fused Pallas rollout kernels (interpreted on
+    the CPU mesh): identical update to the shard_map XLA-rollout step —
+    the kernels' forward is trajectory-exact and the VJP matches
+    jax.grad, so the psum-reduced gradients agree."""
+    feats = jnp.asarray(rand_features(rng_np, N, CFG.input_dim))
+    caps = rand_captions(rng_np, N, CFG.max_seq_len, VOCAB).astype(np.int32)
+    caps[:, -1] = 2
+    caps = jnp.asarray(caps)
+    params = a2c.init(jax.random.PRNGKey(0), CFG)
+    rparams = reward.init(jax.random.PRNGKey(1), CFG)
+    tx = optim.adam(1e-4)
+    mesh = make_mesh((8,), ("data",))
+
+    params_r = replicate(mesh, params)
+    rparams_r = replicate(mesh, rparams)
+    feats_s, caps_s = shard_batch(mesh, feats, caps)
+
+    ref_step = make_shard_map_a2c_step(CFG, tx, mesh)
+    got_step = make_shard_map_a2c_step(CFG, tx, mesh, fused=True, interpret=True)
+    key = jax.random.PRNGKey(2)
+    ref_params, _, ref_stats = ref_step(
+        params_r, replicate(mesh, tx.init(params)), rparams_r, feats_s, caps_s,
+        jnp.int32(1), key,
+    )
+    got_params, _, got_stats = got_step(
+        params_r, replicate(mesh, tx.init(params)), rparams_r, feats_s, caps_s,
+        jnp.int32(1), key,
+    )
+    np.testing.assert_allclose(float(got_stats.loss), float(ref_stats.loss), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(ref_params), jax.tree.leaves(got_params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-6)

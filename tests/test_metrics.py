@@ -55,7 +55,11 @@ def test_cider_identical_corpus_nonzero():
 
 
 def test_meteor_perfect_and_zero():
-    assert meteor({0: ["a b c"]}, {0: ["a b c"]}) > 0.9
+    # METEOR-1.5 en parameters (alpha=.85, beta=.2, gamma=.6) penalize
+    # even perfect short matches: 1 - 0.6*(1/3)**0.2 = 0.518 — the same
+    # scale the Java tool produces (human COCO METEOR is ~0.33)
+    np.testing.assert_allclose(
+        meteor({0: ["a b c"]}, {0: ["a b c"]}), 1 - 0.6 * (1 / 3) ** 0.2, rtol=1e-9)
     assert meteor({0: ["a b c"]}, {0: ["x y z"]}) == 0.0
 
 
@@ -107,7 +111,7 @@ def test_meteor_alignment_is_exact_on_adversarial_cases():
     ]
     for hyp_s, ref_s in cases:
         hyp, ref = hyp_s.split(), ref_s.split()
-        assert _align(hyp, ref) == _brute_force_align(hyp, ref)
+        assert _align(hyp, ref)[:2] == _brute_force_align(hyp, ref)
 
 
 def test_meteor_alignment_matches_brute_force_randomly():
@@ -120,7 +124,7 @@ def test_meteor_alignment_matches_brute_force_randomly():
     for _ in range(120):
         hyp = [rnd.choice(words) for _ in range(rnd.randint(1, 7))]
         ref = [rnd.choice(words) for _ in range(rnd.randint(1, 7))]
-        assert _align(hyp, ref) == _brute_force_align(hyp, ref), (hyp, ref)
+        assert _align(hyp, ref)[:2] == _brute_force_align(hyp, ref), (hyp, ref)
 
 
 def test_meteor_alignment_fast_on_repetitive_full_length():
@@ -133,7 +137,7 @@ def test_meteor_alignment_fast_on_repetitive_full_length():
     hyp = ("a b " * 9).split()[:17]
     ref = ("b a " * 9).split()[:17]
     t0 = time.perf_counter()
-    m, chunks = _align(hyp, ref)
+    m, chunks, _ = _align(hyp, ref)
     assert time.perf_counter() - t0 < 2.0
     assert m == 17 - 1  # 9 a's + 8 b's vs 9 b's + 8 a's -> 8 + 8
     # hyp[1:] ("b a b a ...", 16 tokens) == ref[:16] exactly -> the
@@ -163,3 +167,50 @@ def test_golden_parity_with_reference_results():
     )
     np.testing.assert_allclose(rouge_l(ref, hypo), 0.13655453262777192, rtol=1e-12)
     np.testing.assert_allclose(cider(ref, hypo), 0.20634003754324984, rtol=1e-12)
+
+
+def test_porter_stemmer_classic_vectors():
+    from image_captioning_through_rl_tpu.metrics.porter import porter_stem
+
+    vectors = {
+        "caresses": "caress", "ponies": "poni", "cats": "cat",
+        "agreed": "agre", "motoring": "motor", "hopping": "hop",
+        "filing": "file", "happy": "happi", "relational": "relat",
+        "digitizer": "digit", "vietnamization": "vietnam",
+        "hopefulness": "hope", "triplicate": "triplic",
+        "electriciti": "electr", "adjustable": "adjust",
+        "replacement": "replac", "adoption": "adopt", "activate": "activ",
+        "effective": "effect", "running": "run", "runs": "run",
+    }
+    for w, want in vectors.items():
+        assert porter_stem(w) == want, (w, porter_stem(w), want)
+
+
+def test_meteor_stem_module_aligns_inflections():
+    """The stem module (weight 0.6) matches inflected forms the exact
+    module misses, like METEOR-1.5's exact+stem configuration."""
+    from image_captioning_through_rl_tpu.metrics.meteor import _align
+
+    hyp = "the cats running fast".split()
+    ref = "the cat runs quickly".split()
+    matches, chunks, wsum = _align(hyp, ref)
+    assert matches == 3  # the (exact), cats~cat (stem), running~runs (stem)
+    assert wsum == 1.0 + 0.6 + 0.6
+    assert chunks == 1  # one contiguous run in both sentences
+
+    # resolution order: chunk count beats module weight — the crossed
+    # exact alignment (2 chunks, weight 2.0) loses to the in-order stem
+    # alignment (1 chunk, weight 1.2), exactly like METEOR's resolver
+    matches, chunks, wsum = _align("run running".split(), "running run".split())
+    assert (matches, chunks, wsum) == (2, 1, 1.2)
+
+    # at equal chunks, exact is preferred over stem
+    assert _align(["running"], ["running"]) == (1, 1, 1.0)
+
+
+def test_meteor_score_sensible_with_stems():
+    # stem matches lift the score vs no module ("runs" ~ "running")
+    with_stem = meteor({0: ["a dog runs"]}, {0: ["a dog running"]})
+    no_overlap = meteor({0: ["a dog runs"]}, {0: ["a dog walked"]})
+    assert with_stem > no_overlap > 0.0
+    assert with_stem > 0.4

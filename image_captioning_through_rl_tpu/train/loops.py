@@ -170,15 +170,26 @@ def train_policy_network(
     lr: float = 1e-3,
     seed: int = 0,
     device_data: bool = True,
+    fused_chain=None,
 ):
-    """Teacher-forced XE pretraining of the policy (trainers.py:202-257)."""
+    """Teacher-forced XE pretraining of the policy (trainers.py:202-257).
+
+    ``fused_chain=None`` (auto) probes the fused Pallas LSTM-chain step
+    once and uses it when its loss agrees with the XLA step (TPU,
+    unidirectional); ``True``/``False`` force a side."""
     cfg = _cfg_for(train_data, bidirectional)
     writer = make_metrics_writer(plot_dir if is_main_process() else None)
     rng = np.random.default_rng(seed + 1)
     params = policy_mod.init(jax.random.PRNGKey(seed + 1), cfg, train_data.embeddings)
     tx = adam(lr, params, cfg.freeze_embeddings)
     opt_state = tx.init(params)
-    step = steps.make_policy_step(cfg, tx)
+    if cfg.bidirectional:
+        fused_chain = False
+    elif fused_chain is None:
+        fused_chain = _probe_fused_policy(cfg, params)
+        print_green(f"[Training] fused LSTM-chain kernels "
+                    f"{'verified — Pallas XE step' if fused_chain else 'unavailable — XLA XE step'}")
+    step = steps.make_policy_step(cfg, tx, fused=fused_chain)
     tables = _device_tables(train_data, device_data)
 
     state = {"best": float("inf"), "bar": None}
@@ -372,6 +383,26 @@ def train_a2c_network(
     return a2c_params, rparams, cfg
 
 
+
+
+def _probe_fused_policy(cfg: NetConfig, params) -> bool:
+    """Auto-dispatch probe for the fused LSTM-chain XE step: loss must
+    agree with the XLA step on a tiny batch; False on CPU/Mosaic failure."""
+    if jax.devices()[0].platform == "cpu":
+        return False
+    try:
+        rng = np.random.default_rng(0)
+        feats = jnp.asarray(rng.standard_normal((8, cfg.input_dim), dtype=np.float32))
+        caps = rng.integers(4, cfg.vocab_size, size=(8, cfg.max_seq_len)).astype(np.int32)
+        caps[:, 0] = 1
+        caps[:, -1] = 2
+        caps = jnp.asarray(caps)
+        caplens = steps.batch_caption_lens(caps)
+        lf = steps.policy_loss_fused(params, cfg, feats, caps, caplens)
+        lx = steps.policy_loss(params, cfg, feats, caps, caplens)
+        return bool(abs(float(lf) - float(lx)) <= 1e-2 * max(1.0, abs(float(lx))))
+    except Exception:
+        return False
 
 
 def _probe_fused_rollout(cfg: NetConfig, a2c_params, reward_params) -> bool:

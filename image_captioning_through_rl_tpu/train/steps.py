@@ -82,11 +82,36 @@ def policy_loss(params, cfg: NetConfig, features, captions, caplens):
     return weighted_caption_xe_loss(logits, captions[:, 1:], caplens)
 
 
-def make_policy_step(cfg: NetConfig, tx: optax.GradientTransformation):
+def policy_loss_fused(params, cfg: NetConfig, features, captions, caplens,
+                      block_n: int = 128, weight_dtype=None, interpret: bool = False):
+    """:func:`policy_loss` with the LSTM chain fused into Pallas kernels
+    (ops/pallas_lstm.py). The vocab head, XE loss, and their backward
+    remain single big XLA matmuls over the [N*T] axis."""
+    from ..ops.pallas_lstm import fused_lstm_chain
+
+    h0 = dense(features, params["cnn2linear"], precision=cfg.precision)
+    hs = fused_lstm_chain(
+        params["lstm"], params["embedding"], captions[:, :-1],
+        h0, jnp.zeros_like(h0),
+        block_n=block_n,
+        weight_dtype=jnp.bfloat16 if weight_dtype is None else weight_dtype,
+        interpret=interpret,
+    )
+    logits = dense(hs, params["head"], precision=cfg.precision)
+    return weighted_caption_xe_loss(logits, captions[:, 1:], caplens)
+
+
+def make_policy_step(cfg: NetConfig, tx: optax.GradientTransformation, fused: bool = False):
+    """``fused=True`` routes the LSTM chain through the Pallas kernels
+    (TPU, unidirectional)."""
+    if fused and cfg.bidirectional:
+        raise ValueError("fused policy step is unidirectional only")
+    loss_fn = policy_loss_fused if fused else policy_loss
+
     @jax.jit
     def step(params, opt_state, features, captions):
         caplens = batch_caption_lens(captions)
-        loss, grads = jax.value_and_grad(policy_loss)(
+        loss, grads = jax.value_and_grad(loss_fn)(
             params, cfg, features, captions, caplens
         )
         updates, opt_state = tx.update(grads, opt_state, params)

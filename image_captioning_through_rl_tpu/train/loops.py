@@ -118,15 +118,27 @@ def train_reward_network(
     seed: int = 0,
     compat_batch_as_time: bool = False,
     device_data: bool = True,
+    fused_chain=None,
 ):
-    """VSE-loss training of the reward network (trainers.py:260-309)."""
+    """VSE-loss training of the reward network (trainers.py:260-309).
+
+    ``fused_chain=None`` (auto) probes the fused Pallas GRU-chain step
+    once and uses it when its loss agrees with the XLA step."""
     cfg = _cfg_for(train_data, bidirectional)
     writer = make_metrics_writer(plot_dir if is_main_process() else None)
     rng = np.random.default_rng(seed)
     params = reward_mod.init(jax.random.PRNGKey(seed), cfg, train_data.embeddings)
     tx = adam(lr, params, cfg.freeze_embeddings)
     opt_state = tx.init(params)
-    step = steps.make_reward_step(cfg, tx, compat=compat_batch_as_time)
+    if compat_batch_as_time or cfg.bidirectional:
+        fused_chain = False
+    elif fused_chain is None:
+        fused_chain = _probe_fused_pair(
+            lambda f, c: steps.reward_loss_fused(params, cfg, f, c),
+            lambda f, c: steps.reward_loss(params, cfg, f, c), cfg)
+        print_green(f"[Training] fused GRU-chain kernels "
+                    f"{'verified — Pallas VSE step' if fused_chain else 'unavailable — XLA VSE step'}")
+    step = steps.make_reward_step(cfg, tx, compat=compat_batch_as_time, fused=fused_chain)
     tables = _device_tables(train_data, device_data)
 
     state = {"best": float("inf"), "bar": None, "epoch": 0}
@@ -248,7 +260,13 @@ def train_value_network(
     params = value_mod.init(jax.random.PRNGKey(seed + 2), cfg, train_data.embeddings)
     tx = adam(lr, params, cfg.freeze_embeddings)
     opt_state = tx.init(params)
-    step = steps.make_value_step(cfg, tx, compat=compat_batch_as_time)
+    if compat_batch_as_time or cfg.bidirectional:
+        fused_chain = False
+    else:  # auto: the value encoder's LSTM chain through Pallas
+        fused_chain = _probe_fused_policy(cfg, pparams)
+        print_green(f"[Training] fused LSTM-chain kernels "
+                    f"{'verified — Pallas value step' if fused_chain else 'unavailable — XLA value step'}")
+    step = steps.make_value_step(cfg, tx, compat=compat_batch_as_time, fused=fused_chain)
     tables = _device_tables(train_data, device_data)
 
     state = {"best": float("inf"), "bar": None}
@@ -383,6 +401,24 @@ def train_a2c_network(
     return a2c_params, rparams, cfg
 
 
+
+
+def _probe_fused_pair(fused_fn, xla_fn, cfg: NetConfig) -> bool:
+    """Compare a fused loss against its XLA twin on a tiny batch."""
+    if jax.devices()[0].platform == "cpu":
+        return False
+    try:
+        rng = np.random.default_rng(0)
+        feats = jnp.asarray(rng.standard_normal((8, cfg.input_dim), dtype=np.float32))
+        caps = rng.integers(4, cfg.vocab_size, size=(8, cfg.max_seq_len)).astype(np.int32)
+        caps[:, 0] = 1
+        caps[:, -1] = 2
+        caps = jnp.asarray(caps)
+        lf = float(fused_fn(feats, caps))
+        lx = float(xla_fn(feats, caps))
+        return bool(abs(lf - lx) <= 1e-2 * max(1.0, abs(lx)))
+    except Exception:
+        return False
 
 
 def _probe_fused_policy(cfg: NetConfig, params) -> bool:

@@ -61,12 +61,40 @@ def reward_loss(params, cfg: NetConfig, features, captions, beta=0.2, compat=Fal
     return visual_semantic_embedding_loss(ve, se, beta=beta, precision=cfg.precision)
 
 
-def make_reward_step(cfg: NetConfig, tx: optax.GradientTransformation, beta=0.2, compat=False):
+def reward_loss_fused(params, cfg: NetConfig, features, captions, beta=0.2,
+                      block_n: int = 128, weight_dtype=None, interpret: bool = False):
+    """:func:`reward_loss` with the GRU chain fused into Pallas kernels
+    (ops/pallas_gru.py); the embedding pair + VSE loss stay in XLA."""
+    from ..ops.pallas_gru import fused_gru_chain
+
+    n = captions.shape[0]
+    hs = fused_gru_chain(
+        params["gru"], params["embedding"], captions,
+        jnp.zeros((n, cfg.hidden_dim), jnp.float32),
+        block_n=block_n,
+        weight_dtype=jnp.bfloat16 if weight_dtype is None else weight_dtype,
+        interpret=interpret,
+    )
+    ve, se = reward_mod.embed_pair(params, cfg, features, hs[:, -1])
+    return visual_semantic_embedding_loss(ve, se, beta=beta, precision=cfg.precision)
+
+
+def make_reward_step(cfg: NetConfig, tx: optax.GradientTransformation, beta=0.2,
+                     compat=False, fused: bool = False):
+    """``fused=True`` routes the GRU chain through the Pallas kernels
+    (TPU, unidirectional, non-compat)."""
+    if fused and (compat or cfg.bidirectional):
+        raise ValueError("fused reward step is unidirectional, non-compat only")
+    if fused:
+        def loss_call(params, features, captions):
+            return reward_loss_fused(params, cfg, features, captions, beta=beta)
+    else:
+        def loss_call(params, features, captions):
+            return reward_loss(params, cfg, features, captions, beta=beta, compat=compat)
+
     @jax.jit
     def step(params, opt_state, features, captions):
-        loss, grads = jax.value_and_grad(reward_loss)(
-            params, cfg, features, captions, beta=beta, compat=compat
-        )
+        loss, grads = jax.value_and_grad(loss_call)(params, features, captions)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
@@ -200,7 +228,8 @@ def make_a2c_chunk_step(
     return chunk
 
 
-def make_value_step(cfg: NetConfig, tx: optax.GradientTransformation, compat: bool = False):
+def make_value_step(cfg: NetConfig, tx: optax.GradientTransformation, compat: bool = False,
+                    fused: bool = False):
     """Builder. The returned step takes the *frozen* policy and reward
     parameters as explicit arguments (they are loaded, not trained —
     reference trainers.py:140-150).
@@ -212,6 +241,8 @@ def make_value_step(cfg: NetConfig, tx: optax.GradientTransformation, compat: bo
     variants. ``compat`` selects reference-exact batch-as-time encoders
     (quirk Q1; hiddens reset per minibatch as in trainers.py:196-197).
     """
+    if fused and (compat or cfg.bidirectional):
+        raise ValueError("fused value step is unidirectional, non-compat only")
     if compat:
         return _make_value_step_compat(cfg, tx)
     if cfg.bidirectional:
@@ -226,19 +257,35 @@ def make_value_step(cfg: NetConfig, tx: optax.GradientTransformation, compat: bo
         by the whole batch, trainers.py:177). Under jit we scan the
         encoder over the full caption and pick the hidden state at
         ``prefix_len - 1`` with a dynamic index — same value, one
-        compile.
+        compile. ``fused`` swaps the scan for the Pallas LSTM chain.
         """
-        xs = jnp.swapaxes(vparams["embedding"][gen_caps], 0, 1)  # [T, N, E]
         n = gen_caps.shape[0]
-        zeros = jnp.zeros((n, cfg.hidden_dim), dtype=xs.dtype)
-        hs, _ = lstm_scan(vparams["lstm"], xs, (zeros, zeros), precision=cfg.precision)
-        h = jax.lax.dynamic_index_in_dim(hs, prefix_len - 1, axis=0, keepdims=False)
+        zeros = jnp.zeros((n, cfg.hidden_dim), jnp.float32)
+        if fused:
+            from ..ops.pallas_lstm import fused_lstm_chain
+
+            hs_nt = fused_lstm_chain(
+                vparams["lstm"], vparams["embedding"], gen_caps, zeros, zeros)
+            h = jax.lax.dynamic_index_in_dim(hs_nt, prefix_len - 1, axis=1, keepdims=False)
+        else:
+            xs = jnp.swapaxes(vparams["embedding"][gen_caps], 0, 1)  # [T, N, E]
+            hs, _ = lstm_scan(vparams["lstm"], xs, (zeros, zeros), precision=cfg.precision)
+            h = jax.lax.dynamic_index_in_dim(hs, prefix_len - 1, axis=0, keepdims=False)
         values = value_mod.value_head(vparams, cfg, features, h)  # [N, 1]
         return jnp.mean(jnp.square(values - rewards))
 
     @jax.jit
     def step(vparams, opt_state, pparams, rparams, features, captions, prefix_len):
-        gen_caps = greedy_decode(pparams, cfg, features, captions[:, 0])
+        if fused:
+            # the rollout is frozen-policy + stop-gradient: serve it with
+            # the fused greedy kernel (same decode the serving path uses)
+            from ..ops.pallas_decode import fused_greedy_decode
+
+            gen_caps = fused_greedy_decode(
+                pparams, features, captions[:, 0], max_len=cfg.max_seq_len
+            )
+        else:
+            gen_caps = greedy_decode(pparams, cfg, features, captions[:, 0])
         ve, se = reward_mod.forward(rparams, cfg, features, gen_caps)
         rewards = cosine_embedding_reward(ve, se)[:, None]  # [N, 1]
         rewards = jax.lax.stop_gradient(rewards)

@@ -2,9 +2,10 @@
 """Full benchmark suite: every hot path at production (COCO) scale.
 
 Measures steady-state device time (host-readback sync, upload warmup —
-see CLAUDE.md for the environment's timing gotchas) and writes
-benchmarks/BENCHMARKS.md. The headline metric for the driver stays in
-../bench.py; this suite is the engineering record.
+see CLAUDE.md for the environment's timing gotchas) and writes the raw
+table to benchmarks/MEASURED.md (BENCHMARKS.md is the curated record —
+roofline, numerics analysis — and is maintained by hand). The headline
+metric for the driver stays in ../bench.py.
 
 Run: python benchmarks/bench_suite.py [--quick]
 """
@@ -83,42 +84,57 @@ def main(quick: bool = False) -> None:
     dcfg = DecodeConfig(max_seq_len=T)
     bs = jax.jit(lambda pp, vp, f, s: beam_search(pp, vp, cfg, dcfg, f, s))
     ms, rate = timed(lambda: bs(pparams, vparams, feats, caps[:, 0]), n, iters)
-    record("beam-5 value-guided decode", n, ms, rate, "captions/s")
+    record("beam-5 value-guided decode (XLA)", n, ms, rate, "captions/s")
+    from image_captioning_through_rl_tpu.ops.pallas_beam import fused_beam_search
+
+    ms, rate = timed(
+        lambda: fused_beam_search(pparams, vparams, feats, caps[:, 0],
+                                  max_len=T, beam=5, block_n=16)[0], n, iters)
+    record("beam-5 fused Pallas kernel (block 16)", n, ms, rate, "captions/s")
 
     # --- training steps ---
     n = 512  # reference batch ("episodes", image_captioner.py:164)
     feats, caps = batch(n)
 
+    on_tpu = jax.devices()[0].platform != "cpu"
     tx = optim.adam(1e-3)
-    pstep = steps.make_policy_step(cfg, tx)
     popt = tx.init(pparams)
-    ms, rate = timed(lambda: pstep(pparams, popt, feats, caps), n, iters)
-    record("policy XE step", n, ms, rate, "captions/s")
+    for fused in (False, True) if on_tpu else (False,):
+        pstep = steps.make_policy_step(cfg, tx, fused=fused)
+        ms, rate = timed(lambda: pstep(pparams, popt, feats, caps), n, iters)
+        record(f"policy XE step ({'fused chain' if fused else 'XLA'})",
+               n, ms, rate, "captions/s")
 
-    rstep = steps.make_reward_step(cfg, tx)
     ropt = tx.init(rparams)
-    ms, rate = timed(lambda: rstep(rparams, ropt, feats, caps), n, iters)
-    record("reward VSE step", n, ms, rate, "pairs/s")
+    for fused in (False, True) if on_tpu else (False,):
+        rstep = steps.make_reward_step(cfg, tx, fused=fused)
+        ms, rate = timed(lambda: rstep(rparams, ropt, feats, caps), n, iters)
+        record(f"reward VSE step ({'fused chain' if fused else 'XLA'})",
+               n, ms, rate, "pairs/s")
 
-    vstep = steps.make_value_step(cfg, tx)
     vopt = tx.init(vparams)
-    ms, rate = timed(
-        lambda: vstep(vparams, vopt, pparams, rparams, feats, caps, 9), n, iters
-    )
-    record("value MSE step (incl greedy rollout)", n, ms, rate, "episodes/s")
+    for fused in (False, True) if on_tpu else (False,):
+        vstep = steps.make_value_step(cfg, tx, fused=fused)
+        ms, rate = timed(
+            lambda: vstep(vparams, vopt, pparams, rparams, feats, caps, 9), n, iters
+        )
+        record(f"value MSE step ({'fused' if fused else 'XLA'}, incl rollout)",
+               n, ms, rate, "episodes/s")
 
-    astep = steps.make_a2c_step(cfg, tx)
     aopt = tx.init(a2c_params)
-    ms, rate = timed(
-        lambda: astep(a2c_params, aopt, rparams, feats, caps, jnp.int32(1), key),
-        n, iters,
-    )
-    record("A2C step (16-step rollout + BPTT)", n, ms, rate, "episodes/s")
+    for fused in (False, True) if on_tpu else (False,):
+        astep = steps.make_a2c_step(cfg, tx, fused=fused)
+        ms, rate = timed(
+            lambda: astep(a2c_params, aopt, rparams, feats, caps, jnp.int32(1), key),
+            n, iters,
+        )
+        record(f"A2C step ({'fused rollout' if fused else 'XLA'}, 16-step + BPTT)",
+               n, ms, rate, "episodes/s")
 
-    # write the record
-    out = os.path.join(os.path.dirname(__file__), "BENCHMARKS.md")
+    # write the raw table (BENCHMARKS.md is the curated record)
+    out = os.path.join(os.path.dirname(__file__), "MEASURED.md")
     with open(out, "w") as f:
-        f.write("# Benchmarks\n\n")
+        f.write("# Measured rates (raw bench_suite output)\n\n")
         f.write(f"Device: {jax.devices()[0].device_kind}; COCO-bundle shapes "
                 f"(vocab {VOCAB}, hidden {HID}, T {T}); float32 activations.\n"
                 "Timing: steady-state, host-readback sync (see CLAUDE.md).\n\n")

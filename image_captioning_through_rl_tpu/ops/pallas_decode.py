@@ -99,6 +99,13 @@ def fused_greedy_decode(
     hidden = params["lstm"]["wh"].shape[0]
 
     vp = _round_up(vocab, 128)
+    # adaptive tile size: single-tile grids have a lower scoped-VMEM
+    # ceiling than multi-tile ones (see CLAUDE.md) — small batches take
+    # small tiles instead of padding up to one huge tile. This kernel
+    # keeps the batch on the LANE axis, so tiles are multiples of 128.
+    block_n = min(block_n, _round_up(n, 128))
+    if _round_up(n, block_n) == block_n and block_n > 128:
+        block_n = 128
     n_pad = _round_up(n, block_n)
     wd = weight_dtype
 

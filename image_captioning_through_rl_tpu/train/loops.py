@@ -262,9 +262,9 @@ def train_value_network(
     opt_state = tx.init(params)
     if compat_batch_as_time or cfg.bidirectional:
         fused_chain = False
-    else:  # auto: the value encoder's LSTM chain through Pallas
-        fused_chain = _probe_fused_policy(cfg, pparams)
-        print_green(f"[Training] fused LSTM-chain kernels "
+    else:  # auto: probe the REAL fused value step (chain + fused rollout)
+        fused_chain = _probe_fused_value(cfg, tx, params, pparams, rparams)
+        print_green(f"[Training] fused value-step kernels "
                     f"{'verified — Pallas value step' if fused_chain else 'unavailable — XLA value step'}")
     step = steps.make_value_step(cfg, tx, compat=compat_batch_as_time, fused=fused_chain)
     tables = _device_tables(train_data, device_data)
@@ -417,6 +417,28 @@ def _probe_fused_pair(fused_fn, xla_fn, cfg: NetConfig) -> bool:
         lf = float(fused_fn(feats, caps))
         lx = float(xla_fn(feats, caps))
         return bool(abs(lf - lx) <= 1e-2 * max(1.0, abs(lx)))
+    except Exception:
+        return False
+
+
+def _probe_fused_value(cfg: NetConfig, tx, vparams, pparams, rparams) -> bool:
+    """Probe the actual fused value step (fused LSTM chain + fused greedy
+    rollout) against the XLA step on a tiny batch."""
+    if jax.devices()[0].platform == "cpu":
+        return False
+    try:
+        rng = np.random.default_rng(0)
+        feats = jnp.asarray(rng.standard_normal((8, cfg.input_dim), dtype=np.float32))
+        caps = rng.integers(4, cfg.vocab_size, size=(8, cfg.max_seq_len)).astype(np.int32)
+        caps[:, 0] = 1
+        caps[:, -1] = 2
+        caps = jnp.asarray(caps)
+        opt = tx.init(vparams)
+        _, _, lf = steps.make_value_step(cfg, tx, fused=True)(
+            vparams, opt, pparams, rparams, feats, caps, jnp.int32(3))
+        _, _, lx = steps.make_value_step(cfg, tx)(
+            vparams, opt, pparams, rparams, feats, caps, jnp.int32(3))
+        return bool(abs(float(lf) - float(lx)) <= 1e-2 * max(1.0, abs(float(lx))))
     except Exception:
         return False
 

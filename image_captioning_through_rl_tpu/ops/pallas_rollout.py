@@ -698,3 +698,140 @@ def fused_rollout(
         unstream(actions, jnp.int32),
         unstream(tokens, jnp.int32),
     )
+
+
+# ---------------------------------------------------------------------------
+# Frozen reward stream (forward-only: the reward is stop-gradient, Q7)
+# ---------------------------------------------------------------------------
+
+def _reward_stream_kernel(
+    act_ref, tok_ref, rew0_ref, vn_ref,
+    r_emb_ref, r_wi_ref, r_wh_ref, r_bi_ref, r_bh_ref, sem_w_ref, sem_b_ref,
+    rew_ref,
+    sh,
+    *, hidden: int,
+):
+    f32 = jnp.float32
+    s = pl.program_id(1)
+    bn = rew0_ref.shape[0]
+    vp = r_emb_ref.shape[0]
+    wd = r_emb_ref.dtype
+
+    @pl.when(s == 0)
+    def _init():
+        sh[:] = rew0_ref[:]
+
+    col_v = jax.lax.broadcasted_iota(jnp.int32, (bn, vp), 1)
+
+    def gru(tok, h):
+        x = jnp.dot((col_v == tok).astype(wd), r_emb_ref[:], preferred_element_type=f32)
+        gi = jnp.dot(x.astype(wd), r_wi_ref[:], preferred_element_type=f32) + r_bi_ref[:]
+        gh = jnp.dot(h.astype(wd), r_wh_ref[:], preferred_element_type=f32) + r_bh_ref[:]
+        r = jax.nn.sigmoid(gi[:, :hidden] + gh[:, :hidden])
+        z = jax.nn.sigmoid(gi[:, hidden : 2 * hidden] + gh[:, hidden : 2 * hidden])
+        n = jnp.tanh(gi[:, 2 * hidden :] + r * gh[:, 2 * hidden :])
+        return (1.0 - z) * n + z * h
+
+    h = sh[:]
+    # lookahead: reward of prefix + sampled action (trainers.py:459)
+    after = gru(act_ref[:], h)
+    se = jnp.dot(after.astype(wd), sem_w_ref[:], preferred_element_type=f32) + sem_b_ref[:]
+    sn = jnp.sqrt(jnp.sum(se * se, axis=-1, keepdims=True))
+    rew_ref[:, :] = jnp.sum(vn_ref[:] * se, axis=-1, keepdims=True) / jnp.maximum(sn, 1e-12)
+    # advance with the token actually placed
+    sh[:] = gru(tok_ref[:], h)
+
+
+def fused_reward_stream(
+    reward_params: dict,
+    cfg,
+    features: jax.Array,
+    start_tokens: jax.Array,
+    actions: jax.Array,
+    tokens: jax.Array,
+    block_n: int = 128,
+    weight_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """The A2C rollout's frozen embedding-reward stream as one kernel.
+
+    Per step: GRU lookahead on the sampled action, semantic embed,
+    cosine against the (precomputed, normalized) visual embedding, then
+    the GRU advances with the placed token — mirroring the XLA scan in
+    ``train.steps.a2c_rollout_loss_fused``. Forward-only by design: the
+    reward network is frozen and its output stop-gradient'ed
+    (trainers.py:372-373, Q7), so no tape or VJP exists.
+    ``actions``/``tokens``: ``[N, S]`` from :func:`fused_rollout`.
+    Returns ``rewards [N, S]``.
+    """
+    from ..ops.linalg import dense
+    from ..ops.rnn import gru_cell
+    from ..models import reward as reward_mod
+
+    n, s_steps = actions.shape
+    hidden = cfg.hidden_dim
+    vocab, emb_dim = reward_params["embedding"].shape
+    vp = _round_up(vocab, 128)
+    block_n = min(block_n, max(8, _round_up(n, 8)))
+    if _round_up(n, block_n) == block_n and block_n > 32:
+        block_n = 32
+    n_pad = _round_up(n, block_n)
+    tiles = n_pad // block_n
+    f32 = jnp.float32
+    wd = weight_dtype
+
+    def pad_rows(x):
+        if n_pad == n:
+            return x
+        return jnp.concatenate(
+            [x, jnp.broadcast_to(x[-1:], (n_pad - n,) + x.shape[1:])], axis=0
+        )
+
+    # XLA-side pre-computation: the start-token cell and the normalized
+    # visual embedding are per-episode constants
+    rew0 = gru_cell(
+        reward_params["gru"], reward_params["embedding"][start_tokens],
+        reward_mod.zero_rnn_state(cfg, n), precision=cfg.precision,
+    )
+    ve = dense(features, reward_params["visual_embed"], precision=cfg.precision)
+    vn = ve / jnp.maximum(jnp.linalg.norm(ve, axis=-1, keepdims=True), 1e-12)
+
+    sm = lambda x: jnp.swapaxes(pad_rows(x.astype(jnp.int32)), 0, 1).reshape(  # noqa: E731
+        s_steps * n_pad, 1)
+    act_sm, tok_sm = sm(actions), sm(tokens)
+
+    vm = lambda shape, index_map: pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)  # noqa: E731
+    tile = lambda i, s: (i, 0)  # noqa: E731
+    whole = lambda i, s: (0, 0)  # noqa: E731
+    stream = lambda i, s: (s * tiles + i, 0)  # noqa: E731
+
+    gp = reward_params["gru"]
+    emb_pad = jnp.pad(reward_params["embedding"].astype(wd), ((0, vp - vocab), (0, 0)))
+    rewards = pl.pallas_call(
+        functools.partial(_reward_stream_kernel, hidden=hidden),
+        grid=(tiles, s_steps),
+        in_specs=[
+            vm((block_n, 1), stream), vm((block_n, 1), stream),
+            vm((block_n, hidden), tile), vm((block_n, hidden), tile),
+            vm((vp, emb_dim), whole),
+            vm((emb_dim, 3 * hidden), whole), vm((hidden, 3 * hidden), whole),
+            vm((1, 3 * hidden), whole), vm((1, 3 * hidden), whole),
+            vm((hidden, hidden), whole), vm((1, hidden), whole),
+        ],
+        out_specs=vm((block_n, 1), stream),
+        out_shape=jax.ShapeDtypeStruct((s_steps * n_pad, 1), f32),
+        scratch_shapes=[pltpu.VMEM((block_n, hidden), f32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        act_sm, tok_sm, pad_rows(rew0.astype(f32)), pad_rows(vn.astype(f32)),
+        emb_pad, gp["wi"].astype(wd), gp["wh"].astype(wd),
+        gp["bi"].astype(f32)[None, :], gp["bh"].astype(f32)[None, :],
+        reward_params["semantic_embed"]["w"].astype(wd),
+        reward_params["semantic_embed"]["b"].astype(f32)[None, :],
+    )
+    return jax.lax.stop_gradient(
+        jnp.swapaxes(rewards.reshape(s_steps, n_pad), 0, 1)[:n]
+    )

@@ -653,34 +653,13 @@ def a2c_rollout_loss_fused(
     )
 
     # frozen reward stream (lookahead on the sampled action, then the
-    # placed token advances the carried GRU — mirrors the scan body)
-    start = captions[:, 0]
-    rew0 = gru_cell(
-        reward_params["gru"], reward_params["embedding"][start],
-        reward_mod.zero_rnn_state(cfg, n), precision=cfg.precision,
-    )
-    ve = jax.lax.stop_gradient(
-        dense(features, reward_params["visual_embed"], precision=cfg.precision)
-    )
+    # placed token advances the carried GRU), fused like the rollout
+    from ..ops.pallas_rollout import fused_reward_stream
 
-    def rbody(state, inp):
-        action, token = inp
-        after = gru_cell(
-            reward_params["gru"], reward_params["embedding"][action], state,
-            precision=cfg.precision,
-        )
-        se = dense(after, reward_params["semantic_embed"], precision=cfg.precision)
-        reward = jax.lax.stop_gradient(cosine_embedding_reward(ve, se))
-        state = gru_cell(
-            reward_params["gru"], reward_params["embedding"][token], state,
-            precision=cfg.precision,
-        )
-        return state, reward
-
-    _, rewards = jax.lax.scan(
-        rbody, rew0, (jnp.swapaxes(actions, 0, 1), jnp.swapaxes(tokens, 0, 1))
+    rewards = fused_reward_stream(
+        reward_params, cfg, features, captions[:, 0], actions, tokens,
+        block_n=block_n, weight_dtype=weight_dtype, interpret=interpret,
     )
-    rewards = jnp.swapaxes(rewards, 0, 1)  # [N, S]
 
     p_idx = jnp.arange(1, t_max)[None, :]
     mask = ((p_idx >= curr_seq_len) & (p_idx <= caplen - 1)).astype(values.dtype)

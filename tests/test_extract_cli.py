@@ -48,3 +48,27 @@ def test_extract_respects_file_list(images_dir, tmp_path):
     ])
     with h5py.File(os.path.join(out, "val2014_vgg16_fc7.h5")) as f:
         assert np.asarray(f["features"]).shape == (2, 4096)
+
+
+def test_reference_cli_flags_all_present():
+    """The reference's public flag surface (image_captioner.py:154-185)
+    must stay intact, plus the documented TPU additions."""
+    from image_captioning_through_rl_tpu.cli.main import build_arg_parser
+
+    p = build_arg_parser()
+    opts = {a.dest for a in p._actions}
+    reference = {
+        "training_size", "test_size", "epochs", "batch_size", "retrain",
+        "postprocess", "curriculum", "bidirectional", "test_model",
+        "pretrained_path", "pretrained_word2vec", "train_word2vec",
+    }
+    additions = {
+        "data_dir", "seed", "faithful_beam", "compat_batch_as_time",
+        "compat_dump", "resume", "fused_rollout",
+    }
+    assert reference <= opts, reference - opts
+    assert additions <= opts, additions - opts
+    # reference defaults preserved
+    d = vars(p.parse_args([]))
+    assert d["test_size"] == 40504 and d["epochs"] == 100 and d["batch_size"] == 512
+    assert d["pretrained_path"] == "models_pretrained"

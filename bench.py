@@ -100,10 +100,25 @@ def bench_jax():
             tparams, vparams, feats[:127], start[:127], max_len=T, beam=5, block_n=16
         )
         beam_ran = np.asarray(btoks).shape == (127, 5, T)
-        fused_ok = greedy_exact and beam_ran
+        # Health check 3: the fused training-chain kernels agree with
+        # their XLA twins on the loss (policy LSTM chain, reward GRU
+        # chain) — compiled, on this chip, trained-ish weights.
+        from image_captioning_through_rl_tpu.models import reward as reward_mod
+
+        caplens = train_steps.batch_caption_lens(caps_d)
+        lp_f = float(train_steps.policy_loss_fused(tparams, cfg, feats[:512], caps_d, caplens))
+        lp_x = float(train_steps.policy_loss(tparams, cfg, feats[:512], caps_d, caplens))
+        rw = reward_mod.init(jax.random.PRNGKey(2), cfg)
+        lr_f = float(train_steps.reward_loss_fused(rw, cfg, feats[:512], caps_d))
+        lr_x = float(train_steps.reward_loss(rw, cfg, feats[:512], caps_d))
+        chains_ok = (
+            abs(lp_f - lp_x) <= 1e-2 * max(1.0, abs(lp_x))
+            and abs(lr_f - lr_x) <= 1e-2 * max(1.0, abs(lr_x))
+        )
+        fused_ok = greedy_exact and beam_ran and chains_ok
         if not fused_ok:
             print(f"[bench] fused check failed: greedy_exact={greedy_exact} "
-                  f"beam_ran={beam_ran}", file=sys.stderr)
+                  f"beam_ran={beam_ran} chains_ok={chains_ok}", file=sys.stderr)
     except Exception as e:  # Mosaic needs a real TPU; report, don't mask
         print(f"[bench] fused kernels unavailable ({type(e).__name__}: {e}); "
               f"on_tpu={on_tpu}", file=sys.stderr)

@@ -64,11 +64,12 @@ def beam_search_compat(
     Returns:
       ``(tokens [N, B, T], scores [N, B], carry_out)`` with beam 0 the
       reference's ``most_likely=True`` candidate.
+
+    Bidirectional models thread one carry per direction through every
+    call (the reference's persistent ``(2, 1, H)`` hidden) — each
+    candidate evaluation is a :func:`..models.value.forward_compat`
+    call chained by a ``lax.scan`` over the step's candidates.
     """
-    if cfg.bidirectional:
-        raise NotImplementedError(
-            "Q1-stateful beam is defined for unidirectional value encoders"
-        )
     n = features.shape[0]
     b = dcfg.beam_size
     t_max = dcfg.max_seq_len
@@ -101,20 +102,35 @@ def beam_search_compat(
             axis=-1,
         )  # [N, C, B, t+2]
 
-        # All C*B value calls of this step as ONE carried stream, in the
-        # reference's call order: candidate-major, expansion-minor, each
-        # call column-major over the caption (models.py:133, 168-169).
-        stream = ext.transpose(1, 2, 3, 0).reshape(-1)  # [C*B*(t+2)*N]
-        xs = value_params["embedding"][stream]
-        outs, carry = flat_stream_scan(
-            "lstm", value_params["lstm"], xs, carry, precision=cfg.precision
-        )
-        rnn_out = outs.reshape(c, b, t + 2, n, hid)[:, :, -1]  # final column
-        values = value_mod.value_head(
-            value_params, cfg,
-            jnp.broadcast_to(features, (c, b) + features.shape), rnn_out,
-        )[..., 0]  # [C, B, N]
-        values = values.transpose(2, 0, 1)  # [N, C, B]
+        if cfg.bidirectional:
+            # per-direction carries cannot concatenate into one stream
+            # (the backward direction reverses within each call): chain
+            # the C*B forward_compat calls with a scan in call order
+            caps_calls = ext.transpose(1, 2, 0, 3).reshape(c * b, n, t + 2)
+
+            def one_call(cry, cap):
+                v, cry = value_mod.forward_compat(
+                    value_params, cfg, features, cap, cry
+                )
+                return cry, v[:, 0]
+
+            carry, values = jax.lax.scan(one_call, carry, caps_calls)
+            values = values.reshape(c, b, n).transpose(2, 0, 1)  # [N, C, B]
+        else:
+            # All C*B value calls of this step as ONE carried stream, in
+            # the reference's call order: candidate-major, expansion-
+            # minor, each call column-major (models.py:133, 168-169).
+            stream = ext.transpose(1, 2, 3, 0).reshape(-1)  # [C*B*(t+2)*N]
+            xs = value_params["embedding"][stream]
+            outs, carry = flat_stream_scan(
+                "lstm", value_params["lstm"], xs, carry, precision=cfg.precision
+            )
+            rnn_out = outs.reshape(c, b, t + 2, n, hid)[:, :, -1]  # final column
+            values = value_mod.value_head(
+                value_params, cfg,
+                jnp.broadcast_to(features, (c, b) + features.shape), rnn_out,
+            )[..., 0]  # [C, B, N]
+            values = values.transpose(2, 0, 1)  # [N, C, B]
 
         delta = dcfg.value_weight * values + dcfg.logprob_weight * logp
         cand_scores = (scores[:, :, None] - delta).reshape(n, c * b)

@@ -755,9 +755,8 @@ def test_a2c_network(
     samples — and uses the Q1-stateful beam (decode.beam_compat), whose
     value-encoder ``hidden_cell`` threads through all candidate
     evaluations within a slice and resets per slice, exactly like the
-    reference (trainers.py:96,661). For bidirectional models the
-    faithful mode falls back to Q2-only semantics (full-prefix beam
-    with clean encoders) — Q1 statefulness is unidirectional-only.
+    reference (trainers.py:96,661) — including bidirectional models
+    (per-direction carries).
 
     ``compat_dump=True`` reproduces quirk Q13: the reference writes each
     slice with ``file.write("\\n".join(lines))`` and *no trailing
@@ -787,7 +786,7 @@ def test_a2c_network(
     )
 
     faithful = not dcfg.per_sample_beams
-    if faithful and not cfg.bidirectional:
+    if faithful:
         from ..decode.beam_compat import beam_search_compat
 
         # Q1-stateful beam: fresh zero carry per slice (trainers.py:661)

@@ -166,3 +166,49 @@ def test_reward_compat_bidirectional_matches_stateful_torch_oracle(rng_np):
     hf, hb = carry
     np.testing.assert_allclose(np.asarray(hf), oracle.hidden_cell[0, 0].numpy(), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(hb), oracle.hidden_cell[1, 0].numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_bidirectional_faithful_beam_matches_stateful_torch_oracle(rng_np):
+    """--bidirectional --faithful_beam: the Q1-stateful beam with
+    per-direction carried hiddens must reproduce the torch oracle's
+    bidirectional eval loop token-for-token."""
+    import torch
+
+    from image_captioning_through_rl_tpu.decode import beam_search_compat
+    from image_captioning_through_rl_tpu.models import policy_from_torch, value_from_torch
+    from test_decode import _oracle_beam_stateful
+    from torch_oracles import (
+        TorchPolicyOracle,
+        TorchValueOracle,
+        policy_state_dict,
+        value_state_dict,
+    )
+
+    cfg = NetConfig(
+        vocab_size=VOCAB, input_dim=12, wordvec_dim=14, hidden_dim=16,
+        max_seq_len=7, bidirectional=True, precision="highest",
+    )
+    pol = TorchPolicyOracle(VOCAB, 12, 14, 16, bidirectional=True)
+    with torch.no_grad():  # keep Q2b's log(raw top-k logits) finite
+        pol.linear2vocab.bias += 10.0
+    val = TorchValueOracle(VOCAB, 12, 14, 16, bidirectional=True)
+    val.reset_hidden()
+    feats = rand_features(rng_np, 3, 12)
+    start = np.ones(3, np.int32)
+    dcfg = DecodeConfig(beam_size=2, max_seq_len=cfg.max_seq_len, per_sample_beams=False)
+
+    ref = _oracle_beam_stateful(pol, val, feats, start, dcfg)
+
+    pp = policy_from_torch(policy_state_dict(pol), bidirectional=True)
+    vp = value_from_torch(value_state_dict(val), bidirectional=True)
+    toks, scores, carry = beam_search_compat(
+        pp, vp, cfg, dcfg, jnp.asarray(feats), jnp.asarray(start)
+    )
+    for b_i in range(dcfg.beam_size):
+        np.testing.assert_array_equal(np.asarray(toks[:, b_i]), ref[b_i][0].numpy())
+        np.testing.assert_allclose(
+            np.asarray(scores[:, b_i]), ref[b_i][1][:, 0].numpy(), rtol=1e-4, atol=1e-4)
+    # outgoing per-direction carries match the oracle's hidden_cell
+    (hf, cf), (hb, cb) = carry
+    np.testing.assert_allclose(np.asarray(hf), val.hidden_cell[0][0, 0].numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hb), val.hidden_cell[0][1, 0].numpy(), rtol=1e-4, atol=1e-5)

@@ -163,8 +163,12 @@ def bench_torch_cpu() -> float:
 
 def bench_a2c_step() -> float:
     """A2C training steps/sec at 512 episodes (BASELINE's second metric:
-    'A2C step time at speed-of-light on one v5e'). Uses the fused Pallas
-    rollout when it runs (TPU), else the XLA scan rollout."""
+    'A2C step time at speed-of-light on one v5e'). Measures the actual
+    default training path — the chunked dispatch (k=8 minibatch updates
+    per jitted scan, steps.make_a2c_chunk_step) over the fused Pallas
+    rollout when it runs (TPU), else the XLA scan rollout — so the
+    number reflects device throughput rather than the tunneled host's
+    per-dispatch round trip."""
     import jax
     import jax.numpy as jnp
 
@@ -176,30 +180,33 @@ def bench_a2c_step() -> float:
     params = a2c.init(jax.random.PRNGKey(0), cfg)
     rparams = reward.init(jax.random.PRNGKey(1), cfg)
     rng = np.random.default_rng(0)
-    feats = jnp.asarray(rng.standard_normal((512, FEAT), dtype=np.float32))
-    caps = rng.integers(4, VOCAB, size=(512, T)).astype(np.int32)
-    caps[:, 0] = 1
-    caps[:, -1] = 2
+    k = 8
+    feats = jnp.asarray(rng.standard_normal((k, 512, FEAT), dtype=np.float32))
+    caps = rng.integers(4, VOCAB, size=(k, 512, T)).astype(np.int32)
+    caps[:, :, 0] = 1
+    caps[:, :, -1] = 2
     caps = jnp.asarray(caps)
     tx = optim.adam(1e-4)
-    opt = tx.init(params)
     key = jax.random.PRNGKey(7)
 
-    def measure(step):
-        for _ in range(8):
-            out = step(params, opt, rparams, feats, caps, jnp.int32(1), key)
-        np.asarray(out[2].loss)
-        iters = 30
+    def measure(chunk):
+        # the chunk donates params/opt: thread them like the trainer does
+        p = jax.tree.map(jnp.array, params)
+        o = tx.init(p)
+        for _ in range(6):
+            p, o, stats, _ = chunk(p, o, rparams, feats, caps, jnp.int32(1), key)
+        np.asarray(stats.loss)
+        iters = 12
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = step(params, opt, rparams, feats, caps, jnp.int32(1), key)
-        np.asarray(out[2].loss)
-        return iters / (time.perf_counter() - t0)
+            p, o, stats, _ = chunk(p, o, rparams, feats, caps, jnp.int32(1), key)
+        np.asarray(stats.loss)
+        return iters * k / (time.perf_counter() - t0)
 
     try:
-        return measure(steps.make_a2c_step(cfg, tx, fused=True))
+        return measure(steps.make_a2c_chunk_step(cfg, tx, fused=True))
     except Exception:
-        return measure(steps.make_a2c_step(cfg, tx))
+        return measure(steps.make_a2c_chunk_step(cfg, tx))
 
 
 def main() -> None:

@@ -131,6 +131,48 @@ def main(quick: bool = False) -> None:
         record(f"A2C step ({'fused rollout' if fused else 'XLA'}, 16-step + BPTT)",
                n, ms, rate, "episodes/s")
 
+    # --- chunked dispatch (k minibatch updates per jitted scan — the
+    # default trainer path; amortizes the host round trip, which on a
+    # tunneled chip otherwise dominates the 2-4 ms device step) ---
+    k = 8
+    feats_k = jnp.broadcast_to(feats, (k,) + feats.shape)
+    caps_k = jnp.broadcast_to(caps, (k,) + caps.shape)
+    inf = jnp.float32(np.inf)
+
+    def timed_chunk(name, params0, chunk_call, iters_c=None, warmup=3):
+        iters_c = iters_c or (2 if quick else 8)
+        p = jax.tree.map(jnp.array, params0)
+        o = tx.init(p)
+        for _ in range(warmup):
+            p, o, first = chunk_call(p, o)
+        np.asarray(jax.tree.leaves(first)[0])
+        t0 = time.perf_counter()
+        for _ in range(iters_c):
+            p, o, first = chunk_call(p, o)
+        np.asarray(jax.tree.leaves(first)[0])
+        dt = time.perf_counter() - t0
+        record(name, n, dt / (iters_c * k) * 1e3, n * iters_c * k / dt,
+               "captions/s" if "policy" in name else
+               ("pairs/s" if "reward" in name else "episodes/s"))
+
+    fused = on_tpu
+    sfx = "fused" if fused else "XLA"
+    pchunk = steps.make_policy_chunk_step(cfg, tx, fused=fused)
+    timed_chunk(f"policy XE chunked k=8 ({sfx})", pparams,
+                lambda p, o: pchunk(p, o, inf, feats_k, caps_k)[:3])
+    rchunk = steps.make_reward_chunk_step(cfg, tx, fused=fused)
+    timed_chunk(f"reward VSE chunked k=8 ({sfx})", rparams,
+                lambda p, o: rchunk(p, o, inf, feats_k, caps_k)[:3])
+    vchunk = steps.make_value_chunk_step(cfg, tx, fused=fused)
+    plens = jnp.asarray(rng.integers(1, T, size=(k,)).astype(np.int32))
+    timed_chunk(f"value MSE chunked k=8 ({sfx})", vparams,
+                lambda p, o: vchunk(p, o, inf, pparams, rparams,
+                                    feats_k, caps_k, plens)[:3])
+    achunk = steps.make_a2c_chunk_step(cfg, tx, fused=fused)
+    timed_chunk(f"A2C chunked k=8 ({sfx} rollout)", a2c_params,
+                lambda p, o: achunk(p, o, rparams, feats_k, caps_k,
+                                    jnp.int32(1), key)[:3])
+
     # write the raw table (BENCHMARKS.md is the curated record)
     out = os.path.join(os.path.dirname(__file__), "MEASURED.md")
     with open(out, "w") as f:

@@ -97,11 +97,14 @@ def _rollout_fwd_kernel(
     h_p, c_p = sph[:], spc[:]
     h_v, c_v = svh[:], svc[:]
 
-    # tape: states ENTERING this step
-    hp_ref[:, :] = h_p
-    cp_ref[:, :] = c_p
-    hv_ref[:, :] = h_v
-    cv_ref[:, :] = c_v
+    # tape: states ENTERING this step (stored in the weight dtype — bf16
+    # on hardware halves the dominant HBM stream; f32 in interpret mode
+    # keeps jax.grad parity bit-exact)
+    td = hp_ref.dtype
+    hp_ref[:, :] = h_p.astype(td)
+    cp_ref[:, :] = c_p.astype(td)
+    hv_ref[:, :] = h_v.astype(td)
+    cv_ref[:, :] = c_v.astype(td)
 
     # 1) policy logits for position p = s+1 (mirrors ops/linalg.dense)
     logits = (
@@ -138,7 +141,7 @@ def _rollout_fwd_kernel(
     i, f, g, o = _lstm_gates(
         jnp.concatenate([x_p, h_p], axis=1), p_w_ref[:], p_b_ref[:], hidden
     )
-    gp_ref[:, :] = jnp.concatenate([i, f, g, o], axis=1)
+    gp_ref[:, :] = jnp.concatenate([i, f, g, o], axis=1).astype(td)
     c_new = f * c_p + i * g
     sph[:] = o * jnp.tanh(c_new)
     spc[:] = c_new
@@ -148,7 +151,7 @@ def _rollout_fwd_kernel(
     i, f, g, o = _lstm_gates(
         jnp.concatenate([x_v, h_v], axis=1), v_w_ref[:], v_b_ref[:], hidden
     )
-    gv_ref[:, :] = jnp.concatenate([i, f, g, o], axis=1)
+    gv_ref[:, :] = jnp.concatenate([i, f, g, o], axis=1).astype(td)
     c_new = f * c_v + i * g
     svh[:] = o * jnp.tanh(c_new)
     svc[:] = c_new
@@ -157,7 +160,7 @@ def _rollout_fwd_kernel(
 def _fwd_pallas(
     curr, feats, ph1, pc1, vh1, vc1, teach_sm, gumbel_sm,
     p_emb, p_w, p_b, p_hw, p_hb, v_emb, v_w, v_b, v_w1, v_b1, v_w2, v_b2,
-    *, steps: int, bn: int, hidden: int, interpret: bool,
+    *, steps: int, bn: int, hidden: int, interpret: bool, tape_dtype=jnp.float32,
 ):
     n_pad, feat_dim = feats.shape
     vp, emb_dim = p_emb.shape
@@ -170,12 +173,13 @@ def _fwd_pallas(
     stream = lambda i, s: (s * tiles + i, 0)  # noqa: E731 — step-major row blocks
 
     f32 = jnp.float32
+    td = tape_dtype  # bf16 on HW (halves tape HBM traffic), f32 interpret
     row = lambda width, dt=f32: jax.ShapeDtypeStruct((steps * n_pad, width), dt)  # noqa: E731
 
     out_shape = (
         row(1), row(1), row(1, jnp.int32), row(1, jnp.int32),  # value, logp, action, token
-        row(hidden), row(hidden), row(4 * hidden),  # h_p, c_p, gates_p
-        row(hidden), row(hidden), row(4 * hidden),  # h_v, c_v, gates_v
+        row(hidden, td), row(hidden, td), row(4 * hidden, td),  # h_p, c_p, gates_p
+        row(hidden, td), row(hidden, td), row(4 * hidden, td),  # h_v, c_v, gates_v
     )
     out_specs = (
         vm((bn, 1), stream), vm((bn, 1), stream), vm((bn, 1), stream), vm((bn, 1), stream),
@@ -219,6 +223,9 @@ def _cell_bwd(dh_next, dc_next, gates, c_prev, w_ref, hidden):
 
     Returns (dgates_pre [bn, 4H], dxh [bn, E+H], dc_prev)."""
     f32 = jnp.float32
+    # the tape may be bf16 on hardware; gate math stays f32
+    gates = gates.astype(f32)
+    c_prev = c_prev.astype(f32)
     i = gates[:, :hidden]
     f = gates[:, hidden : 2 * hidden]
     g = gates[:, 2 * hidden : 3 * hidden]
@@ -349,6 +356,9 @@ def _value_bwd_kernel(
     def _init_carry():
         sdh[:] = jnp.zeros_like(sdh)
         sdc[:] = jnp.zeros_like(sdc)
+        # per-tile features cotangent accumulates in VMEM (the block is
+        # revisited across the step axis, flushed once per tile)
+        dfeat_ref[:, :] = jnp.zeros_like(dfeat_ref)
 
     @pl.when(jnp.logical_and(i_t == 0, s == 0))
     def _init_accums():
@@ -380,7 +390,7 @@ def _value_bwd_kernel(
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=f32,
     )  # [bn, F+H]
-    dfeat_ref[:, :] = dfh[:, :feat_dim]
+    dfeat_ref[:, :] += dfh[:, :feat_dim]
     dh_head = dfh[:, feat_dim:]
 
     vp = v_emb_ref.shape[0]
@@ -484,7 +494,7 @@ def _value_bwd_pallas(
         ],
         out_specs=(
             vm((bn, emb_dim), rev),       # dx_v stream
-            vm((bn, feat_dim), rev),      # dfeat per step
+            vm((bn, feat_dim), tile),     # dfeat, accumulated per tile
             vm((bn, hidden), tile), vm((bn, hidden), tile),  # d(vh1), d(vc1)
             vm((emb_dim + hidden, 4 * hidden), whole), vm((1, 4 * hidden), whole),
             vm((feat_dim + hidden, hidden), whole), vm((1, hidden), whole),
@@ -492,7 +502,7 @@ def _value_bwd_pallas(
         ),
         out_shape=(
             jax.ShapeDtypeStruct((steps * n_pad, emb_dim), f32),
-            jax.ShapeDtypeStruct((steps * n_pad, feat_dim), f32),
+            jax.ShapeDtypeStruct((n_pad, feat_dim), f32),
             jax.ShapeDtypeStruct((n_pad, hidden), f32),
             jax.ShapeDtypeStruct((n_pad, hidden), f32),
             jax.ShapeDtypeStruct((emb_dim + hidden, 4 * hidden), f32),
@@ -512,7 +522,8 @@ def _value_bwd_pallas(
 
 @functools.lru_cache(maxsize=None)
 def _make_core(steps: int, bn: int, hidden: int, emb_dim: int, vp: int,
-               weight_dtype_name: str, interpret: bool):
+               weight_dtype_name: str, interpret: bool,
+               tape_dtype_name: str = "bfloat16"):
     """Factory: the custom-VJP'd rollout core for one static shape set.
 
     The core's array arguments are the PADDED weight forms (built in
@@ -521,6 +532,7 @@ def _make_core(steps: int, bn: int, hidden: int, emb_dim: int, vp: int,
     hand-written backward returns f32 cotangents for every float input.
     """
     wd = jnp.bfloat16 if weight_dtype_name == "bfloat16" else jnp.float32
+    td = jnp.bfloat16 if tape_dtype_name == "bfloat16" else jnp.float32
     f32 = jnp.float32
 
     def _run_fwd(curr, feats, ph1, pc1, vh1, vc1, teach_sm, gumbel_sm,
@@ -532,7 +544,7 @@ def _make_core(steps: int, bn: int, hidden: int, emb_dim: int, vp: int,
             p_hw.astype(wd), p_hb.astype(f32),
             v_emb.astype(wd), v_w.astype(wd), v_b.astype(f32),
             v_w1.astype(wd), v_b1.astype(f32), v_w2.astype(wd), v_b2.astype(f32),
-            steps=steps, bn=bn, hidden=hidden, interpret=interpret,
+            steps=steps, bn=bn, hidden=hidden, interpret=interpret, tape_dtype=td,
         )
 
     @jax.custom_vjp
@@ -569,7 +581,7 @@ def _make_core(steps: int, bn: int, hidden: int, emb_dim: int, vp: int,
             dlogps, hp, cp, gp, act_sm, tok_sm, p_emb_c, p_w_c, p_hw_c, p_hb_c,
             steps=steps, bn=bn, hidden=hidden, emb_dim=emb_dim, interpret=interpret,
         )
-        (dxv, dfeat_steps, dvh1, dvc1, dvw, dvb, dvw1, dvb1, dvw2, dvb2) = _value_bwd_pallas(
+        (dxv, dfeats, dvh1, dvc1, dvw, dvb, dvw1, dvb1, dvw2, dvb2) = _value_bwd_pallas(
             dvalues, feats, hv, cv, gv, tok_sm, v_emb_c, v_w_c, v_w1_c, v_b1_c, v_w2_c,
             steps=steps, bn=bn, hidden=hidden, emb_dim=emb_dim, vp=vp, interpret=interpret,
         )
@@ -577,9 +589,8 @@ def _make_core(steps: int, bn: int, hidden: int, emb_dim: int, vp: int,
         tok_flat = tok_sm[:, 0]
         dp_emb = jax.ops.segment_sum(dxp, tok_flat, num_segments=vp)
         dv_emb = jax.ops.segment_sum(dxv, tok_flat, num_segments=vp)
-        # features cotangent: the value head reads feats every step
+        # features cotangent accumulated inside the value backward kernel
         n_pad = feats.shape[0]
-        dfeats = jnp.sum(dfeat_steps.reshape(steps, n_pad, -1), axis=0)
 
         fz = lambda x: np.zeros(x.shape, jax.dtypes.float0)  # noqa: E731 int args
         return (
@@ -606,6 +617,7 @@ def fused_rollout(
     block_n: int = 128,
     weight_dtype=jnp.bfloat16,
     interpret: bool = False,
+    tape_dtype=None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Fused policy+value rollout; drop-in core of ``a2c_rollout_loss``.
 
@@ -677,9 +689,15 @@ def fused_rollout(
     v_w2 = jnp.pad(vparams["linear2"]["w"], ((0, 0), (0, 127)))
     v_b2 = jnp.pad(vparams["linear2"]["b"][None, :], ((0, 0), (0, 127)))
 
+    # tape dtype default f32: a measured A/B at COCO shapes (v5e, scan-
+    # amortized dispatch) put the bf16 tape at 2.32 ms vs 2.26 ms f32
+    # per fwd+bwd — the cast/relayout cost outweighs the bandwidth win
+    # at 512-wide streams — and f32 keeps the hand-written VJP in the
+    # same rounding class as jax.grad of the XLA rollout.
     core = _make_core(
         steps, block_n, hidden, emb_dim, vp,
         jnp.dtype(weight_dtype).name, interpret,
+        jnp.dtype(tape_dtype if tape_dtype is not None else jnp.float32).name,
     )
     values, logps, actions, tokens = core(
         curr, feats_p, ph1, pc1, vh1, vc1, teach_sm, gum_sm,

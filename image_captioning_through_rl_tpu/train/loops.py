@@ -107,6 +107,107 @@ class _DeferredBookkeeper:
             self._pending = None
 
 
+def _drive_best_loss_training(
+    desc: str,
+    tag: str,
+    ckpt_path: str,
+    writer,
+    epochs: int,
+    batch_size: int,
+    rng: np.random.Generator,
+    train_data: CocoData,
+    tables,
+    params,
+    opt_state,
+    single_step,
+    chunk_step=None,
+    chunk_steps: int = 8,
+):
+    """Shared epoch driver for the three best-loss-checkpointed
+    pretrainers (reference trainers.py:160-197, 225-257, 280-309).
+
+    ``single_step(params, opt, feats, caps) -> (params, opt, loss)``
+    runs one minibatch; with ``chunk_step`` (steps.make_*_chunk_step)
+    and device tables, ``chunk_steps`` minibatch updates run per host
+    dispatch with the best-loss/Q12 bookkeeping carried on device —
+    identical artifacts (same losses logged at the same TB steps, the
+    checkpoint file converges to the same bytes: the weights entering
+    the first minibatch attaining the global-minimum loss), but the
+    host round trip is paid once per chunk instead of once per step.
+    """
+    state = {"best": float("inf"), "bar": None}
+
+    def resolve(prev, loss_dev, epoch, minibatch_id):
+        loss = float(loss_dev)
+        if loss < state["best"]:
+            state["best"] = loss
+            if is_main_process():
+                ckpt.save_pytree(prev, ckpt_path)  # Q12: weights entering
+            state["bar"].set_description_str(
+                f"{desc} ({epoch + 1}/{epochs}): Best Loss {loss}")
+        writer.add_scalar(tag, loss,
+                          global_minibatch_number(epoch, minibatch_id, batch_size))
+
+    keeper = _DeferredBookkeeper(resolve)
+    use_chunks = chunk_step is not None and chunk_steps > 1 and tables is not None
+    for epoch in range(epochs):
+        if use_chunks:
+            num = tables.num_captions
+            perm = rng.permutation(num)
+            total = math.ceil(num / batch_size)
+            bar = tqdm(total=total,
+                       desc=f"{desc} ({epoch + 1}/{epochs}): Best Loss {state['best']}")
+            state["bar"] = bar
+            i = 0
+            minibatch_id = 0
+            while i < num:
+                k = min(chunk_steps, (num - i) // batch_size)
+                if k >= 1:
+                    caps_b, feats_b = tables.gather(perm[i : i + k * batch_size])
+                    (params, opt_state, losses, best_prev, _,
+                     improved) = chunk_step(
+                        params, opt_state, jnp.float32(state["best"]),
+                        feats_b.reshape(k, batch_size, -1),
+                        caps_b.reshape(k, batch_size, -1),
+                    )
+                    if bool(improved) and is_main_process():
+                        ckpt.save_pytree(jax.device_get(best_prev), ckpt_path)
+                    for loss in np.asarray(jax.device_get(losses)):
+                        loss = float(loss)
+                        if loss < state["best"]:
+                            state["best"] = loss
+                            bar.set_description_str(
+                                f"{desc} ({epoch + 1}/{epochs}): Best Loss {loss}")
+                        writer.add_scalar(
+                            tag, loss,
+                            global_minibatch_number(epoch, minibatch_id, batch_size))
+                        minibatch_id += 1
+                    i += k * batch_size
+                    bar.update(k)
+                else:  # ragged tail: one single-step call
+                    caps_b, feats_b = tables.gather(perm[i:])
+                    prev = params
+                    params, opt_state, loss = single_step(
+                        params, opt_state, feats_b, caps_b)
+                    resolve(prev, loss, epoch, minibatch_id)
+                    minibatch_id += 1
+                    i = num
+                    bar.update(1)
+            bar.close()
+        else:
+            batches, total = _epoch_batches(train_data, batch_size, rng, tables)
+            bar = tqdm(batches, total=total,
+                       desc=f"{desc} ({epoch + 1}/{epochs}): Best Loss {state['best']}")
+            state["bar"] = bar
+            for minibatch_id, (captions, features, _) in enumerate(bar):
+                prev = params
+                params, opt_state, loss = single_step(
+                    params, opt_state, jnp.asarray(features), jnp.asarray(captions))
+                keeper.push(prev, loss, epoch, minibatch_id)
+            keeper.flush()
+    return params
+
+
 def train_reward_network(
     train_data: CocoData,
     network_paths: Dict[str, str],
@@ -119,6 +220,7 @@ def train_reward_network(
     compat_batch_as_time: bool = False,
     device_data: bool = True,
     fused_chain=None,
+    chunk_steps: int = 8,
 ):
     """VSE-loss training of the reward network (trainers.py:260-309).
 
@@ -140,34 +242,16 @@ def train_reward_network(
                     f"{'verified — Pallas VSE step' if fused_chain else 'unavailable — XLA VSE step'}")
     step = steps.make_reward_step(cfg, tx, compat=compat_batch_as_time, fused=fused_chain)
     tables = _device_tables(train_data, device_data)
+    chunk = None
+    if chunk_steps > 1 and not compat_batch_as_time and not cfg.bidirectional:
+        chunk = steps.make_reward_chunk_step(cfg, tx, fused=fused_chain)
 
-    state = {"best": float("inf"), "bar": None, "epoch": 0}
-
-    def resolve(prev, loss_dev, epoch, minibatch_id):
-        loss = float(loss_dev)
-        if loss < state["best"]:
-            state["best"] = loss
-            if is_main_process():
-                ckpt.save_pytree(prev, network_paths["reward_network"])  # Q12
-            state["bar"].set_description_str(
-                f"Training Reward Network ({epoch + 1}/{epochs}): Best Loss {loss}")
-        writer.add_scalar("Reward Network-loss", loss,
-                          global_minibatch_number(epoch, minibatch_id, batch_size))
-
-    keeper = _DeferredBookkeeper(resolve)
     print_green("[Training] Training Reward Network")
-    for epoch in range(epochs):
-        batches, total = _epoch_batches(train_data, batch_size, rng, tables)
-        bar = tqdm(batches, total=total,
-                   desc=f"Training Reward Network ({epoch + 1}/{epochs}): Best Loss {state['best']}")
-        state["bar"] = bar
-        for minibatch_id, (captions, features, _) in enumerate(bar):
-            prev = params
-            params, opt_state, loss = step(
-                params, opt_state, jnp.asarray(features), jnp.asarray(captions)
-            )
-            keeper.push(prev, loss, epoch, minibatch_id)
-        keeper.flush()
+    params = _drive_best_loss_training(
+        "Training Reward Network", "Reward Network-loss",
+        network_paths["reward_network"], writer, epochs, batch_size, rng,
+        train_data, tables, params, opt_state, step, chunk, chunk_steps,
+    )
     writer.close()
     return params
 
@@ -183,6 +267,7 @@ def train_policy_network(
     seed: int = 0,
     device_data: bool = True,
     fused_chain=None,
+    chunk_steps: int = 8,
 ):
     """Teacher-forced XE pretraining of the policy (trainers.py:202-257).
 
@@ -203,34 +288,16 @@ def train_policy_network(
                     f"{'verified — Pallas XE step' if fused_chain else 'unavailable — XLA XE step'}")
     step = steps.make_policy_step(cfg, tx, fused=fused_chain)
     tables = _device_tables(train_data, device_data)
+    chunk = None
+    if chunk_steps > 1 and not cfg.bidirectional:
+        chunk = steps.make_policy_chunk_step(cfg, tx, fused=fused_chain)
 
-    state = {"best": float("inf"), "bar": None}
-
-    def resolve(prev, loss_dev, epoch, minibatch_id):
-        loss = float(loss_dev)
-        if loss < state["best"]:
-            state["best"] = loss
-            if is_main_process():
-                ckpt.save_pytree(prev, network_paths["policy_network"])  # Q12
-            state["bar"].set_description_str(
-                f"Training Policy Network ({epoch + 1}/{epochs}): Best Loss {loss}")
-        writer.add_scalar("Policy Network-loss", loss,
-                          global_minibatch_number(epoch, minibatch_id, batch_size))
-
-    keeper = _DeferredBookkeeper(resolve)
     print_green("[Training] Training Policy Network")
-    for epoch in range(epochs):
-        batches, total = _epoch_batches(train_data, batch_size, rng, tables)
-        bar = tqdm(batches, total=total,
-                   desc=f"Training Policy Network ({epoch + 1}/{epochs}): Best Loss {state['best']}")
-        state["bar"] = bar
-        for minibatch_id, (captions, features, _) in enumerate(bar):
-            prev = params
-            params, opt_state, loss = step(
-                params, opt_state, jnp.asarray(features), jnp.asarray(captions)
-            )
-            keeper.push(prev, loss, epoch, minibatch_id)
-        keeper.flush()
+    params = _drive_best_loss_training(
+        "Training Policy Network", "Policy Network-loss",
+        network_paths["policy_network"], writer, epochs, batch_size, rng,
+        train_data, tables, params, opt_state, step, chunk, chunk_steps,
+    )
     writer.close()
     return params
 
@@ -246,6 +313,7 @@ def train_value_network(
     seed: int = 0,
     compat_batch_as_time: bool = False,
     device_data: bool = True,
+    chunk_steps: int = 8,
 ):
     """MSE training of the critic against embedding rewards of greedy
     rollouts from the frozen policy (trainers.py:125-199)."""
@@ -269,36 +337,30 @@ def train_value_network(
     step = steps.make_value_step(cfg, tx, compat=compat_batch_as_time, fused=fused_chain)
     tables = _device_tables(train_data, device_data)
 
-    state = {"best": float("inf"), "bar": None}
+    # random prefix length per minibatch, shared by the batch
+    # (trainers.py:177) — drawn in minibatch order by BOTH paths so the
+    # host RNG stream is identical whether or not dispatches are chunked
+    def single_step(params, opt_state, feats, caps):
+        prefix_len = py_rng.randint(1, MAX_SEQ_LEN)
+        return step(params, opt_state, pparams, rparams, feats, caps, prefix_len)
 
-    def resolve(prev, loss_dev, epoch, minibatch_id):
-        loss = float(loss_dev)
-        if loss < state["best"]:
-            state["best"] = loss
-            if is_main_process():
-                ckpt.save_pytree(prev, network_paths["value_network"])  # Q12
-            state["bar"].set_description_str(
-                f"Training Value Network ({epoch + 1}/{epochs}): Best Loss {loss}")
-        writer.add_scalar("Value Network-loss", loss,
-                          global_minibatch_number(epoch, minibatch_id, batch_size))
+    chunk = None
+    if chunk_steps > 1 and not compat_batch_as_time and not cfg.bidirectional:
+        chunk_fn = steps.make_value_chunk_step(cfg, tx, fused=fused_chain)
 
-    keeper = _DeferredBookkeeper(resolve)
+        def chunk(params, opt_state, best_loss, feats_k, caps_k):
+            k = feats_k.shape[0]
+            prefix_lens = jnp.asarray(
+                [py_rng.randint(1, MAX_SEQ_LEN) for _ in range(k)], jnp.int32)
+            return chunk_fn(params, opt_state, best_loss, pparams, rparams,
+                            feats_k, caps_k, prefix_lens)
+
     print_green("[Training] Training Value Network")
-    for epoch in range(epochs):
-        batches, total = _epoch_batches(train_data, batch_size, rng, tables)
-        bar = tqdm(batches, total=total,
-                   desc=f"Training Value Network ({epoch + 1}/{epochs}): Best Loss {state['best']}")
-        state["bar"] = bar
-        for minibatch_id, (captions, features, _) in enumerate(bar):
-            # random prefix length, shared by the batch (trainers.py:177)
-            prefix_len = py_rng.randint(1, MAX_SEQ_LEN)
-            prev = params
-            params, opt_state, loss = step(
-                params, opt_state, pparams, rparams,
-                jnp.asarray(features), jnp.asarray(captions), prefix_len,
-            )
-            keeper.push(prev, loss, epoch, minibatch_id)
-        keeper.flush()
+    params = _drive_best_loss_training(
+        "Training Value Network", "Value Network-loss",
+        network_paths["value_network"], writer, epochs, batch_size, rng,
+        train_data, tables, params, opt_state, single_step, chunk, chunk_steps,
+    )
     writer.close()
     return params
 

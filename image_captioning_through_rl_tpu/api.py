@@ -86,7 +86,7 @@ class Captioner:
 
                 toks, _ = fused_beam_search(
                     self._policy, self._value, f, s,
-                    max_len=cfg.max_seq_len, beam=beam_size, block_n=16,
+                    max_len=cfg.max_seq_len, beam=beam_size, block_n=0,
                 )
                 return np.asarray(toks[:, 0])
 

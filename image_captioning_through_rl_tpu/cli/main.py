@@ -143,6 +143,7 @@ def main(args):
             # flag forces the kernels on; default = auto-probe (fused on
             # TPU after loss agreement with the XLA rollout, else XLA)
             fused_rollout=True if args.fused_rollout else None,
+            chunk_steps=args.chunk_steps,
         )
         print_green("[Info] A2C Network trained")
 
@@ -217,6 +218,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="Reference-exact batch-as-time value/reward encoders (quirk Q1)")
     p.add_argument("--resume", action="store_true", default=False,
                    help="Resume A2C training from the last per-epoch checkpoint")
+    p.add_argument("--chunk_steps", type=int, default=8,
+                   help="Minibatch updates per device dispatch (jitted "
+                        "scan with on-device best-loss bookkeeping); 1 "
+                        "restores per-step dispatch")
     p.add_argument("--fused_rollout", action="store_true", default=False,
                    help="Force the fused Pallas rollout kernels for A2C training "
                         "(TPU, unidirectional; ~1.5x the XLA step). Default is "

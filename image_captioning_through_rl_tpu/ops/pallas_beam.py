@@ -295,7 +295,7 @@ def fused_beam_search(
     start_tokens: jax.Array,
     max_len: int = 17,
     beam: int = 5,
-    block_n: int = 32,
+    block_n: int = 0,
     weight_dtype=jnp.bfloat16,
     value_weight: float = 0.6,
     logprob_weight: float = 0.4,
@@ -310,6 +310,12 @@ def fused_beam_search(
     if "lstm" not in policy_params or "lstm" not in value_params:
         raise ValueError("fused beam search requires unidirectional networks")
     n, feat_dim = features.shape
+    if block_n == 0:
+        # auto tile: measured on v5e with the 64 MiB VMEM budget —
+        # a 127-slice runs best as one 128-wide tile (3.30 ms vs 3.58 at
+        # block 16), superbatches as 64-wide tiles (17.1 ms vs 19.4 per
+        # 1016 at block 16); see benchmarks/BENCHMARKS.md
+        block_n = 128 if n <= 128 else 64
     vocab, emb_dim = policy_params["embedding"].shape
     hidden = policy_params["lstm"]["wh"].shape[0]
     vp = _round_up(vocab, 128)
@@ -368,6 +374,11 @@ def fused_beam_search(
         out_shape=(
             jax.ShapeDtypeStruct((n_pad * beam, max_len), jnp.int32),
             jax.ShapeDtypeStruct((n_pad * beam, 1), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            # raise the 16 MiB Mosaic default scoped-VMEM budget (v5e has
+            # 128 MiB physical): larger batch tiles become available
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(

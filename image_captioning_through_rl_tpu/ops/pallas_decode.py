@@ -81,7 +81,7 @@ def fused_greedy_decode(
     features: jax.Array,
     start_tokens: jax.Array,
     max_len: int = 17,
-    block_n: int = 512,
+    block_n: int = 1024,
     weight_dtype=jnp.bfloat16,
     interpret: bool = False,
 ) -> jax.Array:
@@ -99,13 +99,12 @@ def fused_greedy_decode(
     hidden = params["lstm"]["wh"].shape[0]
 
     vp = _round_up(vocab, 128)
-    # adaptive tile size: single-tile grids have a lower scoped-VMEM
-    # ceiling than multi-tile ones (see CLAUDE.md) — small batches take
-    # small tiles instead of padding up to one huge tile. This kernel
-    # keeps the batch on the LANE axis, so tiles are multiples of 128.
+    # adaptive tile: never pad the batch past the next lane multiple
+    # (this kernel keeps the batch on the LANE axis, so tiles are
+    # multiples of 128). The old force-to-128 single-tile clamp was a
+    # workaround for the 16 MiB default scoped-VMEM budget; the kernel
+    # now compiles with a 64 MiB budget (measured best tile 1024).
     block_n = min(block_n, _round_up(n, 128))
-    if _round_up(n, block_n) == block_n and block_n > 128:
-        block_n = 128
     n_pad = _round_up(n, block_n)
     wd = weight_dtype
 
@@ -153,6 +152,11 @@ def fused_greedy_decode(
         ],
         out_specs=pl.BlockSpec((max_len, block_n), tile_minor, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((max_len, n_pad), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            # raise the 16 MiB Mosaic default scoped-VMEM budget (v5e has
+            # 128 MiB physical): larger batch tiles become available
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(feats, start, wc, bc, emb, wi, wh, b, wo, bo)
     return out.T[:n]

@@ -154,6 +154,7 @@ def _make_chain(steps: int, bn: int, hidden: int, emb_dim: int, vp: int,
             scratch_shapes=[pltpu.VMEM((bn, hidden), f32)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "arbitrary"),
+                vmem_limit_bytes=64 * 1024 * 1024,
             ),
             interpret=interpret,
         )(tok_sm, h0, emb.astype(wd), wi.astype(wd), wh.astype(wd),
@@ -192,6 +193,7 @@ def _make_chain(steps: int, bn: int, hidden: int, emb_dim: int, vp: int,
             scratch_shapes=[pltpu.VMEM((bn, hidden), f32)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "arbitrary"),
+                vmem_limit_bytes=64 * 1024 * 1024,
             ),
             interpret=interpret,
         )(dh_sm, tok_sm, hprev_sm, g_sm, ghn_sm, emb_c, wi_c, wh_c)

@@ -175,6 +175,7 @@ def _make_chain(steps: int, bn: int, hidden: int, emb_dim: int, vp: int,
             scratch_shapes=[pltpu.VMEM((bn, hidden), f32)] * 2,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "arbitrary"),
+                vmem_limit_bytes=64 * 1024 * 1024,
             ),
             interpret=interpret,
         )(tok_sm, h0, c0, emb.astype(wd), w.astype(wd), b.astype(f32))
@@ -209,6 +210,7 @@ def _make_chain(steps: int, bn: int, hidden: int, emb_dim: int, vp: int,
             scratch_shapes=[pltpu.VMEM((bn, hidden), f32)] * 2,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "arbitrary"),
+                vmem_limit_bytes=64 * 1024 * 1024,
             ),
             interpret=interpret,
         )(dh_sm, tok_sm, hprev_sm, cprev_sm, g_sm, emb_c, w_c)

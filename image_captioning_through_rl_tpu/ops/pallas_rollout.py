@@ -57,6 +57,14 @@ from .pallas_decode import _round_up
 
 _NEG = -1e30
 
+# The Mosaic default scoped-VMEM budget is 16 MiB — a compiler default,
+# not the hardware: v5e has 128 MiB of VMEM per core. The backward
+# kernels' resident f32 weight-grad accumulators (~15 MB) sit within
+# 12 KB of that default, so surrounding-fusion changes can tip a
+# compile over the edge. Raise the per-kernel budget well clear of the
+# real usage while staying far below the physical capacity.
+_VMEM_LIMIT = 64 * 1024 * 1024
+
 
 def _lstm_gates(xh, w, b, hidden):
     """Concat-form LSTM gates ([x;h] @ [wi;wh] — ops/rnn.lstm_cell)."""
@@ -210,6 +218,7 @@ def _fwd_pallas(
         scratch_shapes=[pltpu.VMEM((bn, hidden), f32)] * 4,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,
     )(
@@ -458,6 +467,7 @@ def _policy_bwd_pallas(
         scratch_shapes=[pltpu.VMEM((bn, hidden), f32)] * 2,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,
     )(dlogp_sm, hp, cp, gp, act_sm, tok_sm, p_emb, p_w, p_hw, p_hb)
@@ -515,6 +525,7 @@ def _value_bwd_pallas(
         scratch_shapes=[pltpu.VMEM((bn, hidden), f32)] * 2,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,
     )(dval_sm, feats, hv, cv, gv, tok_sm, v_emb, v_w, v_w1, v_b1, v_w2)
@@ -841,6 +852,7 @@ def fused_reward_stream(
         scratch_shapes=[pltpu.VMEM((block_n, hidden), f32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,
     )(

@@ -385,6 +385,7 @@ def train_a2c_network(
     compat_batch_as_time: bool = False,
     resume: bool = False,
     fused_rollout=None,
+    chunk_steps: int = 8,
 ):
     """Orchestrator (trainers.py:312-399): train or load the three
     sub-networks, freeze the reward net, then run (curriculum) A2C.
@@ -397,9 +398,9 @@ def train_a2c_network(
 
     if retrain_all:
         print_green("[Training] Training all the networks")
-        rparams = train_reward_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed, compat_batch_as_time=compat_batch_as_time)
-        pparams = train_policy_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed)
-        vparams = train_value_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed, compat_batch_as_time=compat_batch_as_time)
+        rparams = train_reward_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed, compat_batch_as_time=compat_batch_as_time, chunk_steps=chunk_steps)
+        pparams = train_policy_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed, chunk_steps=chunk_steps)
+        vparams = train_value_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed, compat_batch_as_time=compat_batch_as_time, chunk_steps=chunk_steps)
         print_green("[Training] All networks trained")
     else:
         # load-or-train fallback per sub-network (trainers.py:338-370)
@@ -408,19 +409,19 @@ def train_a2c_network(
             print("[Training] loaded reward network")
         except FileNotFoundError:
             print("[Training] reward network not found")
-            rparams = train_reward_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed, compat_batch_as_time=compat_batch_as_time)
+            rparams = train_reward_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed, compat_batch_as_time=compat_batch_as_time, chunk_steps=chunk_steps)
         try:
             pparams = _load_or_fail("policy", network_paths["policy_network"], cfg, train_data, bidirectional)
             print("[Training] loaded policy network")
         except FileNotFoundError:
             print("[Training] policy network not found")
-            pparams = train_policy_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed)
+            pparams = train_policy_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed, chunk_steps=chunk_steps)
         try:
             vparams = _load_or_fail("value", network_paths["value_network"], cfg, train_data, bidirectional)
             print("[Training] loaded value network")
         except FileNotFoundError:
             print("[Training] value network not found")
-            vparams = train_value_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed, compat_batch_as_time=compat_batch_as_time)
+            vparams = train_value_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed, compat_batch_as_time=compat_batch_as_time, chunk_steps=chunk_steps)
 
     a2c_params = {"value": vparams, "policy": pparams}
     if resume:
@@ -445,7 +446,7 @@ def train_a2c_network(
             train_data, a2c_params, rparams, tx, opt_state, cfg, plot_dir,
             all_save_paths, batch_size, epochs, seed=seed,
             compat_batch_as_time=compat_batch_as_time,
-            fused_rollout=fused_rollout,
+            fused_rollout=fused_rollout, chunk_steps=chunk_steps,
         )
     else:
         curriculum = list(curriculum)
@@ -455,7 +456,7 @@ def train_a2c_network(
             train_data, a2c_params, rparams, tx, opt_state, cfg, plot_dir,
             all_save_paths, batch_size, epochs, curriculum, seed=seed,
             compat_batch_as_time=compat_batch_as_time,
-            fused_rollout=fused_rollout,
+            fused_rollout=fused_rollout, chunk_steps=chunk_steps,
         )
 
     if is_main_process():
@@ -886,7 +887,7 @@ def test_a2c_network(
 
                 return fused_beam_search(
                     a2c_params["policy"], a2c_params["value"], f, s,
-                    max_len=dcfg.max_seq_len, beam=dcfg.beam_size, block_n=16,
+                    max_len=dcfg.max_seq_len, beam=dcfg.beam_size, block_n=0,
                 )
 
             if use_fused_kernel:  # explicitly forced

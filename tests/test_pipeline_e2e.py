@@ -25,14 +25,16 @@ def coco_dir(tmp_path_factory):
 
 
 def _args(coco_dir, workdir, **over):
-    base = dict(
+    # start from the REAL parser's defaults so this test cannot drift
+    # from the CLI flag surface (new flags pick up their defaults here)
+    from image_captioning_through_rl_tpu.cli.main import build_arg_parser
+
+    base = vars(build_arg_parser().parse_args([]))
+    base.update(
         training_size=0, test_size=10, epochs=1, batch_size=8,
-        retrain=True, postprocess=False, curriculum=False, bidirectional=False,
-        test_model="", pretrained_path=os.path.join(workdir, "models_pretrained"),
-        pretrained_word2vec="none", train_word2vec="none",
-        data_dir=coco_dir, seed=0, faithful_beam=False,
-        compat_batch_as_time=False, resume=False, compat_dump=False,
-        fused_rollout=False,
+        retrain=True, test_model="",
+        pretrained_path=os.path.join(workdir, "models_pretrained"),
+        data_dir=coco_dir, seed=0,
     )
     base.update(over)
     return types.SimpleNamespace(**base)

@@ -21,7 +21,7 @@ VOCAB = 1004
 FEAT = 512
 HID = 512
 T = 17
-JAX_BATCH = 8192
+JAX_BATCH = 32768
 TORCH_BATCH = 128
 
 
@@ -180,7 +180,7 @@ def bench_a2c_step() -> float:
     params = a2c.init(jax.random.PRNGKey(0), cfg)
     rparams = reward.init(jax.random.PRNGKey(1), cfg)
     rng = np.random.default_rng(0)
-    k = 8
+    k = 16  # the trainers' default chunk length (loops.py chunk_steps)
     feats = jnp.asarray(rng.standard_normal((k, 512, FEAT), dtype=np.float32))
     caps = rng.integers(4, VOCAB, size=(k, 512, T)).astype(np.int32)
     caps[:, :, 0] = 1

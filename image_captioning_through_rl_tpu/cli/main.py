@@ -218,7 +218,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="Reference-exact batch-as-time value/reward encoders (quirk Q1)")
     p.add_argument("--resume", action="store_true", default=False,
                    help="Resume A2C training from the last per-epoch checkpoint")
-    p.add_argument("--chunk_steps", type=int, default=8,
+    p.add_argument("--chunk_steps", type=int, default=16,
                    help="Minibatch updates per device dispatch (jitted "
                         "scan with on-device best-loss bookkeeping); 1 "
                         "restores per-step dispatch")

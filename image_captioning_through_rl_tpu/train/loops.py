@@ -121,7 +121,7 @@ def _drive_best_loss_training(
     opt_state,
     single_step,
     chunk_step=None,
-    chunk_steps: int = 8,
+    chunk_steps: int = 16,
 ):
     """Shared epoch driver for the three best-loss-checkpointed
     pretrainers (reference trainers.py:160-197, 225-257, 280-309).
@@ -220,7 +220,7 @@ def train_reward_network(
     compat_batch_as_time: bool = False,
     device_data: bool = True,
     fused_chain=None,
-    chunk_steps: int = 8,
+    chunk_steps: int = 16,
 ):
     """VSE-loss training of the reward network (trainers.py:260-309).
 
@@ -267,7 +267,7 @@ def train_policy_network(
     seed: int = 0,
     device_data: bool = True,
     fused_chain=None,
-    chunk_steps: int = 8,
+    chunk_steps: int = 16,
 ):
     """Teacher-forced XE pretraining of the policy (trainers.py:202-257).
 
@@ -313,7 +313,7 @@ def train_value_network(
     seed: int = 0,
     compat_batch_as_time: bool = False,
     device_data: bool = True,
-    chunk_steps: int = 8,
+    chunk_steps: int = 16,
 ):
     """MSE training of the critic against embedding rewards of greedy
     rollouts from the frozen policy (trainers.py:125-199)."""
@@ -385,7 +385,7 @@ def train_a2c_network(
     compat_batch_as_time: bool = False,
     resume: bool = False,
     fused_rollout=None,
-    chunk_steps: int = 8,
+    chunk_steps: int = 16,
 ):
     """Orchestrator (trainers.py:312-399): train or load the three
     sub-networks, freeze the reward net, then run (curriculum) A2C.
@@ -563,7 +563,7 @@ def a2c_training(
     seed: int = 0,
     compat_batch_as_time: bool = False,
     device_data: bool = True,
-    chunk_steps: int = 8,
+    chunk_steps: int = 16,
     fused_rollout=None,
 ):
     """Core A2C loop (trainers.py:402-500).
@@ -678,7 +678,7 @@ def a2c_curriculum_training(
     seed: int = 0,
     compat_batch_as_time: bool = False,
     device_data: bool = True,
-    chunk_steps: int = 8,
+    chunk_steps: int = 16,
     fused_rollout=None,
 ):
     """Curriculum A2C (trainers.py:503-616): per level, teacher-force the

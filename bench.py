@@ -51,7 +51,7 @@ def bench_jax():
     xla_fn = lambda f, s: xla_jit(params, f, s)  # noqa: E731
     fused_fn = lambda f, s: fused_greedy_decode(params, f, s, max_len=T)  # noqa: E731
 
-    def rate(fn, iters=20):
+    def rate(fn, iters=40):
         # sync via host readback: on tunneled backends block_until_ready
         # can return before device execution completes. Warm several
         # calls: the first post-compile round also pays a one-time
@@ -196,7 +196,10 @@ def bench_a2c_step() -> float:
         for _ in range(6):
             p, o, stats, _ = chunk(p, o, rparams, feats, caps, jnp.int32(1), key)
         np.asarray(stats.loss)
-        iters = 12
+        # 25 chained dispatches before the single sync: the tunnel's
+        # ~25 ms round trip then biases the rate by <1% (see
+        # benchmarks/BENCHMARKS.md "tunnel RTT floor")
+        iters = 25
         t0 = time.perf_counter()
         for _ in range(iters):
             p, o, stats, _ = chunk(p, o, rparams, feats, caps, jnp.int32(1), key)

@@ -33,15 +33,23 @@ VOCAB, FEAT, HID, T = 1004, 512, 512, 17
 
 
 def timed(fn, n_items, iters, warmup=8):
+    """ms/step and items/s over an async dispatch chain with a single
+    trailing host readback. The chain carries ONE ~25 ms tunnel round
+    trip regardless of length (BENCHMARKS.md "tunnel RTT floor"), so
+    ``iters`` is auto-raised until the measured window is >= 500 ms,
+    bounding the RTT bias at ~5%."""
     for _ in range(warmup):
         out = fn()
     np.asarray(jax.tree.leaves(out)[0])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn()
-    np.asarray(jax.tree.leaves(out)[0])
-    dt = time.perf_counter() - t0
-    return dt / iters * 1e3, n_items * iters / dt  # (ms/step, items/s)
+    while True:
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn()
+        np.asarray(jax.tree.leaves(out)[0])
+        dt = time.perf_counter() - t0
+        if dt >= 0.5 or iters >= 2048:
+            return dt / iters * 1e3, n_items * iters / dt  # (ms/step, items/s)
+        iters = min(2048, max(iters * 2, int(iters * 0.6 / max(dt, 1e-3)) + 1))
 
 
 def main(quick: bool = False) -> None:
@@ -140,7 +148,9 @@ def main(quick: bool = False) -> None:
     inf = jnp.float32(np.inf)
 
     def timed_chunk(name, params0, chunk_call, iters_c=None, warmup=3):
-        iters_c = iters_c or (2 if quick else 8)
+        # 30 chained dispatches x k=8 steps: the single trailing ~25 ms
+        # tunnel RTT then biases the per-step time by < 4%
+        iters_c = iters_c or (2 if quick else 30)
         p = jax.tree.map(jnp.array, params0)
         o = tx.init(p)
         for _ in range(warmup):

@@ -56,7 +56,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_decode import _round_up
+from .pallas_decode import VMEM_LIMIT, _round_up
 
 _NEG = -1e30
 
@@ -378,7 +378,7 @@ def fused_beam_search(
         compiler_params=pltpu.CompilerParams(
             # raise the 16 MiB Mosaic default scoped-VMEM budget (v5e has
             # 128 MiB physical): larger batch tiles become available
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=VMEM_LIMIT,
         ),
         interpret=interpret,
     )(

@@ -32,6 +32,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# The Mosaic default scoped-VMEM budget is 16 MiB — a compiler default,
+# not the hardware: v5e has 128 MiB of VMEM per core. Every kernel in
+# this package compiles with this raised budget (bigger batch tiles, no
+# 16 MiB cliffs) while staying far below the physical capacity.
+VMEM_LIMIT = 64 * 1024 * 1024
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -152,11 +159,7 @@ def fused_greedy_decode(
         ],
         out_specs=pl.BlockSpec((max_len, block_n), tile_minor, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((max_len, n_pad), jnp.int32),
-        compiler_params=pltpu.CompilerParams(
-            # raise the 16 MiB Mosaic default scoped-VMEM budget (v5e has
-            # 128 MiB physical): larger batch tiles become available
-            vmem_limit_bytes=64 * 1024 * 1024,
-        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(feats, start, wc, bc, emb, wi, wh, b, wo, bo)
     return out.T[:n]

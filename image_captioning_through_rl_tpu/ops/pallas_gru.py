@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_decode import _round_up
+from .pallas_decode import VMEM_LIMIT, _round_up
 from .pallas_lstm import _specs
 
 
@@ -154,7 +154,7 @@ def _make_chain(steps: int, bn: int, hidden: int, emb_dim: int, vp: int,
             scratch_shapes=[pltpu.VMEM((bn, hidden), f32)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "arbitrary"),
-                vmem_limit_bytes=64 * 1024 * 1024,
+                vmem_limit_bytes=VMEM_LIMIT,
             ),
             interpret=interpret,
         )(tok_sm, h0, emb.astype(wd), wi.astype(wd), wh.astype(wd),
@@ -193,7 +193,7 @@ def _make_chain(steps: int, bn: int, hidden: int, emb_dim: int, vp: int,
             scratch_shapes=[pltpu.VMEM((bn, hidden), f32)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "arbitrary"),
-                vmem_limit_bytes=64 * 1024 * 1024,
+                vmem_limit_bytes=VMEM_LIMIT,
             ),
             interpret=interpret,
         )(dh_sm, tok_sm, hprev_sm, g_sm, ghn_sm, emb_c, wi_c, wh_c)
@@ -243,8 +243,6 @@ def fused_gru_chain(
     vocab, emb_dim = embedding.shape
     vp = _round_up(vocab, 128)
     block_n = min(block_n, max(8, _round_up(n, 8)))
-    if _round_up(n, block_n) == block_n and block_n > 32:
-        block_n = 32  # single-tile grids have a lower scoped-VMEM ceiling
     n_pad = _round_up(n, block_n)
     f32 = jnp.float32
 

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_decode import _round_up
+from .pallas_decode import VMEM_LIMIT, _round_up
 
 
 def _fwd_kernel(
@@ -175,7 +175,7 @@ def _make_chain(steps: int, bn: int, hidden: int, emb_dim: int, vp: int,
             scratch_shapes=[pltpu.VMEM((bn, hidden), f32)] * 2,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "arbitrary"),
-                vmem_limit_bytes=64 * 1024 * 1024,
+                vmem_limit_bytes=VMEM_LIMIT,
             ),
             interpret=interpret,
         )(tok_sm, h0, c0, emb.astype(wd), w.astype(wd), b.astype(f32))
@@ -210,7 +210,7 @@ def _make_chain(steps: int, bn: int, hidden: int, emb_dim: int, vp: int,
             scratch_shapes=[pltpu.VMEM((bn, hidden), f32)] * 2,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "arbitrary"),
-                vmem_limit_bytes=64 * 1024 * 1024,
+                vmem_limit_bytes=VMEM_LIMIT,
             ),
             interpret=interpret,
         )(dh_sm, tok_sm, hprev_sm, cprev_sm, g_sm, emb_c, w_c)
@@ -263,8 +263,6 @@ def fused_lstm_chain(
     vocab, emb_dim = embedding.shape
     vp = _round_up(vocab, 128)
     block_n = min(block_n, max(8, _round_up(n, 8)))
-    if _round_up(n, block_n) == block_n and block_n > 32:
-        block_n = 32  # single-tile grids have a lower scoped-VMEM ceiling
     n_pad = _round_up(n, block_n)
     f32 = jnp.float32
 

@@ -53,17 +53,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_decode import VMEM_LIMIT as _VMEM_LIMIT
 from .pallas_decode import _round_up
 
 _NEG = -1e30
-
-# The Mosaic default scoped-VMEM budget is 16 MiB — a compiler default,
-# not the hardware: v5e has 128 MiB of VMEM per core. The backward
-# kernels' resident f32 weight-grad accumulators (~15 MB) sit within
-# 12 KB of that default, so surrounding-fusion changes can tip a
-# compile over the edge. Raise the per-kernel budget well clear of the
-# real usage while staying far below the physical capacity.
-_VMEM_LIMIT = 64 * 1024 * 1024
 
 
 def _lstm_gates(xh, w, b, hidden):
@@ -105,9 +98,10 @@ def _rollout_fwd_kernel(
     h_p, c_p = sph[:], spc[:]
     h_v, c_v = svh[:], svc[:]
 
-    # tape: states ENTERING this step (stored in the weight dtype — bf16
-    # on hardware halves the dominant HBM stream; f32 in interpret mode
-    # keeps jax.grad parity bit-exact)
+    # tape: states ENTERING this step, stored in the tape dtype. f32 is
+    # the measured default (a bf16 tape was A/B'd SLOWER at these shapes
+    # — cast/relayout outweighs the bandwidth win — and f32 keeps the
+    # hand VJP in jax.grad's rounding class; see fused_rollout)
     td = hp_ref.dtype
     hp_ref[:, :] = h_p.astype(td)
     cp_ref[:, :] = c_p.astype(td)
@@ -181,7 +175,7 @@ def _fwd_pallas(
     stream = lambda i, s: (s * tiles + i, 0)  # noqa: E731 — step-major row blocks
 
     f32 = jnp.float32
-    td = tape_dtype  # bf16 on HW (halves tape HBM traffic), f32 interpret
+    td = tape_dtype  # f32 default (bf16 measured slower; see fused_rollout)
     row = lambda width, dt=f32: jax.ShapeDtypeStruct((steps * n_pad, width), dt)  # noqa: E731
 
     out_shape = (
@@ -534,7 +528,7 @@ def _value_bwd_pallas(
 @functools.lru_cache(maxsize=None)
 def _make_core(steps: int, bn: int, hidden: int, emb_dim: int, vp: int,
                weight_dtype_name: str, interpret: bool,
-               tape_dtype_name: str = "bfloat16"):
+               tape_dtype_name: str = "float32"):
     """Factory: the custom-VJP'd rollout core for one static shape set.
 
     The core's array arguments are the PADDED weight forms (built in
@@ -648,13 +642,11 @@ def fused_rollout(
     hidden = cfg.hidden_dim
     vocab, emb_dim = pparams["embedding"].shape
     vp = _round_up(vocab, 128)
-    # adaptive tile size: small batches take small tiles — a SINGLE grid
-    # tile at block 128 exceeds the ~16 MB scoped-VMEM limit (weights +
-    # stream double-buffers), while multi-tile grids fit; measured OOM
-    # at (tiles=1, bn=128), fine at (tiles>=2, bn=128) and (tiles=1, bn<=32)
+    # adaptive tile size: small batches take small tiles. (The old
+    # single-tile clamp to bn=32 guarded the 16 MiB default scoped-VMEM
+    # budget; with _VMEM_LIMIT=64 MiB a single 128-row tile fits —
+    # verified on v5e.)
     block_n = min(block_n, max(8, _round_up(n, 8)))
-    if _round_up(n, block_n) == block_n and block_n > 32:
-        block_n = 32
     n_pad = _round_up(n, block_n)
     f32 = jnp.float32
 
@@ -802,8 +794,6 @@ def fused_reward_stream(
     vocab, emb_dim = reward_params["embedding"].shape
     vp = _round_up(vocab, 128)
     block_n = min(block_n, max(8, _round_up(n, 8)))
-    if _round_up(n, block_n) == block_n and block_n > 32:
-        block_n = 32
     n_pad = _round_up(n, block_n)
     tiles = n_pad // block_n
     f32 = jnp.float32

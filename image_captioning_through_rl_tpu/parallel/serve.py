@@ -17,16 +17,17 @@ are sliced off).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from ..config import DecodeConfig, NetConfig
 from ..decode.beam import beam_search
 from ..decode.greedy import greedy_decode
-from .sharding import replicate
+from .sharding import replicate, shard_batch
 
 
 def _pad_to_multiple(x: jax.Array, multiple: int) -> Tuple[jax.Array, int]:
@@ -37,12 +38,17 @@ def _pad_to_multiple(x: jax.Array, multiple: int) -> Tuple[jax.Array, int]:
     return x, n
 
 
-def _commit_batch(mesh: Mesh, *arrays, axis: str = "data"):
-    outs = []
-    for a in arrays:
-        spec = P(axis, *([None] * (a.ndim - 1)))
-        outs.append(jax.device_put(a, NamedSharding(mesh, spec)))
-    return tuple(outs)
+# jit wrappers are cached per static config: a fresh jax.jit(lambda) per
+# call would key the jit cache on the new wrapper object and re-trace +
+# re-compile the whole decode program every invocation (per eval slice)
+@functools.lru_cache(maxsize=None)
+def _greedy_jit(cfg: NetConfig):
+    return jax.jit(lambda p, f, s: greedy_decode(p, cfg, f, s))
+
+
+@functools.lru_cache(maxsize=None)
+def _beam_jit(cfg: NetConfig, dcfg: DecodeConfig):
+    return jax.jit(lambda p, v, f, s: beam_search(p, v, cfg, dcfg, f, s))
 
 
 def sharded_greedy_tokens(
@@ -58,8 +64,8 @@ def sharded_greedy_tokens(
     start, _ = _pad_to_multiple(jnp.asarray(start_tokens), data)
     with mesh:
         params = replicate(mesh, policy_params)
-        feats, start = _commit_batch(mesh, feats, start)
-        toks = jax.jit(lambda p, f, s: greedy_decode(p, cfg, f, s))(params, feats, start)
+        feats, start = shard_batch(mesh, feats, start)
+        toks = _greedy_jit(cfg)(params, feats, start)
     return toks[:n]
 
 
@@ -92,8 +98,6 @@ def sharded_beam_tokens(
     with mesh:
         pp = replicate(mesh, policy_params)
         vp = replicate(mesh, value_params)
-        feats, start = _commit_batch(mesh, feats, start)
-        toks, scores = jax.jit(
-            lambda p, v, f, s: beam_search(p, v, cfg, dcfg, f, s)
-        )(pp, vp, feats, start)
+        feats, start = shard_batch(mesh, feats, start)
+        toks, scores = _beam_jit(cfg, dcfg)(pp, vp, feats, start)
     return toks[:n], scores[:n]

@@ -194,7 +194,7 @@ def bench_a2c_step() -> float:
         p = jax.tree.map(jnp.array, params)
         o = tx.init(p)
         for _ in range(6):
-            p, o, stats, _ = chunk(p, o, rparams, feats, caps, jnp.int32(1), key)
+            p, o, stats, _ = chunk(p, o, rparams, feats, caps, jnp.int32(1), keys)
         np.asarray(stats.loss)
         # 25 chained dispatches before the single sync: the tunnel's
         # ~25 ms round trip then biases the rate by <1% (see
@@ -202,7 +202,7 @@ def bench_a2c_step() -> float:
         iters = 25
         t0 = time.perf_counter()
         for _ in range(iters):
-            p, o, stats, _ = chunk(p, o, rparams, feats, caps, jnp.int32(1), key)
+            p, o, stats, _ = chunk(p, o, rparams, feats, caps, jnp.int32(1), keys)
         np.asarray(stats.loss)
         return iters * k / (time.perf_counter() - t0)
 

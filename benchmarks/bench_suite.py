@@ -181,7 +181,7 @@ def main(quick: bool = False) -> None:
     achunk = steps.make_a2c_chunk_step(cfg, tx, fused=fused)
     timed_chunk(f"A2C chunked k=8 ({sfx} rollout)", a2c_params,
                 lambda p, o: achunk(p, o, rparams, feats_k, caps_k,
-                                    jnp.int32(1), key)[:3])
+                                    jnp.int32(1), jax.random.split(key, k))[:3])
 
     # write the raw table (BENCHMARKS.md is the curated record)
     out = os.path.join(os.path.dirname(__file__), "MEASURED.md")

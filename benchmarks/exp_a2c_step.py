@@ -55,7 +55,7 @@ def main():
 
         def run():
             state["p"], state["o"], stats, _ = chunk(
-                state["p"], state["o"], rparams, f, c, jnp.int32(1), key
+                state["p"], state["o"], rparams, f, c, jnp.int32(1), jax.random.split(key, kk)
             )
             return stats.loss
         return run, kk

@@ -74,10 +74,16 @@ def _mine_pairs(
 
 
 def _make_sgns_step(num_negatives: int, use_subwords: bool):
-    def loss_fn(params, word_ngrams, centers, contexts, neg_keys, noise_logits):
+    def loss_fn(params, word_ngrams, ngram_wts, centers, contexts, neg_keys, noise_logits):
         if use_subwords:
-            # center vec = mean of word vector and its n-gram bucket vectors
-            sub = jnp.mean(params["buckets"][word_ngrams[centers]], axis=1)
+            # center vec = mean of word vector and its n-gram bucket
+            # vectors; ngram_wts masks the fixed-shape padding slots so
+            # each real n-gram counts exactly once
+            sub = jnp.sum(
+                params["buckets"][word_ngrams[centers]]
+                * ngram_wts[centers][:, :, None],
+                axis=1,
+            )
             v_c = (params["in"][centers] + sub) / 2.0
         else:
             v_c = params["in"][centers]  # [B, D]
@@ -94,9 +100,9 @@ def _make_sgns_step(num_negatives: int, use_subwords: bool):
         return loss
 
     @jax.jit
-    def step(params, word_ngrams, lr, centers, contexts, key, noise_logits):
+    def step(params, word_ngrams, ngram_wts, lr, centers, contexts, key, noise_logits):
         loss, grads = jax.value_and_grad(loss_fn)(
-            params, word_ngrams, centers, contexts, key, noise_logits
+            params, word_ngrams, ngram_wts, centers, contexts, key, noise_logits
         )
         new = {k: params[k] - lr * grads[k] for k in params}
         return new, loss
@@ -116,7 +122,7 @@ def train_sgns(
     batch_size: int = 65536,
     subwords: bool = False,
     num_buckets: int = 1 << 17,
-    ngrams_per_word: int = 16,
+    ngrams_per_word: int = 32,
     seed: int = 0,
 ) -> Dict[str, np.ndarray]:
     """Train SGNS embeddings; returns a word -> vector dict."""
@@ -135,14 +141,23 @@ def train_sgns(
         "out": jnp.zeros((vocab, size), jnp.float32),
     }
     word_ngrams = jnp.zeros((1, 1), jnp.int32)  # placeholder when unused
+    ngram_wts = jnp.zeros((1, 1), jnp.float32)
     if subwords:
+        # fixed-shape [vocab, ngrams_per_word] bucket table with a
+        # weight mask: real slots carry 1/n_real (a true mean over the
+        # word's n-gram occurrences, fastText-style), padding slots 0.
+        # Words with more n-grams than the cap keep the first
+        # ngrams_per_word in _char_ngrams order (shortest grams first).
         grams = np.zeros((vocab, ngrams_per_word), dtype=np.int32)
+        wts = np.zeros((vocab, ngrams_per_word), dtype=np.float32)
         for w, i in word_to_id.items():
             hs = [_fnv1a(g) % num_buckets for g in _char_ngrams(w)][:ngrams_per_word]
             if not hs:
                 hs = [_fnv1a(w) % num_buckets]
-            grams[i] = np.resize(np.asarray(hs, dtype=np.int32), ngrams_per_word)
+            grams[i, : len(hs)] = hs
+            wts[i, : len(hs)] = 1.0 / len(hs)
         word_ngrams = jnp.asarray(grams)
+        ngram_wts = jnp.asarray(wts)
         params["buckets"] = jnp.asarray(
             rng.uniform(-0.5 / size, 0.5 / size, (num_buckets, size)).astype(np.float32)
         )
@@ -166,6 +181,7 @@ def train_sgns(
             params, _ = step(
                 params,
                 word_ngrams,
+                ngram_wts,
                 jnp.float32(cur_lr),
                 jnp.asarray(pairs[sel, 0]),
                 jnp.asarray(pairs[sel, 1]),
@@ -175,7 +191,7 @@ def train_sgns(
             step_no += 1
 
     if subwords:
-        sub = jnp.mean(params["buckets"][word_ngrams], axis=1)
+        sub = jnp.sum(params["buckets"][word_ngrams] * ngram_wts[:, :, None], axis=1)
         vecs = np.asarray((params["in"] + sub) / 2.0)
     else:
         vecs = np.asarray(params["in"])

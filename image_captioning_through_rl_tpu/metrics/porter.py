@@ -54,15 +54,6 @@ def _cvc(word: str) -> bool:
     )
 
 
-def _replace(word: str, suffix: str, repl: str, min_measure: int) -> str | None:
-    if not word.endswith(suffix):
-        return None
-    stem = word[: len(word) - len(suffix)]
-    if _measure(stem) > min_measure - 1:
-        return stem + repl
-    return word  # suffix matched but condition failed: stop this step
-
-
 def porter_stem(word: str) -> str:
     w = word.lower()
     if len(w) <= 2:

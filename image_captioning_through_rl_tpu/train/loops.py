@@ -526,11 +526,16 @@ def _probe_fused_policy(cfg: NetConfig, params) -> bool:
         return False
 
 
-def _probe_fused_rollout(cfg: NetConfig, a2c_params, reward_params) -> bool:
+def _probe_fused_rollout(cfg: NetConfig, a2c_params, reward_params,
+                         per_step_mean: bool = False,
+                         curriculum: bool = False) -> bool:
     """Auto-dispatch probe for the fused training kernels: compile and
     run one tiny fused rollout loss and require agreement with the XLA
     rollout (same keys -> same sampled trajectory; loss differences are
-    bf16-accumulation-order level, measured ~1e-4). Returns False on
+    bf16-accumulation-order level, measured ~1e-4). The probe runs the
+    SERVED configuration: curriculum probes add a mid-rollout
+    ``curr_seq_len`` so the teacher-forced token branch is exercised,
+    and ``per_step_mean`` matches the curriculum loss. Returns False on
     CPU or when Mosaic lowering fails, so auto mode degrades cleanly."""
     if jax.devices()[0].platform == "cpu":
         return False
@@ -541,11 +546,17 @@ def _probe_fused_rollout(cfg: NetConfig, a2c_params, reward_params) -> bool:
         caps[:, 0] = 1
         caps[:, -1] = 2
         caps = jnp.asarray(caps)
-        args = (a2c_params, cfg, reward_params, feats, caps,
-                jnp.int32(1), jnp.int32(cfg.max_seq_len), jax.random.PRNGKey(0))
-        lf, _ = steps.a2c_rollout_loss_fused(*args)
-        lx, _ = steps.a2c_rollout_loss(*args)
-        return bool(abs(float(lf) - float(lx)) <= 1e-2 * max(1.0, abs(float(lx))))
+        currs = [jnp.int32(1)]
+        if curriculum:  # teacher branch active for the first half
+            currs.append(jnp.int32(max(2, cfg.max_seq_len // 2)))
+        for curr in currs:
+            args = (a2c_params, cfg, reward_params, feats, caps,
+                    curr, jnp.int32(cfg.max_seq_len), jax.random.PRNGKey(0))
+            lf, _ = steps.a2c_rollout_loss_fused(*args, per_step_mean=per_step_mean)
+            lx, _ = steps.a2c_rollout_loss(*args, per_step_mean=per_step_mean)
+            if not abs(float(lf) - float(lx)) <= 1e-2 * max(1.0, abs(float(lx))):
+                return False
+        return True
     except Exception:
         return False
 
@@ -569,9 +580,11 @@ def a2c_training(
     """Core A2C loop (trainers.py:402-500).
 
     ``chunk_steps > 1`` drives that many minibatch updates per host
-    dispatch (one jitted scan — steps.make_a2c_chunk_step). Plain A2C
-    only checkpoints per epoch, so chunking changes no artifacts; the
-    per-minibatch TB scalars still come back one per step.
+    dispatch (one jitted scan — steps.make_a2c_chunk_step). The host
+    derives one rollout key per minibatch with the same split discipline
+    at every chunk length, so runs are bit-identical across
+    ``chunk_steps`` settings (same trajectories, scalars, checkpoints);
+    per-minibatch TB scalars come back one per step.
     """
     writer = make_metrics_writer(plot_dir if is_main_process() else None)
     rng = np.random.default_rng(seed + 3)
@@ -616,14 +629,20 @@ def a2c_training(
             minibatch_id = 0
             while i < num:
                 k = min(chunk_steps, (num - i) // batch_size)
-                key, sub = jax.random.split(key)
                 if k >= 1:
+                    # per-minibatch keys with the single-step loop's own
+                    # split discipline: chunked and chunk_steps=1 runs
+                    # consume the same PRNG stream (same artifacts)
+                    subs = []
+                    for _ in range(k):
+                        key, sub = jax.random.split(key)
+                        subs.append(sub)
                     caps_b, feats_b = tables.gather(perm[i : i + k * batch_size])
                     a2c_params, opt_state, stats, _ = chunk_fn(
                         a2c_params, opt_state, reward_params,
                         feats_b.reshape(k, batch_size, -1),
                         caps_b.reshape(k, batch_size, -1),
-                        jnp.int32(1), sub,
+                        jnp.int32(1), jnp.stack(subs),
                     )
                     host_stats = jax.device_get(stats)
                     for j in range(k):
@@ -633,6 +652,7 @@ def a2c_training(
                     i += k * batch_size
                     bar.update(k)
                 else:  # ragged tail: one single-step call
+                    key, sub = jax.random.split(key)
                     caps_b, feats_b = tables.gather(perm[i:])
                     a2c_params, opt_state, stats = step(
                         a2c_params, opt_state, reward_params,
@@ -697,7 +717,9 @@ def a2c_curriculum_training(
     if compat_batch_as_time or cfg.bidirectional:
         fused_rollout = False
     elif fused_rollout is None:  # auto: fused kernels when they verify
-        fused_rollout = _probe_fused_rollout(cfg, a2c_params, reward_params)
+        fused_rollout = _probe_fused_rollout(
+            cfg, a2c_params, reward_params, per_step_mean=True, curriculum=True
+        )
         print_green(f"[Training] fused rollout kernels "
                     f"{'verified — training with Pallas rollout' if fused_rollout else 'unavailable — XLA rollout'}")
     step = steps.make_a2c_step(cfg, tx, per_step_mean=True, compat=compat_batch_as_time,
@@ -738,14 +760,19 @@ def a2c_curriculum_training(
                 minibatch_id = 0
                 while i < num:
                     k = min(chunk_steps, (num - i) // batch_size)
-                    key, sub = jax.random.split(key)
                     if k >= 1:
+                        # one key per minibatch, skipped or not — the
+                        # non-chunked loop draws with the same discipline
+                        subs = []
+                        for _ in range(k):
+                            key, sub = jax.random.split(key)
+                            subs.append(sub)
                         caps_b, feats_b = tables.gather(perm[i : i + k * batch_size])
                         a2c_params, opt_state, stats, valid = chunk_fn(
                             a2c_params, opt_state, reward_params,
                             feats_b.reshape(k, batch_size, -1),
                             caps_b.reshape(k, batch_size, -1),
-                            jnp.int32(level), sub,
+                            jnp.int32(level), jnp.stack(subs),
                         )
                         host_stats = jax.device_get(stats)
                         host_valid = np.asarray(valid)
@@ -757,6 +784,7 @@ def a2c_curriculum_training(
                         i += k * batch_size
                         bar.update(k)
                     else:  # ragged tail: one single-step call
+                        key, sub = jax.random.split(key)
                         caps_b, feats_b = tables.gather(perm[i:])
                         caplen = int(np.max(np.argmax(np.asarray(caps_b) == 2, axis=1)) + 1)
                         if caplen - level >= 1:
@@ -775,11 +803,14 @@ def a2c_curriculum_training(
                            desc=f"Training A2C Curriculum Level {level} ({epoch}/{epochs}): Best Loss: {state['best']}")
                 state["bar"] = bar
                 for minibatch_id, (captions, features, _) in enumerate(bar):
+                    # draw BEFORE the skip rule: skipped minibatches
+                    # consume a key in the chunked path too, keeping the
+                    # two paths' PRNG streams identical
+                    key, sub = jax.random.split(key)
                     caplen = int(np.max(np.argmax(captions == 2, axis=1)) + 1)
                     curr_seq_len = caplen - level
                     if curr_seq_len < 1:  # trainers.py:550
                         continue
-                    key, sub = jax.random.split(key)
                     a2c_params, opt_state, stats = step(
                         a2c_params, opt_state, reward_params,
                         jnp.asarray(features), jnp.asarray(captions),
@@ -888,6 +919,8 @@ def test_a2c_network(
                 return fused_beam_search(
                     a2c_params["policy"], a2c_params["value"], f, s,
                     max_len=dcfg.max_seq_len, beam=dcfg.beam_size, block_n=0,
+                    value_weight=dcfg.value_weight,
+                    logprob_weight=dcfg.logprob_weight,
                 )
 
             if use_fused_kernel:  # explicitly forced

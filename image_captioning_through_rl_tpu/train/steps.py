@@ -162,10 +162,13 @@ def make_a2c_chunk_step(
     """Chunked A2C update: ``k`` minibatch steps inside one jitted scan.
 
     One host dispatch drives k optimizer steps; per-minibatch stats come
-    back stacked, so logging artifacts are identical to k single steps —
-    only host dispatch overhead is amortized. (Plain A2C has no
-    per-minibatch checkpointing, so chunking changes no artifacts;
-    best-loss-checkpointed trainers keep single-step loops.)
+    back stacked, and the chunk consumes host-provided per-minibatch
+    keys (``rngs: [k]``) drawn with the same split discipline as the
+    single-step loop — so a chunked run's trajectories, losses, scalars
+    and checkpoints are IDENTICAL to ``chunk_steps=1`` with the same
+    seed; only host dispatch overhead is amortized. (Plain A2C has no
+    per-minibatch checkpointing; best-loss-checkpointed trainers use
+    their own chunk steps with on-device Q12 bookkeeping.)
 
     ``curriculum=True`` changes the sixth argument from ``curr_seq_len``
     to the curriculum ``level``: each minibatch derives its own
@@ -186,10 +189,13 @@ def make_a2c_chunk_step(
         rollout = a2c_rollout_loss_full if cfg.bidirectional else a2c_rollout_loss
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def chunk(a2c_params, opt_state, reward_params, features, captions, curr_or_level, rng):
-        # features: [k, N, F], captions: [k, N, T]
-        k = features.shape[0]
-        keys = jax.random.split(rng, k)
+    def chunk(a2c_params, opt_state, reward_params, features, captions, curr_or_level, rngs):
+        # features: [k, N, F], captions: [k, N, T]; rngs: [k] stacked
+        # per-minibatch keys. The host derives them with the SAME
+        # split-per-minibatch discipline as the single-step loop, so a
+        # chunked run consumes an identical PRNG stream (identical
+        # trajectories/artifacts) to chunk_steps=1 with the same seed.
+        keys = rngs
 
         def body(carry, inp):
             params, opt_state = carry
@@ -524,11 +530,8 @@ def a2c_rollout_loss(
         pparams["lstm"], pparams["embedding"][start], pol_state, precision=cfg.precision
     )
     val_state = value_mod.rnn_step(vparams, cfg, start, value_mod.zero_rnn_state(cfg, n))
-    rew_state = gru_cell(
-        reward_params["gru"],
-        reward_params["embedding"][start],
-        reward_mod.zero_rnn_state(cfg, n),
-        precision=cfg.precision,
+    rew_state = reward_mod.rnn_step(
+        reward_params, cfg, start, reward_mod.zero_rnn_state(cfg, n)
     )
     ve = dense(features, reward_params["visual_embed"], precision=cfg.precision)
     ve = jax.lax.stop_gradient(ve)
@@ -550,12 +553,7 @@ def a2c_rollout_loss(
         value = value_mod.value_from_state(vparams, cfg, features, val_state)[:, 0]
 
         # reward of prefix + action (frozen net; lookahead GRU step)
-        rew_after = gru_cell(
-            reward_params["gru"],
-            reward_params["embedding"][action],
-            rew_state,
-            precision=cfg.precision,
-        )
+        rew_after = reward_mod.rnn_step(reward_params, cfg, action, rew_state)
         se = dense(rew_after, reward_params["semantic_embed"], precision=cfg.precision)
         reward = jax.lax.stop_gradient(cosine_embedding_reward(ve, se))
 
@@ -567,12 +565,7 @@ def a2c_rollout_loss(
         emb_p = pparams["embedding"][token_in]
         pol_state = lstm_cell(pparams["lstm"], emb_p, pol_state, precision=cfg.precision)
         val_state = value_mod.rnn_step(vparams, cfg, token_in, val_state)
-        rew_state = gru_cell(
-            reward_params["gru"],
-            reward_params["embedding"][token_in],
-            rew_state,
-            precision=cfg.precision,
-        )
+        rew_state = reward_mod.rnn_step(reward_params, cfg, token_in, rew_state)
 
         return (pol_state, val_state, rew_state), (value, reward, logp)
 

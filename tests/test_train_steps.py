@@ -196,7 +196,7 @@ def test_a2c_chunk_curriculum_matches_single_steps_and_skips(rng_np):
     chunk_fn = steps.make_a2c_chunk_step(CFG, tx, per_step_mean=True, curriculum=True)
     got_params, _, got_stats, valid = chunk_fn(
         params, tx.init(params), rparams,
-        feats.reshape(k, N, -1), caps.reshape(k, N, -1), jnp.int32(level), key,
+        feats.reshape(k, N, -1), caps.reshape(k, N, -1), jnp.int32(level), keys,
     )
     np.testing.assert_array_equal(np.asarray(valid), [True, False, True])
     assert float(got_stats.loss[1]) == 0.0  # skipped slot reports zeros
@@ -206,3 +206,62 @@ def test_a2c_chunk_curriculum_matches_single_steps_and_skips(rng_np):
         )
     for a, b in zip(jax.tree.leaves(got_params), jax.tree.leaves(p)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_a2c_training_identical_across_chunk_lengths(tmp_path):
+    """The A2C epoch loop must be bit-identical for any chunk_steps
+    setting: the host derives one rollout key per minibatch with the
+    same split discipline whether it dispatches them singly or as
+    chunked scans (loops.a2c_training docstring)."""
+    from image_captioning_through_rl_tpu.data import load_data, make_synthetic_coco
+    from image_captioning_through_rl_tpu.train import loops
+
+    d = make_synthetic_coco(
+        str(tmp_path / "coco"), num_train_images=10, num_val_images=4,
+        captions_per_image=2, vocab_size=VOCAB, feature_dim=CFG.input_dim, seed=5,
+    )
+    data = load_data(d)
+
+    def run(chunk_steps):
+        params = a2c.init(jax.random.PRNGKey(0), CFG)
+        rparams = reward.init(jax.random.PRNGKey(1), CFG)
+        tx = optim.adam(1e-3)
+        return loops.a2c_training(
+            data, params, rparams, tx, tx.init(params), CFG,
+            plot_dir=None, save_paths=[], batch_size=6, epochs=2, seed=3,
+            chunk_steps=chunk_steps,
+        )
+
+    p1 = run(1)   # single-step path (use_chunks False)
+    p3 = run(3)   # chunked path, incl. a ragged tail minibatch
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p3)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_a2c_curriculum_identical_across_chunk_lengths(tmp_path):
+    """Same guarantee for the curriculum loop: skipped minibatches
+    consume a key in both the chunked and single-step paths."""
+    from image_captioning_through_rl_tpu.data import load_data, make_synthetic_coco
+    from image_captioning_through_rl_tpu.train import loops
+
+    d = make_synthetic_coco(
+        str(tmp_path / "coco"), num_train_images=10, num_val_images=4,
+        captions_per_image=2, vocab_size=VOCAB, feature_dim=CFG.input_dim, seed=6,
+    )
+    data = load_data(d)
+
+    def run(chunk_steps):
+        params = a2c.init(jax.random.PRNGKey(0), CFG)
+        rparams = reward.init(jax.random.PRNGKey(1), CFG)
+        tx = optim.adam(1e-3)
+        return loops.a2c_curriculum_training(
+            data, params, rparams, tx, tx.init(params), CFG,
+            plot_dir=None, save_paths=[], batch_size=6, epochs=1,
+            curriculum=[3, CFG.max_seq_len - 1], seed=4,
+            chunk_steps=chunk_steps,
+        )
+
+    p1 = run(1)
+    p3 = run(3)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p3)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -71,14 +71,30 @@ class Captioner:
             if self._value is None:
                 raise ValueError("beam search needs a value network (pass a2c params)")
             fusable = not cfg.bidirectional and not faithful_beam
+            if use_fused_kernel and not fusable:
+                raise ValueError(
+                    "use_fused_kernel=True cannot be honored: the fused beam "
+                    "kernel is unidirectional and non-faithful only"
+                )
             dcfg = DecodeConfig(
                 beam_size=beam_size, max_seq_len=cfg.max_seq_len,
                 per_sample_beams=not faithful_beam,
             )
+            if faithful_beam:
+                # checkpoint-faithful mode: Q2 batch-mean ranking WITH the
+                # reference's Q1-stateful value encoding threaded through
+                # eval — the same path the CLI's --faithful_beam uses
+                from .decode.beam_compat import beam_search_compat
+
+                beam_fn = beam_search_compat
+            elif cfg.bidirectional:
+                beam_fn = beam_search_full_prefix
+            else:
+                beam_fn = beam_search
+            # [:2]: beam_search_compat also returns its Q1 carry (reset
+            # per call here — the reference resets per slice)
             xla_fn = self._get(("beam", beam_size, faithful_beam), lambda: jax.jit(
-                lambda pp, vp, f, s: (
-                    beam_search_full_prefix if cfg.bidirectional else beam_search
-                )(pp, vp, cfg, dcfg, f, s)
+                lambda pp, vp, f, s: beam_fn(pp, vp, cfg, dcfg, f, s)[:2]
             ))
 
             def fused(f, s):
@@ -87,6 +103,8 @@ class Captioner:
                 toks, _ = fused_beam_search(
                     self._policy, self._value, f, s,
                     max_len=cfg.max_seq_len, beam=beam_size, block_n=0,
+                    value_weight=dcfg.value_weight,
+                    logprob_weight=dcfg.logprob_weight,
                 )
                 return np.asarray(toks[:, 0])
 
@@ -114,6 +132,11 @@ class Captioner:
                 fused_greedy_decode(self._policy, f, s, max_len=cfg.max_seq_len)
             )
 
+        if use_fused_kernel and cfg.bidirectional:
+            raise ValueError(
+                "use_fused_kernel=True cannot be honored: the fused greedy "
+                "kernel is unidirectional only"
+            )
         if use_fused_kernel and not cfg.bidirectional:
             return fused(features, start)
         if use_fused_kernel is None and not cfg.bidirectional:
@@ -138,7 +161,11 @@ class Captioner:
             return fused_fn(features, start)
         try:
             got = fused_fn(features, start)
-        except Exception:  # no TPU / Mosaic lowering unavailable
+        except Exception as e:  # no TPU / Mosaic lowering unavailable
+            import sys
+
+            print(f"[Captioner] fused kernel unavailable for {key} "
+                  f"({type(e).__name__}: {e}); serving via XLA", file=sys.stderr)
             self._fused_verdict[key] = False
             return None
         want = xla_fn(features, start)

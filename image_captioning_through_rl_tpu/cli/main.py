@@ -88,11 +88,22 @@ def setup(args):
         "best_score_file_path": os.path.join(log_dir, BEST_SCORE_FILENAME),
         "best_score_images_path": os.path.join(log_dir, BEST_SCORE_IMAGES_PATH),
     }
+    def resolve(fname: str) -> str:
+        # native .ckpt preferred; fall back to the reference's .pt file
+        # of the same stem so --pretrained_path can point straight at a
+        # reference models_pretrained/ dir (the .pt converter loads it)
+        path = os.path.join(args.pretrained_path, fname)
+        if not os.path.exists(path):
+            pt = os.path.splitext(path)[0] + ".pt"
+            if os.path.exists(pt):
+                return pt
+        return path
+
     network_paths = {
-        "a2c_network": os.path.join(args.pretrained_path, a2c_file),
-        "reward_network": os.path.join(args.pretrained_path, reward_file),
-        "policy_network": os.path.join(args.pretrained_path, policy_file),
-        "value_network": os.path.join(args.pretrained_path, value_file),
+        "a2c_network": resolve(a2c_file),
+        "reward_network": resolve(reward_file),
+        "policy_network": resolve(policy_file),
+        "value_network": resolve(value_file),
     }
     return log_dir, save_paths, image_caption_data, network_paths
 

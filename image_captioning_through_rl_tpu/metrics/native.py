@@ -32,6 +32,12 @@ def _intern(refs: Dict[int, List[str]], hypos: Dict[int, List[str]]):
         return out
 
     order = list(hypos.keys())
+    for i in order:
+        # match the pure-Python scorers, which raise on an empty ref
+        # group — the C++ kernels would otherwise divide by nrefs=0
+        # (CIDEr -> NaN) or feed best_len=-1 into BLEU's brevity penalty
+        if not refs.get(i):
+            raise ValueError(f"empty reference group for id {i!r}")
     hyp_tok: List[int] = []
     hyp_off = [0]
     ref_tok: List[int] = []

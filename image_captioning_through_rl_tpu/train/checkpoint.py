@@ -16,6 +16,7 @@ with ``.ckpt`` for the native format: ``rewardNetwork.ckpt`` etc.; the
 from __future__ import annotations
 
 import os
+import tempfile
 
 import jax
 import jax.numpy as jnp
@@ -40,10 +41,21 @@ _CONVERTERS = {
 def save_pytree(params, path: str) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     host = jax.tree.map(np.asarray, params)
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(serialization.to_bytes(host))
-    os.replace(tmp, path)  # atomic: no torn checkpoints on interruption
+    # unique temp name: concurrent savers to the same path each publish
+    # a complete file via os.replace instead of interleaving writes
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(path) or ".", prefix=os.path.basename(path) + ".tmp."
+    )
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(serialization.to_bytes(host))
+        os.replace(tmp, path)  # atomic: no torn checkpoints on interruption
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 
 def load_pytree(template, path: str):

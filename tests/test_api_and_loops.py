@@ -101,3 +101,53 @@ def test_best_loss_checkpoint_saves_pre_update_weights(tmp_path, monkeypatch):
         for a, b in zip(jax.tree.leaves(saved), jax.tree.leaves(params))
     )
     assert diff
+
+
+def test_captioner_faithful_beam_uses_q1_stateful_path(rng_np):
+    """API faithful_beam must produce the CLI --faithful_beam tokens:
+    the Q2 batch-mean beam WITH the Q1-stateful value stream
+    (decode.beam_compat), not the clean-encoder batch-mean beam."""
+    import jax
+
+    from image_captioning_through_rl_tpu.api import Captioner
+    from image_captioning_through_rl_tpu.config import DecodeConfig, NetConfig
+    from image_captioning_through_rl_tpu.decode.beam_compat import beam_search_compat
+    from image_captioning_through_rl_tpu.models import a2c
+
+    cfg = NetConfig(vocab_size=24, input_dim=8, wordvec_dim=10, hidden_dim=12,
+                    max_seq_len=7)
+    params = a2c.init(jax.random.PRNGKey(3), cfg)
+    feats = jnp.asarray(rng_np.standard_normal((5, 8)).astype(np.float32))
+    idx_to_word = {i: f"w{i}" for i in range(24)}
+
+    cap = Captioner(params, cfg, idx_to_word)
+    got = cap.caption_tokens(feats, beam_size=3, faithful_beam=True,
+                             use_fused_kernel=False)
+    dcfg = DecodeConfig(beam_size=3, max_seq_len=cfg.max_seq_len,
+                        per_sample_beams=False)
+    want, _, _ = beam_search_compat(
+        params["policy"], params["value"], cfg, dcfg, feats,
+        jnp.ones((5,), jnp.int32),
+    )
+    np.testing.assert_array_equal(got, np.asarray(want[:, 0]))
+
+
+def test_captioner_forced_fused_kernel_raises_when_unfusable(rng_np):
+    """use_fused_kernel=True must raise, not silently serve XLA, when
+    the config cannot run the fused kernels."""
+    import jax
+    import pytest
+
+    from image_captioning_through_rl_tpu.api import Captioner
+    from image_captioning_through_rl_tpu.config import NetConfig
+    from image_captioning_through_rl_tpu.models import a2c
+
+    cfg = NetConfig(vocab_size=24, input_dim=8, wordvec_dim=10, hidden_dim=12,
+                    max_seq_len=7, bidirectional=True)
+    params = a2c.init(jax.random.PRNGKey(3), cfg)
+    feats = jnp.asarray(rng_np.standard_normal((4, 8)).astype(np.float32))
+    cap = Captioner(params, cfg, {i: f"w{i}" for i in range(24)})
+    with pytest.raises(ValueError, match="cannot be honored"):
+        cap.caption_tokens(feats, use_fused_kernel=True)
+    with pytest.raises(ValueError, match="cannot be honored"):
+        cap.caption_tokens(feats, beam_size=3, use_fused_kernel=True)

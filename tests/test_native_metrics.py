@@ -56,3 +56,21 @@ def test_native_identical_sentences_score_one():
     refs = {0: ["a b c d e"], 1: ["f g h i j"]}
     b = corpus_bleu_native(refs, refs)
     np.testing.assert_allclose(b, [1.0] * 4, atol=1e-6)
+
+
+def test_native_raises_on_empty_reference_group():
+    """The C++ kernels would divide by nrefs=0 (CIDEr NaN) or feed
+    best_len=-1 into BLEU's brevity penalty; the wrapper must raise like
+    the pure-Python scorers instead of writing plausible garbage."""
+    import pytest
+
+    from image_captioning_through_rl_tpu.metrics.native import (
+        cider_native,
+        corpus_bleu_native,
+    )
+
+    refs = {0: ["a b c"], 1: []}
+    hypos = {0: ["a b c"], 1: ["a b"]}
+    for fn in (corpus_bleu_native, cider_native):
+        with pytest.raises(ValueError, match="empty reference group"):
+            fn(refs, hypos)

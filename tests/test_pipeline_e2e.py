@@ -125,3 +125,25 @@ def test_curriculum_pipeline(coco_dir, tmp_path, monkeypatch):
     assert "a2cNetwork_curriculum.ckpt" in files
     assert "results_curriculum.txt" in files
     assert "generated_captions_curriculum.txt" in files
+
+
+def test_setup_falls_back_to_reference_pt_filenames(tmp_path, monkeypatch):
+    """--pretrained_path pointed at a reference-style models_pretrained/
+    dir (only .pt files) must resolve network_paths to the .pt files so
+    the torch converter loads them (checkpoint.py docstring,
+    reference image_captioner.py:26-29)."""
+    monkeypatch.chdir(tmp_path)
+    from image_captioning_through_rl_tpu.cli.main import setup
+
+    mp = tmp_path / "models_pretrained"
+    mp.mkdir()
+    for name in ("policyNetwork.pt", "valueNetwork.pt", "rewardNetwork.pt"):
+        (mp / name).write_bytes(b"stub")
+    (mp / "a2cNetwork.ckpt").write_bytes(b"stub")  # native file wins when present
+
+    args = _args("unused", str(tmp_path))
+    _, _, _, network_paths = setup(args)
+    assert network_paths["policy_network"].endswith("policyNetwork.pt")
+    assert network_paths["value_network"].endswith("valueNetwork.pt")
+    assert network_paths["reward_network"].endswith("rewardNetwork.pt")
+    assert network_paths["a2c_network"].endswith("a2cNetwork.ckpt")

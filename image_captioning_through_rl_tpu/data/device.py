@@ -23,6 +23,13 @@ import numpy as np
 from .coco import CocoData
 
 
+@jax.jit
+def _gather(captions, features, image_idxs, mask):
+    caps_b = jnp.take(captions, mask, axis=0)
+    feats_b = jnp.take(features, jnp.take(image_idxs, mask), axis=0)
+    return caps_b, feats_b
+
+
 class DeviceCocoTables:
     """HBM-resident caption/feature tables for one split."""
 
@@ -43,22 +50,23 @@ class DeviceCocoTables:
             self.image_idxs = jnp.asarray(idxs)
         self.num_captions = int(caps.shape[0])
 
-        @jax.jit
-        def _gather(captions, features, image_idxs, mask):
-            caps_b = jnp.take(captions, mask, axis=0)
-            feats_b = jnp.take(features, jnp.take(image_idxs, mask), axis=0)
-            return caps_b, feats_b
-
-        self._gather = _gather
-
     def gather(self, mask: np.ndarray) -> Tuple[jax.Array, jax.Array]:
-        """On-chip minibatch gather; only ``mask`` crosses PCIe/DCN."""
+        """On-chip minibatch gather; only ``mask`` crosses PCIe/DCN.
+
+        Under a mesh the gathered batch commits to a data-sharded
+        layout; batches not divisible by the data-axis size (e.g. a
+        ragged epoch tail) are replicated instead — a sharded layout
+        requires divisibility, and replication keeps the step correct
+        (the partitioner re-shards what it can).
+        """
         idx = jnp.asarray(mask.astype(np.int32))
-        caps_b, feats_b = self._gather(self.captions, self.features, self.image_idxs, idx)
+        caps_b, feats_b = _gather(self.captions, self.features, self.image_idxs, idx)
         if self._mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            batch_sharding = NamedSharding(self._mesh, P(self._data_axis))
+            data = self._mesh.shape[self._data_axis]
+            spec = P(self._data_axis) if caps_b.shape[0] % data == 0 else P()
+            batch_sharding = NamedSharding(self._mesh, spec)
             caps_b = jax.device_put(caps_b, batch_sharding)
             feats_b = jax.device_put(feats_b, batch_sharding)
         return caps_b, feats_b

@@ -171,13 +171,28 @@ def beam_search(
 
         # 6) advance the actor with the chosen token (carried state
         #    replaces the reference's full-prefix re-run, trainers.py:92).
+        #    Skipped on the LAST iteration — those logits feed the next
+        #    iteration's top-k and there is none, so the cond saves the
+        #    final [N*B] cell + vocab-head matmuls (~1/(T-1) of the
+        #    beam's policy compute).
         pol_parent = _gather_beam(pol_state, parent)
-        flat_state = jax.tree.map(lambda x: x.reshape(n * b, -1), pol_parent)
-        logits_new, pol_new = policy_mod.step(
-            policy_params, cfg, new_tok.reshape(n * b), flat_state
+
+        def do_advance(_):
+            flat_state = jax.tree.map(lambda x: x.reshape(n * b, -1), pol_parent)
+            logits_new, pol_new = policy_mod.step(
+                policy_params, cfg, new_tok.reshape(n * b), flat_state
+            )
+            return (
+                jax.tree.map(lambda x: x.reshape(n, b, -1), pol_new),
+                logits_new.reshape(n, b, -1),
+            )
+
+        def skip_advance(_):
+            return pol_parent, _gather_beam(last_logits, parent)
+
+        new_pol_state, new_last_logits = jax.lax.cond(
+            t < t_max - 2, do_advance, skip_advance, None
         )
-        new_pol_state = jax.tree.map(lambda x: x.reshape(n, b, -1), pol_new)
-        new_last_logits = logits_new.reshape(n, b, -1)
 
         return (new_tokens, new_scores, new_pol_state, new_val_state, new_last_logits), None
 

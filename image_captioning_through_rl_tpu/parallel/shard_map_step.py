@@ -9,7 +9,14 @@ pinned. Useful when the automatic partitioner makes a bad choice, and
 as the template for hybrid schemes (e.g. overlapping the psum with the
 rollout via ppermute chains).
 
-The two paths are numerically interchangeable (tested 1-vs-8 devices).
+Interchangeability caveat: the deterministic math (losses, gradients,
+updates) matches the auto-SPMD path, but rollout SAMPLING streams
+differ by construction — the per-device key folds in the device index,
+so the same global batch + key draws different trajectories here than
+under ``steps.make_a2c_step``, and across different mesh sizes
+(tests/test_shard_map_step.py compares the paths on a sampling-free
+window). Pick one path per training run; do not swap mid-run expecting
+an identical trajectory.
 """
 
 from __future__ import annotations

@@ -45,3 +45,18 @@ def test_sharded_gather(data):
     np.testing.assert_array_equal(np.asarray(caps_b), data.train_captions[:16])
     # batch axis sharded over the mesh
     assert "data" in str(caps_b.sharding.spec)
+
+
+def test_sharded_gather_ragged_batch_replicates(data):
+    """A batch not divisible by the data-axis size (ragged epoch tail)
+    must not crash the sharded device_put — it replicates instead, and
+    the epoch iterator completes."""
+    mesh = make_mesh((8,), ("data",))
+    tables = DeviceCocoTables(data, split="train", mesh=mesh)
+    mask = np.arange(10)  # 10 % 8 != 0
+    caps_b, _ = tables.gather(mask)
+    np.testing.assert_array_equal(np.asarray(caps_b), data.train_captions[:10])
+    assert "data" not in str(caps_b.sharding.spec)  # replicated fallback
+    rng = np.random.default_rng(0)
+    n = sum(c.shape[0] for c, _ in tables.minibatches(16, rng=rng))
+    assert n == tables.num_captions  # ragged tail included, no crash

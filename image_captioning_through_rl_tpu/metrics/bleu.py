@@ -52,7 +52,10 @@ def corpus_bleu(refs: Dict[int, List[str]], hypos: Dict[int, List[str]], max_n: 
 
     bleus = []
     running = 1.0
-    ratio = testlen / (reflen + _TINY)
+    # pycocoevalcap's exact brevity-penalty ratio (bleu_scorer.py):
+    # tiny in the numerator keeps an empty hypothesis corpus at BLEU 0
+    # instead of dividing by zero in 1/ratio
+    ratio = (testlen + _TINY) / (reflen + _SMALL)
     for n in range(max_n):
         p_n = (correct[n] + _TINY) / (guess[n] + _SMALL)
         running *= p_n

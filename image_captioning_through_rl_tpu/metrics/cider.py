@@ -39,7 +39,7 @@ def cider(refs: Dict[int, List[str]], hypos: Dict[int, List[str]]) -> float:
 
     log_n_images = math.log(float(len(ids)))
 
-    def vec_norm(counts, length):
+    def vec_norm(counts):
         vec = [dict() for _ in range(_N)]
         norm = [0.0] * _N
         for n in range(_N):
@@ -53,11 +53,11 @@ def cider(refs: Dict[int, List[str]], hypos: Dict[int, List[str]]) -> float:
     scores = []
     for i in ids:
         hyp_words = hypos[i][0].split()
-        h_vec, h_norm = vec_norm(hyp_counts[i], len(hyp_words))
+        h_vec, h_norm = vec_norm(hyp_counts[i])
         total = [0.0] * _N
         for ref_str, r_counts in zip(refs[i], ref_counts[i]):
             r_words = ref_str.split()
-            r_vec, r_norm = vec_norm(r_counts, len(r_words))
+            r_vec, r_norm = vec_norm(r_counts)
             delta = float(len(hyp_words) - len(r_words))
             for n in range(_N):
                 val = 0.0

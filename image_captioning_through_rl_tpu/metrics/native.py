@@ -88,7 +88,7 @@ def corpus_bleu_native(
     )
     bleus = []
     running = 1.0
-    ratio = float(testlen[0]) / (float(reflen[0]) + _TINY)
+    ratio = (float(testlen[0]) + _TINY) / (float(reflen[0]) + _SMALL)
     for n in range(4):
         p_n = (float(correct[n]) + _TINY) / (float(guess[n]) + _SMALL)
         running *= p_n

@@ -57,6 +57,10 @@ def encode(params: dict, cfg: NetConfig, captions: jax.Array) -> jax.Array:
     if cfg.bidirectional:
         hs_f, _ = gru_scan(params["gru_fwd"], xs, zeros, precision=cfg.precision)
         hs_b, _ = gru_scan(params["gru_bwd"], xs, zeros, precision=cfg.precision, reverse=True)
+        # [fwd after all T tokens, bwd after only token T-1] — torch's
+        # output[-1] convention, mirroring the reference's
+        # keep-the-last-output loop per sample (models.py:254-255); see
+        # the matching note in models/value.py.
         return jnp.concatenate([hs_f[-1], hs_b[-1]], axis=-1)
     hs, _ = gru_scan(params["gru"], xs, zeros, precision=cfg.precision)
     return hs[-1]

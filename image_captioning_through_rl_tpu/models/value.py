@@ -79,6 +79,11 @@ def encode(params: dict, cfg: NetConfig, captions: jax.Array) -> jax.Array:
             params["lstm_fwd"], params["lstm_bwd"], xs,
             (zeros, zeros), (zeros, zeros), precision=cfg.precision,
         )
+        # hs[-1] = [fwd after all T tokens, bwd after only token T-1] —
+        # torch's output[-1] convention, the per-sample reinterpretation
+        # of the reference's keep-the-last-output loop (models.py:168-169).
+        # A conventional summary would use the backward FINAL state
+        # instead; kept as-is deliberately for reference alignment.
         return dense(hs[-1], params["rnn_linear"], precision=cfg.precision)
     hs, _ = lstm_scan(params["lstm"], xs, (zeros, zeros), precision=cfg.precision)
     return hs[-1]

@@ -7,7 +7,8 @@ beam selection/reordering all run from VMEM-resident weights.
 
 Mosaic-friendly vectorization (per batch tile of ``bn`` images):
 
-  * candidate rows are ``(n, b)``-major ``[bn*B, ...]`` blocks; every
+  * candidate rows are ``(b, n)``-major ``[B*bn, ...]`` blocks (row =
+    beam*bn + sample — beams are contiguous row bands); every
     intermediate stays 2D/3D with ONLY leading-dim splits/merges —
     the TPU lowering does not support general transposes/relayouts
     (``jnp.transpose`` of reshaped 3D values crashes Mosaic; bisected
@@ -250,17 +251,24 @@ def _beam_kernel(
             val_c[:] = jnp.concatenate(new_vc, axis=0)
             new_tok = jnp.concatenate(new_tokens, axis=0).astype(jnp.int32)  # [nb, 1]
 
-            # policy: advance the reordered state with the chosen token
-            ph = jnp.concatenate(new_ph, axis=0)
-            pc = jnp.concatenate(new_pc, axis=0)
-            emb_new = jnp.dot(
-                (col_vb == new_tok).astype(wd), p_emb_ref[:], preferred_element_type=f32
-            )
-            h_new, c_new = _lstm_step(
-                emb_new.astype(wd), ph, pc, p_wi_ref[:], p_wh_ref[:], p_b_ref[:], hidden
-            )
-            pol_h[:] = h_new
-            pol_c[:] = c_new
+            # policy: advance the reordered state with the chosen token.
+            # Skipped on the last iteration — those logits would feed a
+            # step that never runs (same dead-work cut as the XLA beam),
+            # saving the final one-hot embed + cell matmuls.
+            @pl.when(t < steps - 1)
+            def _advance():
+                ph = jnp.concatenate(new_ph, axis=0)
+                pc = jnp.concatenate(new_pc, axis=0)
+                emb_new = jnp.dot(
+                    (col_vb == new_tok).astype(wd), p_emb_ref[:],
+                    preferred_element_type=f32,
+                )
+                h_new, c_new = _lstm_step(
+                    emb_new.astype(wd), ph, pc,
+                    p_wi_ref[:], p_wh_ref[:], p_b_ref[:], hidden,
+                )
+                pol_h[:] = h_new
+                pol_c[:] = c_new
 
             # history: reordered rows + masked append at column t+1
             hist[:, :] = jnp.where(
@@ -309,6 +317,21 @@ def fused_beam_search(
     """
     if "lstm" not in policy_params or "lstm" not in value_params:
         raise ValueError("fused beam search requires unidirectional networks")
+    if (
+        value_params["embedding"].shape != policy_params["embedding"].shape
+        or value_params["lstm"]["wh"].shape != policy_params["lstm"]["wh"].shape
+    ):
+        # the BlockSpecs below size the value blocks from the policy's
+        # dims; mismatched nets (e.g. pretrained 300-d policy embedding
+        # with a 512-d value net) must fail fast, not crash pallas_call
+        raise ValueError(
+            "fused beam search requires policy and value networks with "
+            "matching embedding/hidden dims "
+            f"(policy {policy_params['embedding'].shape}/"
+            f"{policy_params['lstm']['wh'].shape}, "
+            f"value {value_params['embedding'].shape}/"
+            f"{value_params['lstm']['wh'].shape})"
+        )
     n, feat_dim = features.shape
     if block_n == 0:
         # auto tile: measured on v5e with the 64 MiB VMEM budget —

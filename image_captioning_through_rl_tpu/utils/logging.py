@@ -41,7 +41,9 @@ class JsonlWriter:
 
     def __init__(self, path: str):
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        self._f = open(path, "a")
+        # line-buffered: a crash/hang-kill (the tunneled TPU dies in
+        # several known ways, CLAUDE.md) must not lose the buffered tail
+        self._f = open(path, "a", buffering=1)
 
     def add_scalar(self, tag: str, value: float, step: int) -> None:
         self._f.write(json.dumps({"tag": tag, "value": float(value), "step": int(step)}) + "\n")

@@ -37,15 +37,27 @@ def list_images(images_dir: str, file_list: str | None) -> List[str]:
     )
 
 
-def load_image_batch(paths: List[str], size: int = 256) -> np.ndarray:
-    """Decode + coarse-resize on host; final resize/normalize is fused
-    on-device (models/vgg.preprocess)."""
+def load_image_batch(paths: List[str], resize: int = 256, crop: int = 224) -> np.ndarray:
+    """Decode on host with the canonical VGG evaluation geometry:
+    shorter side -> ``resize`` (aspect preserved), then a center
+    ``crop x crop``. Squash-resizing distorts the (mostly non-square)
+    COCO images and shifts fc7 features away from what pretrained
+    weights saw in training. Normalization fuses on-device
+    (models/vgg.preprocess; its resize is the identity at 224)."""
     from PIL import Image
 
-    out = np.zeros((len(paths), size, size, 3), np.uint8)
+    out = np.zeros((len(paths), crop, crop, 3), np.uint8)
     for i, p in enumerate(paths):
         with Image.open(p) as im:
-            out[i] = np.asarray(im.convert("RGB").resize((size, size)), np.uint8)
+            im = im.convert("RGB")
+            w, h = im.size
+            scale = resize / min(w, h)
+            nw, nh = max(crop, round(w * scale)), max(crop, round(h * scale))
+            im = im.resize((nw, nh))
+            left, top = (nw - crop) // 2, (nh - crop) // 2
+            out[i] = np.asarray(
+                im.crop((left, top, left + crop, top + crop)), np.uint8
+            )
     return out
 
 
@@ -86,13 +98,14 @@ def main(argv=None) -> None:
     print_green(f"[Extract] {len(paths)} images from {args.images_dir}")
 
     import h5py
+    from functools import partial
+
     from tqdm import tqdm
 
-    fn = jax.jit(lambda p, im: vgg.features_fc7(p, im))  # params as arg, not constant
-    feats = np.zeros((len(paths), 4096), np.float32)
-    for i in tqdm(range(0, len(paths), args.batch_size), desc="Extracting"):
-        batch = load_image_batch(paths[i : i + args.batch_size])
-        feats[i : i + batch.shape[0]] = np.asarray(fn(params, batch))
+    feats = vgg.extract_features(
+        params, paths, batch_size=args.batch_size, loader=load_image_batch,
+        progress=partial(tqdm, desc="Extracting"),
+    ).astype(np.float32)
 
     os.makedirs(args.out_dir, exist_ok=True)
     raw_path = os.path.join(args.out_dir, f"{args.split}2014_vgg16_fc7.h5")
@@ -101,11 +114,21 @@ def main(argv=None) -> None:
     print_green(f"[Extract] wrote {raw_path}")
 
     if args.pca_components or args.pca_from:
+        npz_path = os.path.join(args.out_dir, "vgg16_fc7_pca.npz")
         if args.pca_from:
             proj = PCAProjection.load(args.pca_from)
         else:
+            if os.path.exists(npz_path):
+                # refitting would put this split in a DIFFERENT (rotated)
+                # coordinate system than the split that wrote the npz —
+                # train/val features must share one basis
+                raise SystemExit(
+                    f"[Extract] {npz_path} already exists; pass "
+                    f"--pca_from {npz_path} so this split reuses the same "
+                    "projection (refitting would produce an incompatible basis)"
+                )
             proj = fit_pca(feats, k=args.pca_components)
-            proj.save(os.path.join(args.out_dir, "vgg16_fc7_pca.npz"))
+            proj.save(npz_path)
         compact = np.asarray(proj.apply(feats))
         pca_path = os.path.join(args.out_dir, f"{args.split}2014_vgg16_fc7_pca.h5")
         with h5py.File(pca_path, "w") as f:

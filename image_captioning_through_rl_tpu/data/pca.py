@@ -36,6 +36,15 @@ class PCAProjection:
 def fit_pca(features: jax.Array, k: int = 512) -> PCAProjection:
     """Principal components of a feature table ``[N, D] -> [D, k]``."""
     x = jnp.asarray(features, jnp.float32)
+    n, d = x.shape
+    if k > min(n, d):
+        # svd(full_matrices=False) yields only min(N, D) components;
+        # silently returning fewer would write a feature table whose
+        # dimension surprises every downstream consumer
+        raise ValueError(
+            f"cannot fit {k} principal components from {n} samples of "
+            f"dim {d}; need at least k samples"
+        )
     mean = jnp.mean(x, axis=0)
     _, _, vt = jnp.linalg.svd(x - mean, full_matrices=False)
     return PCAProjection(mean=mean, components=vt[:k].T)

@@ -8,14 +8,24 @@ from typing import List
 
 from ..data.coco import CocoData
 
-_TOKEN = re.compile(r"[a-z]+")
+# gensim's PAT_ALPHABETIC: runs of word characters that are not digits
+# (letters of ANY script plus underscore — accented tokens survive,
+# matching the reference's simple_preprocess(deacc=False) default)
+_TOKEN = re.compile(r"(?:(?!\d)\w)+", re.UNICODE)
 
 
-def simple_preprocess(doc: str, min_len: int = 2, max_len: int = 15) -> List[str]:
-    """Lowercase, deaccent, keep alphabetic tokens of length [min, max] —
-    the gensim ``simple_preprocess`` contract the reference relies on."""
-    doc = unicodedata.normalize("NFKD", doc.lower())
-    doc = doc.encode("ascii", "ignore").decode("ascii")
+def simple_preprocess(
+    doc: str, deacc: bool = False, min_len: int = 2, max_len: int = 15
+) -> List[str]:
+    """Lowercase, tokenize, keep tokens of length [min, max] — the
+    gensim ``simple_preprocess`` contract the reference relies on
+    (utilities.py:361-372). ``deacc=False`` is gensim's default: accented
+    words are kept intact so they align against the dataset vocabulary
+    instead of falling to the OOV path."""
+    doc = doc.lower()
+    if deacc:
+        doc = unicodedata.normalize("NFKD", doc)
+        doc = doc.encode("ascii", "ignore").decode("ascii")
     return [t for t in _TOKEN.findall(doc) if min_len <= len(t) <= max_len]
 
 

@@ -58,9 +58,21 @@ def get_embedding_model(path):
 
 def _chunk_looks_binary(chunk: bytes) -> bool:
     """Binary word2vec payloads contain raw float32 bytes; text payloads
-    are printable ASCII + whitespace."""
-    text_ok = set(range(0x20, 0x7F)) | {0x09, 0x0A, 0x0D}
-    return any(b not in text_ok for b in chunk)
+    are UTF-8. Decode-check first: .vec files routinely contain accented
+    or multilingual words, so any-non-ASCII is NOT a binary signal. A
+    partial trailing codepoint (the 4096-byte window can split one) is
+    trimmed before the check; raw float32 bytes essentially never form
+    valid multi-kilobyte UTF-8 with this much structure."""
+    for trim in range(4):  # a UTF-8 codepoint spans at most 4 bytes
+        try:
+            text = chunk[: len(chunk) - trim].decode("utf-8")
+        except UnicodeDecodeError:
+            continue
+        # decodable — binary payloads that happen to decode would still
+        # be full of control characters; text files are not
+        controls = sum(1 for c in text if ord(c) < 0x20 and c not in "\t\n\r")
+        return controls > 0
+    return True
 
 
 def load_word2vec_format(path: str, binary=None, encoding: str = "utf-8"):
@@ -100,7 +112,14 @@ def load_word2vec_format(path: str, binary=None, encoding: str = "utf-8"):
                             word.extend(ch)
                     if not word and not ch:
                         break
-                    vec = np.frombuffer(f.read(4 * dim), dtype="<f4").astype(np.float32)
+                    raw = f.read(4 * dim)
+                    if len(raw) != 4 * dim:
+                        raise ValueError(
+                            f"truncated binary embedding file {path}: entry "
+                            f"{word.decode(encoding, 'replace')!r} has "
+                            f"{len(raw)} of {4 * dim} payload bytes"
+                        )
+                    vec = np.frombuffer(raw, dtype="<f4").astype(np.float32)
                     vectors[word.decode(encoding)] = vec
                 return vectors
         else:

@@ -115,21 +115,38 @@ def features_fc7(params: dict, images: jax.Array, precision=None,
 
 
 def extract_features(params: dict, images, batch_size: int = 64,
-                     projection=None) -> jax.Array:
-    """Batched jitted feature extraction over a large image array.
+                     projection=None, loader=None, progress=None) -> jax.Array:
+    """Batched jitted feature extraction over a large image collection.
 
-    ``projection`` (optional ``[4096, k]`` PCA matrix + mean from
-    :mod:`..data.pca`) maps fc7 to the bundle's compact features.
+    ``images`` is either an image array ``[N, H, W, 3]`` or, with
+    ``loader``, any sequence whose slices ``loader`` turns into such an
+    array (e.g. file paths — the CLI's decode-on-host path). The final
+    ragged batch is padded up to ``batch_size`` by repeating its last
+    item so the conv stack compiles exactly once (a second remote VGG16
+    compile costs ~9 minutes on a tunneled chip). ``projection``
+    (optional PCA from :mod:`..data.pca`) maps fc7 to the bundle's
+    compact features. ``progress`` optionally wraps the batch iterator
+    (e.g. tqdm).
     """
     import numpy as np
 
     # params as a jit ARGUMENT: closing over them would embed them as
     # program constants (hundreds of MB for VGG16) in the compile payload
     fn = jax.jit(lambda p, im: features_fc7(p, im))
+    n = images.shape[0] if hasattr(images, "shape") else len(images)
     outs = []
-    for i in range(0, images.shape[0], batch_size):
-        feats = fn(params, jnp.asarray(images[i : i + batch_size]))
+    starts = range(0, n, batch_size)
+    if progress is not None:
+        starts = progress(starts)
+    for i in starts:
+        chunk = images[i : i + batch_size]
+        batch = np.asarray(chunk if loader is None else loader(chunk))
+        real = batch.shape[0]
+        if real < batch_size:  # pad: one compiled shape for every batch
+            pad = np.repeat(batch[-1:], batch_size - real, axis=0)
+            batch = np.concatenate([batch, pad], axis=0)
+        feats = fn(params, jnp.asarray(batch))
         if projection is not None:
             feats = projection.apply(feats)
-        outs.append(np.asarray(feats))
+        outs.append(np.asarray(feats)[:real])
     return np.concatenate(outs, axis=0)

@@ -57,7 +57,12 @@ class StepTimer:
         return self
 
     def sync(self, out) -> None:
-        jax.block_until_ready(out)
+        # host readback, not block_until_ready: on tunneled backends
+        # (axon) block_until_ready can return BEFORE device execution
+        # completes, silently under-reporting step times (CLAUDE.md)
+        import numpy as np
+
+        np.asarray(jax.tree.leaves(out)[0])
 
     def __exit__(self, *exc):
         dt = (time.perf_counter() - self._t0) * 1e3

@@ -102,3 +102,44 @@ def test_native_loader_rejects_malformed_rows(tmp_path):
         assert False, "expected ValueError"
     except ValueError as e:
         assert "malformed" in str(e)
+
+
+def test_simple_preprocess_keeps_accents_like_gensim_default():
+    """gensim's simple_preprocess default is deacc=False: accented words
+    survive so they align against the dataset vocab (the reference calls
+    it with defaults, utilities.py:361-372)."""
+    assert simple_preprocess("Café au lait") == ["café", "au", "lait"]
+    assert simple_preprocess("Café au lait", deacc=True) == ["cafe", "au", "lait"]
+
+
+def test_native_loader_detects_utf8_text_with_accents(tmp_path):
+    """A UTF-8 .vec file with non-ASCII words in the sniff window must
+    be parsed as text, not misclassified as binary garbage."""
+    from image_captioning_through_rl_tpu.embeddings.pretrained import (
+        load_word2vec_format,
+    )
+
+    p = tmp_path / "acc.vec"
+    rows = ["3 4", "café 1 2 3 4", "naïve 5 6 7 8", "plain 9 10 11 12"]
+    p.write_text("\n".join(rows) + "\n", encoding="utf-8")
+    vecs = load_word2vec_format(str(p))
+    assert set(vecs) == {"café", "naïve", "plain"}
+    np.testing.assert_allclose(vecs["café"], [1, 2, 3, 4])
+
+
+def test_native_loader_raises_on_truncated_binary(tmp_path):
+    import struct
+
+    import pytest
+
+    from image_captioning_through_rl_tpu.embeddings.pretrained import (
+        load_word2vec_format,
+    )
+
+    p = tmp_path / "trunc.bin"
+    with open(p, "wb") as f:
+        f.write(b"2 4\n")
+        f.write(b"good " + struct.pack("<4f", 1, 2, 3, 4))
+        f.write(b"cut " + struct.pack("<2f", 5, 6))  # half a vector
+    with pytest.raises(ValueError, match="truncated"):
+        load_word2vec_format(str(p), binary=True)

@@ -72,3 +72,30 @@ def test_reference_cli_flags_all_present():
     d = vars(p.parse_args([]))
     assert d["test_size"] == 40504 and d["epochs"] == 100 and d["batch_size"] == 512
     assert d["pretrained_path"] == "models_pretrained"
+
+
+def test_fit_pca_rejects_k_above_sample_count():
+    import numpy as np
+    import pytest
+
+    from image_captioning_through_rl_tpu.data.pca import fit_pca
+
+    with pytest.raises(ValueError, match="principal components"):
+        fit_pca(np.random.default_rng(0).standard_normal((8, 32)), k=16)
+
+
+def test_extract_refuses_refit_when_projection_exists(images_dir, tmp_path):
+    """A second split must reuse the first split's PCA basis via
+    --pca_from; refitting would write incompatible coordinates."""
+    import pytest
+
+    from image_captioning_through_rl_tpu.cli.extract import main
+
+    args = ["--images_dir", images_dir, "--out_dir", str(tmp_path),
+            "--batch_size", "2", "--pca_components", "2"]
+    main(args + ["--split", "train"])
+    with pytest.raises(SystemExit, match="pca_from"):
+        main(args + ["--split", "val"])
+    # the sanctioned path works
+    main(args[:-2] + ["--split", "val", "--pca_from",
+                      str(tmp_path / "vgg16_fc7_pca.npz")])

@@ -188,6 +188,7 @@ def bench_a2c_step() -> float:
     caps = jnp.asarray(caps)
     tx = optim.adam(1e-4)
     key = jax.random.PRNGKey(7)
+    keys = jax.random.split(key, k)  # one per-minibatch key, the chunk contract
 
     def measure(chunk):
         # the chunk donates params/opt: thread them like the trainer does

@@ -52,7 +52,7 @@ class Captioner:
         self._cfg = cfg
         self._idx_to_word = idx_to_word
         self._jitted = {}
-        self._fused_verdict = {}  # decode key -> bool (canary outcome)
+        self._fused_verdict = {}  # decode key -> VerifiedDispatch
 
     def caption_tokens(
         self,
@@ -111,13 +111,11 @@ class Captioner:
             if fusable and use_fused_kernel:
                 return fused(features, start)
             if fusable and use_fused_kernel is None:
-                out = self._dispatch_verified(
+                return self._dispatch_verified(
                     ("beam", beam_size), fused,
                     lambda f, s: np.asarray(xla_fn(self._policy, self._value, f, s)[0][:, 0]),
                     features, start,
                 )
-                if out is not None:
-                    return out
             toks, _ = xla_fn(self._policy, self._value, features, start)
             return np.asarray(toks[:, 0])
 
@@ -140,38 +138,35 @@ class Captioner:
         if use_fused_kernel and not cfg.bidirectional:
             return fused(features, start)
         if use_fused_kernel is None and not cfg.bidirectional:
-            out = self._dispatch_verified(
+            return self._dispatch_verified(
                 ("greedy",), fused,
                 lambda f, s: np.asarray(xla_fn(self._policy, f, s)),
                 features, start,
             )
-            if out is not None:
-                return out
         return np.asarray(xla_fn(self._policy, features, start))
 
     def _dispatch_verified(self, key, fused_fn, xla_fn, features, start):
-        """Auto dispatch: first call compares fused vs XLA tokens on the
-        live batch; exact agreement locks in the kernel, anything else
-        (mismatch, or no Mosaic backend) locks in XLA. Returns tokens,
-        or None to tell the caller to take its XLA path."""
-        verdict = self._fused_verdict.get(key)
-        if verdict is False:
-            return None
-        if verdict:
-            return fused_fn(features, start)
-        try:
-            got = fused_fn(features, start)
-        except Exception as e:  # no TPU / Mosaic lowering unavailable
-            import sys
+        """Auto dispatch through the shared :class:`VerifiedDispatch`
+        (utils/dispatch.py): first call compares fused vs XLA tokens on
+        the live batch; exact agreement locks in the kernel, anything
+        else (mismatch, or no Mosaic backend) locks in XLA."""
+        from .utils.dispatch import VerifiedDispatch
 
-            print(f"[Captioner] fused kernel unavailable for {key} "
-                  f"({type(e).__name__}: {e}); serving via XLA", file=sys.stderr)
-            self._fused_verdict[key] = False
-            return None
-        want = xla_fn(features, start)
-        ok = bool(np.array_equal(got, want))
-        self._fused_verdict[key] = ok
-        return got if ok else want
+        disp = self._fused_verdict.get(key)
+        if disp is None:
+            def log(ok, exc, key=key):
+                if not ok:
+                    import sys
+
+                    why = (f"{type(exc).__name__}: {exc}" if exc is not None
+                           else "canary tokens diverged")
+                    print(f"[Captioner] fused kernel disabled for {key} "
+                          f"({why}); serving via XLA", file=sys.stderr)
+
+            disp = VerifiedDispatch(fused_fn, xla_fn, equal=np.array_equal,
+                                    on_verdict=log)
+            self._fused_verdict[key] = disp
+        return disp(features, start)
 
     def caption(self, features, **kw) -> List[str]:
         """Caption strings for a feature batch."""

@@ -926,27 +926,20 @@ def test_a2c_network(
             if use_fused_kernel:  # explicitly forced
                 decode = fused_decode
             else:
-                verdict = {"ok": None}
+                from ..utils.dispatch import VerifiedDispatch
 
-                def decode(f, s):
-                    if verdict["ok"] is None:
-                        try:
-                            ft, fs = fused_decode(f, s)
-                        except Exception:
-                            verdict["ok"] = False
-                            return xla_decode(f, s)
-                        xt, xs = xla_decode(f, s)
-                        verdict["ok"] = bool(
-                            np.array_equal(np.asarray(ft[:, 0]), np.asarray(xt[:, 0]))
-                        )
-                        print_green(
-                            "[Testing] fused beam kernel "
-                            + ("verified on canary batch — serving with the Pallas kernel"
-                               if verdict["ok"]
-                               else "diverged/unavailable on canary — using the XLA beam")
-                        )
-                        return (ft, fs) if verdict["ok"] else (xt, xs)
-                    return fused_decode(f, s) if verdict["ok"] else xla_decode(f, s)
+                decode = VerifiedDispatch(
+                    fused_decode, xla_decode,
+                    equal=lambda a, b: np.array_equal(
+                        np.asarray(a[0][:, 0]), np.asarray(b[0][:, 0])
+                    ),
+                    on_verdict=lambda ok, exc: print_green(
+                        "[Testing] fused beam kernel "
+                        + ("verified on canary batch — serving with the Pallas kernel"
+                           if ok
+                           else "diverged/unavailable on canary — using the XLA beam")
+                    ),
+                )
 
     width = validation_batch_size - 1  # Q9: 127-wide slices per 128 stride
     # Q9 slices of the random draw, exactly as the reference walks them

@@ -23,6 +23,11 @@ _SPECIALS = ["<NULL>", "<START>", "<END>", "<UNK>"]
 
 
 def make_vocab(vocab_size: int):
+    if vocab_size <= len(_SPECIALS):
+        raise ValueError(
+            f"vocab_size must exceed the {len(_SPECIALS)} special tokens; "
+            f"got {vocab_size}"
+        )
     words = list(_SPECIALS) + [f"word{i}" for i in range(vocab_size - len(_SPECIALS))]
     word_to_idx = {w: i for i, w in enumerate(words)}
     return word_to_idx, words
@@ -32,6 +37,13 @@ def random_captions(
     rng: np.random.Generator, n: int, vocab_size: int, max_len: int = MAX_SEQ_LEN
 ) -> np.ndarray:
     """<START> body <END> <NULL>* rows, like the real bundle."""
+    if max_len < 3:
+        raise ValueError(f"max_len must be >= 3 (<START> body <END>); got {max_len}")
+    if vocab_size <= len(_SPECIALS):
+        raise ValueError(
+            f"vocab_size must exceed the {len(_SPECIALS)} special tokens; "
+            f"got {vocab_size}"
+        )
     caps = rng.integers(len(_SPECIALS), vocab_size, size=(n, max_len)).astype(np.int32)
     caps[:, 0] = START_ID
     end_pos = rng.integers(2, max_len, size=n)

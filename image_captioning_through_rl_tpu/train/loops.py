@@ -33,8 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 from tqdm import tqdm
 
-from .. import MAX_SEQ_LEN
-from ..config import DecodeConfig, NetConfig
+from .. import END_ID, MAX_SEQ_LEN
+from ..config import DecodeConfig, NetConfig, TrainConfig
 from ..data.coco import CocoData, decode_captions, get_coco_batch, get_coco_minibatches
 from ..decode.beam import beam_search
 from ..models import policy as policy_mod
@@ -46,6 +46,11 @@ from ..utils.logging import make_metrics_writer, print_green
 from . import checkpoint as ckpt
 from . import steps
 from .optim import adam
+
+# single source of truth for the reference hyperparameter defaults: the
+# trainer signatures below draw their defaults from TrainConfig so the
+# typed config and the loops cannot drift
+_T = TrainConfig()
 
 
 def _cfg_for(data: CocoData, bidirectional: bool) -> NetConfig:
@@ -172,7 +177,7 @@ def _drive_best_loss_training(
                     )
                     if bool(improved) and is_main_process():
                         ckpt.save_pytree(jax.device_get(best_prev), ckpt_path)
-                    for loss in np.asarray(jax.device_get(losses)):
+                    for loss in jax.device_get(losses):
                         loss = float(loss)
                         if loss < state["best"]:
                             state["best"] = loss
@@ -213,9 +218,9 @@ def train_reward_network(
     network_paths: Dict[str, str],
     plot_dir: Optional[str],
     bidirectional: bool,
-    epochs: int = 50,
-    batch_size: int = 512,
-    lr: float = 1e-4,
+    epochs: int = _T.reward_epochs,
+    batch_size: int = _T.batch_size,
+    lr: float = _T.reward_lr,
     seed: int = 0,
     compat_batch_as_time: bool = False,
     device_data: bool = True,
@@ -261,9 +266,9 @@ def train_policy_network(
     network_paths: Dict[str, str],
     plot_dir: Optional[str],
     bidirectional: bool,
-    epochs: int = 100,
-    batch_size: int = 512,
-    lr: float = 1e-3,
+    epochs: int = _T.policy_epochs,
+    batch_size: int = _T.batch_size,
+    lr: float = _T.policy_lr,
     seed: int = 0,
     device_data: bool = True,
     fused_chain=None,
@@ -307,9 +312,9 @@ def train_value_network(
     network_paths: Dict[str, str],
     plot_dir: Optional[str],
     bidirectional: bool,
-    epochs: int = 50,
-    batch_size: int = 512,
-    lr: float = 1e-3,
+    epochs: int = _T.value_epochs,
+    batch_size: int = _T.batch_size,
+    lr: float = _T.value_lr,
     seed: int = 0,
     compat_batch_as_time: bool = False,
     device_data: bool = True,
@@ -386,6 +391,7 @@ def train_a2c_network(
     resume: bool = False,
     fused_rollout=None,
     chunk_steps: int = 16,
+    a2c_lr: float = _T.a2c_lr,
 ):
     """Orchestrator (trainers.py:312-399): train or load the three
     sub-networks, freeze the reward net, then run (curriculum) A2C.
@@ -433,7 +439,7 @@ def train_a2c_network(
             print_green("[Training] resumed A2C weights from checkpoint")
         except FileNotFoundError:
             print("[Training] no A2C checkpoint to resume; starting fresh")
-    tx = adam(1e-4, a2c_params, cfg.freeze_embeddings)  # trainers.py:378
+    tx = adam(a2c_lr, a2c_params, cfg.freeze_embeddings)  # trainers.py:378
     opt_state = tx.init(a2c_params)
 
     print(f"[Training] train_data len = {len(train_data.train_captions)}")
@@ -466,20 +472,29 @@ def train_a2c_network(
 
 
 
+def _probe_batch(cfg: NetConfig):
+    """Tiny synthetic (features, captions) batch shared by the four
+    fused-kernel auto-probes: <START> column, <END> in the last slot."""
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.standard_normal((8, cfg.input_dim), dtype=np.float32))
+    caps = rng.integers(4, cfg.vocab_size, size=(8, cfg.max_seq_len)).astype(np.int32)
+    caps[:, 0] = 1
+    caps[:, -1] = END_ID
+    return feats, jnp.asarray(caps)
+
+
+def _losses_agree(lf, lx, rtol: float = 1e-2) -> bool:
+    """Fused-vs-XLA agreement at bf16-accumulation-order tolerance."""
+    return bool(abs(float(lf) - float(lx)) <= rtol * max(1.0, abs(float(lx))))
+
+
 def _probe_fused_pair(fused_fn, xla_fn, cfg: NetConfig) -> bool:
     """Compare a fused loss against its XLA twin on a tiny batch."""
     if jax.devices()[0].platform == "cpu":
         return False
     try:
-        rng = np.random.default_rng(0)
-        feats = jnp.asarray(rng.standard_normal((8, cfg.input_dim), dtype=np.float32))
-        caps = rng.integers(4, cfg.vocab_size, size=(8, cfg.max_seq_len)).astype(np.int32)
-        caps[:, 0] = 1
-        caps[:, -1] = 2
-        caps = jnp.asarray(caps)
-        lf = float(fused_fn(feats, caps))
-        lx = float(xla_fn(feats, caps))
-        return bool(abs(lf - lx) <= 1e-2 * max(1.0, abs(lx)))
+        feats, caps = _probe_batch(cfg)
+        return _losses_agree(fused_fn(feats, caps), xla_fn(feats, caps))
     except Exception:
         return False
 
@@ -490,18 +505,13 @@ def _probe_fused_value(cfg: NetConfig, tx, vparams, pparams, rparams) -> bool:
     if jax.devices()[0].platform == "cpu":
         return False
     try:
-        rng = np.random.default_rng(0)
-        feats = jnp.asarray(rng.standard_normal((8, cfg.input_dim), dtype=np.float32))
-        caps = rng.integers(4, cfg.vocab_size, size=(8, cfg.max_seq_len)).astype(np.int32)
-        caps[:, 0] = 1
-        caps[:, -1] = 2
-        caps = jnp.asarray(caps)
+        feats, caps = _probe_batch(cfg)
         opt = tx.init(vparams)
         _, _, lf = steps.make_value_step(cfg, tx, fused=True)(
             vparams, opt, pparams, rparams, feats, caps, jnp.int32(3))
         _, _, lx = steps.make_value_step(cfg, tx)(
             vparams, opt, pparams, rparams, feats, caps, jnp.int32(3))
-        return bool(abs(float(lf) - float(lx)) <= 1e-2 * max(1.0, abs(float(lx))))
+        return _losses_agree(lf, lx)
     except Exception:
         return False
 
@@ -512,16 +522,11 @@ def _probe_fused_policy(cfg: NetConfig, params) -> bool:
     if jax.devices()[0].platform == "cpu":
         return False
     try:
-        rng = np.random.default_rng(0)
-        feats = jnp.asarray(rng.standard_normal((8, cfg.input_dim), dtype=np.float32))
-        caps = rng.integers(4, cfg.vocab_size, size=(8, cfg.max_seq_len)).astype(np.int32)
-        caps[:, 0] = 1
-        caps[:, -1] = 2
-        caps = jnp.asarray(caps)
+        feats, caps = _probe_batch(cfg)
         caplens = steps.batch_caption_lens(caps)
         lf = steps.policy_loss_fused(params, cfg, feats, caps, caplens)
         lx = steps.policy_loss(params, cfg, feats, caps, caplens)
-        return bool(abs(float(lf) - float(lx)) <= 1e-2 * max(1.0, abs(float(lx))))
+        return _losses_agree(lf, lx)
     except Exception:
         return False
 
@@ -540,12 +545,7 @@ def _probe_fused_rollout(cfg: NetConfig, a2c_params, reward_params,
     if jax.devices()[0].platform == "cpu":
         return False
     try:
-        rng = np.random.default_rng(0)
-        feats = jnp.asarray(rng.standard_normal((8, cfg.input_dim), dtype=np.float32))
-        caps = rng.integers(4, cfg.vocab_size, size=(8, cfg.max_seq_len)).astype(np.int32)
-        caps[:, 0] = 1
-        caps[:, -1] = 2
-        caps = jnp.asarray(caps)
+        feats, caps = _probe_batch(cfg)
         currs = [jnp.int32(1)]
         if curriculum:  # teacher branch active for the first half
             currs.append(jnp.int32(max(2, cfg.max_seq_len // 2)))
@@ -554,7 +554,7 @@ def _probe_fused_rollout(cfg: NetConfig, a2c_params, reward_params,
                     curr, jnp.int32(cfg.max_seq_len), jax.random.PRNGKey(0))
             lf, _ = steps.a2c_rollout_loss_fused(*args, per_step_mean=per_step_mean)
             lx, _ = steps.a2c_rollout_loss(*args, per_step_mean=per_step_mean)
-            if not abs(float(lf) - float(lx)) <= 1e-2 * max(1.0, abs(float(lx))):
+            if not _losses_agree(lf, lx):
                 return False
         return True
     except Exception:
@@ -786,7 +786,7 @@ def a2c_curriculum_training(
                     else:  # ragged tail: one single-step call
                         key, sub = jax.random.split(key)
                         caps_b, feats_b = tables.gather(perm[i:])
-                        caplen = int(np.max(np.argmax(np.asarray(caps_b) == 2, axis=1)) + 1)
+                        caplen = int(np.max(np.argmax(np.asarray(caps_b) == END_ID, axis=1)) + 1)
                         if caplen - level >= 1:
                             a2c_params, opt_state, stats = step(
                                 a2c_params, opt_state, reward_params,
@@ -807,7 +807,7 @@ def a2c_curriculum_training(
                     # consume a key in the chunked path too, keeping the
                     # two paths' PRNG streams identical
                     key, sub = jax.random.split(key)
-                    caplen = int(np.max(np.argmax(captions == 2, axis=1)) + 1)
+                    caplen = int(np.max(np.argmax(captions == END_ID, axis=1)) + 1)
                     curr_seq_len = caplen - level
                     if curr_seq_len < 1:  # trainers.py:550
                         continue

@@ -97,7 +97,7 @@ def bench_jax():
 
         vparams = value.init(jax.random.PRNGKey(1), cfg)
         btoks, _ = fused_beam_search(
-            tparams, vparams, feats[:127], start[:127], max_len=T, beam=5, block_n=16
+            tparams, vparams, feats[:127], start[:127], max_len=T, beam=5, block_n=0
         )
         beam_ran = np.asarray(btoks).shape == (127, 5, T)
         # Health check 3: the fused training-chain kernels agree with

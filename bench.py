@@ -164,7 +164,7 @@ def bench_torch_cpu() -> float:
 def bench_a2c_step() -> float:
     """A2C training steps/sec at 512 episodes (BASELINE's second metric:
     'A2C step time at speed-of-light on one v5e'). Measures the actual
-    default training path — the chunked dispatch (k=8 minibatch updates
+    default training path — the chunked dispatch (k=16 minibatch updates
     per jitted scan, steps.make_a2c_chunk_step) over the fused Pallas
     rollout when it runs (TPU), else the XLA scan rollout — so the
     number reflects device throughput rather than the tunneled host's

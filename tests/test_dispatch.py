@@ -1,0 +1,57 @@
+"""VerifiedDispatch: canary verdicts latch correctly (utils/dispatch.py)."""
+
+import numpy as np
+import pytest
+
+from image_captioning_through_rl_tpu.utils.dispatch import VerifiedDispatch
+
+
+def test_agreement_latches_fast_path():
+    calls = {"fast": 0, "ref": 0}
+
+    def fast(x):
+        calls["fast"] += 1
+        return np.asarray([x, x])
+
+    def ref(x):
+        calls["ref"] += 1
+        return np.asarray([x, x])
+
+    d = VerifiedDispatch(fast, ref, equal=np.array_equal)
+    np.testing.assert_array_equal(d(3), [3, 3])
+    assert d.verdict is True
+    d(4), d(5)
+    assert calls == {"fast": 3, "ref": 1}  # ref only ran for the canary
+
+
+def test_divergence_latches_ref_path():
+    def fast(x):
+        return np.asarray([x + 1])
+
+    def ref(x):
+        return np.asarray([x])
+
+    seen = []
+    d = VerifiedDispatch(fast, ref, equal=np.array_equal,
+                         on_verdict=lambda ok, exc: seen.append((ok, exc)))
+    np.testing.assert_array_equal(d(3), [3])  # canary mismatch -> ref result
+    assert d.verdict is False and seen == [(False, None)]
+    np.testing.assert_array_equal(d(7), [7])  # fast never called again
+
+
+def test_fast_exception_latches_ref_and_reports():
+    def fast(x):
+        raise RuntimeError("no Mosaic backend")
+
+    seen = []
+    d = VerifiedDispatch(fast, lambda x: np.asarray([x]), equal=np.array_equal,
+                         on_verdict=lambda ok, exc: seen.append((ok, type(exc))))
+    np.testing.assert_array_equal(d(2), [2])
+    assert d.verdict is False
+    assert seen == [(False, RuntimeError)]
+    np.testing.assert_array_equal(d(9), [9])
+
+
+def test_verdict_none_until_first_call():
+    d = VerifiedDispatch(lambda: 1, lambda: 1, equal=lambda a, b: a == b)
+    assert d.verdict is None

@@ -61,6 +61,13 @@ def setup(args):
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
 
+    # multi-host SPMD: join the job when launch env vars announce one
+    # (single-host runs, like this environment, are a no-op)
+    from ..parallel import maybe_init_distributed
+
+    if maybe_init_distributed():
+        print_green(f"[Info] Multi-host run: process {jax.process_index()} "
+                    f"of {jax.process_count()}")
     print_green(f"[Info] Working on: {jax.devices()}")
 
     if os.path.isdir(os.path.split(args.test_model)[0]):

@@ -17,7 +17,12 @@ vocab are the axes that exist. Multi-host runs gate host I/O on
 ``jax.process_index() == 0``.
 """
 
-from .mesh import is_main_process, local_device_count, make_mesh
+from .mesh import (
+    is_main_process,
+    local_device_count,
+    make_mesh,
+    maybe_init_distributed,
+)
 from .serve import sharded_beam_tokens, sharded_greedy_tokens
 from .shard_map_step import make_shard_map_a2c_step
 from .sharding import (
@@ -34,6 +39,7 @@ __all__ = [
     "make_mesh",
     "local_device_count",
     "is_main_process",
+    "maybe_init_distributed",
     "make_shard_map_a2c_step",
     "sharded_greedy_tokens",
     "sharded_beam_tokens",

@@ -13,6 +13,37 @@ def local_device_count() -> int:
     return jax.local_device_count()
 
 
+def maybe_init_distributed() -> bool:
+    """Join a multi-host SPMD job when launch env vars announce one.
+
+    Single-host runs (this environment) are a no-op. On a multi-host TPU
+    slice the launcher (GKE/Cloud TPU/manual) exports coordinator
+    information; ``jax.distributed.initialize()`` auto-discovers it on
+    Cloud TPU, and ``JAX_COORDINATOR_ADDRESS``/``JAX_NUM_PROCESSES``/
+    ``JAX_PROCESS_ID`` drive the manual form. After initialization,
+    ``jax.devices()`` spans the whole slice, the same jitted programs
+    partition across it (DESIGN.md §6), and :func:`is_main_process`
+    gates host I/O. Returns True when a multi-process runtime came up.
+    """
+    import os
+
+    already = getattr(jax.distributed, "is_initialized", None)
+    if callable(already) and already():
+        return jax.process_count() > 1
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    n = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    if addr and n and pid:
+        jax.distributed.initialize(
+            coordinator_address=addr, num_processes=int(n), process_id=int(pid)
+        )
+        return jax.process_count() > 1
+    if os.environ.get("JAX_AUTO_DISTRIBUTED") == "1":
+        jax.distributed.initialize()  # Cloud TPU metadata auto-discovery
+        return jax.process_count() > 1
+    return False
+
+
 def is_main_process() -> bool:
     """True on the host that should perform file I/O (checkpoint writes,
     caption dumps, metric logs). Multi-host SPMD runs one process per

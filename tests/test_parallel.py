@@ -160,3 +160,33 @@ def test_sharded_eval_writes_same_captions(tmp_path, rng_np):
     single = run("single", None)
     sharded = run("sharded", make_mesh((8,), ("data",)))
     assert single == sharded
+
+
+def test_maybe_init_distributed_single_host_noop(monkeypatch):
+    from image_captioning_through_rl_tpu.parallel import maybe_init_distributed
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("JAX_AUTO_DISTRIBUTED", raising=False)
+    assert maybe_init_distributed() is False
+
+
+def test_maybe_init_distributed_manual_env(monkeypatch):
+    """Env-var launch form forwards coordinator info to
+    jax.distributed.initialize (stubbed — really initializing would
+    reconfigure this test process)."""
+    import jax
+
+    from image_captioning_through_rl_tpu.parallel import maybe_init_distributed
+
+    seen = {}
+
+    def fake_init(coordinator_address=None, num_processes=None, process_id=None):
+        seen.update(addr=coordinator_address, n=num_processes, pid=process_id)
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: False, raising=False)
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:8476")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+    monkeypatch.setenv("JAX_PROCESS_ID", "2")
+    maybe_init_distributed()
+    assert seen == {"addr": "10.0.0.1:8476", "n": 4, "pid": 2}

@@ -217,9 +217,14 @@ def main() -> None:
     jax_cps, fused_ok = bench_jax()
     torch_cps = bench_torch_cpu()
     a2c_sps = bench_a2c_step()
-    # Batch note: JAX runs 8192/dispatch (one chip's serving batch);
-    # torch-CPU runs 128 (larger batches only slow eager CPU further, so
-    # this favors the baseline). Rates are per-caption, batch-amortized.
+    # Baseline protocol: JAX runs JAX_BATCH=32768/dispatch (one chip's
+    # saturating serving batch); torch-CPU runs TORCH_BATCH=128. The
+    # asymmetry favors the baseline: eager torch-CPU throughput was
+    # measured to PEAK at 128 and drop at larger batches (256 -> -10%,
+    # 512 -> -34%, 1024 -> -30%; benchmarks/BENCHMARKS.md "baseline
+    # protocol"), so 128 is the reference's best batch. Rates are
+    # per-caption, batch-amortized,
+    # synced by host readback (tunnel RTT <1% at these window sizes).
     print(json.dumps({
         "metric": "greedy_decode_captions_per_sec_per_chip",
         "value": round(jax_cps, 2),

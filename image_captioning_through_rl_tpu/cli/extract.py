@@ -78,6 +78,11 @@ def main(argv=None) -> None:
     ap.add_argument("--pca_components", type=int, default=0,
                     help="also write the _pca variant with this many components")
     ap.add_argument("--pca_from", default="", help="reuse a fitted projection (.npz)")
+    ap.add_argument("--pca_refit", action="store_true",
+                    help="overwrite an existing vgg16_fc7_pca.npz with a fresh "
+                         "fit (e.g. after changing --pca_components); any other "
+                         "split's _pca features must then be re-extracted with "
+                         "--pca_from against the new basis")
     args = ap.parse_args(argv)
 
     if args.weights.endswith(".pt"):
@@ -118,14 +123,16 @@ def main(argv=None) -> None:
         if args.pca_from:
             proj = PCAProjection.load(args.pca_from)
         else:
-            if os.path.exists(npz_path):
+            if os.path.exists(npz_path) and not args.pca_refit:
                 # refitting would put this split in a DIFFERENT (rotated)
                 # coordinate system than the split that wrote the npz —
                 # train/val features must share one basis
                 raise SystemExit(
                     f"[Extract] {npz_path} already exists; pass "
                     f"--pca_from {npz_path} so this split reuses the same "
-                    "projection (refitting would produce an incompatible basis)"
+                    "projection (refitting would produce an incompatible "
+                    "basis), or --pca_refit to deliberately refit and "
+                    "overwrite it (or delete the npz by hand)"
                 )
             proj = fit_pca(feats, k=args.pca_components)
             proj.save(npz_path)

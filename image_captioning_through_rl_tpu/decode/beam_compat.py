@@ -69,6 +69,17 @@ def beam_search_compat(
     call (the reference's persistent ``(2, 1, H)`` hidden) — each
     candidate evaluation is a :func:`..models.value.forward_compat`
     call chained by a ``lax.scan`` over the step's candidates.
+
+    NaN scope of "token-exact": Q2b takes ``log`` of raw logits, so a
+    negative top-k logit makes that candidate's score NaN. Here
+    ``jnp.argsort`` deterministically ranks NaN scores LAST; the
+    reference's Python ``sorted`` under NaN comparisons is
+    insertion-order-dependent (genuinely ill-defined), so token
+    exactness against the torch oracle is guaranteed only for prefixes
+    where no NaN enters the top-B. Once NaNs dominate (all-negative
+    logits), both implementations keep *some* B candidates — ours the
+    deterministic first-B — and the claim weakens to "a valid beam",
+    tested in tests/test_decode.py (NaN-ranking test).
     """
     n = features.shape[0]
     b = dcfg.beam_size

@@ -56,17 +56,18 @@ def get_embedding_model(path):
     )
 
 
-def _chunk_looks_binary(chunk: bytes) -> bool:
+def _chunk_looks_binary(chunk: bytes, encoding: str = "utf-8") -> bool:
     """Binary word2vec payloads contain raw float32 bytes; text payloads
-    are UTF-8. Decode-check first: .vec files routinely contain accented
-    or multilingual words, so any-non-ASCII is NOT a binary signal. A
-    partial trailing codepoint (the 4096-byte window can split one) is
-    trimmed before the check; raw float32 bytes essentially never form
-    valid multi-kilobyte UTF-8 with this much structure."""
+    decode under the caller's ``encoding``. Decode-check first: .vec
+    files routinely contain accented or multilingual words, so
+    any-non-ASCII is NOT a binary signal. A partial trailing codepoint
+    (the 4096-byte window can split one) is trimmed before the check;
+    raw float32 bytes essentially never form valid multi-kilobyte text
+    with this much structure."""
     for trim in range(4):  # a UTF-8 codepoint spans at most 4 bytes
         try:
-            text = chunk[: len(chunk) - trim].decode("utf-8")
-        except UnicodeDecodeError:
+            text = chunk[: len(chunk) - trim].decode(encoding)
+        except (UnicodeDecodeError, ValueError):
             continue
         # decodable — binary payloads that happen to decode would still
         # be full of control characters; text files are not
@@ -99,7 +100,7 @@ def load_word2vec_format(path: str, binary=None, encoding: str = "utf-8"):
             n_words, dim = int(parts[0]), int(parts[1])
             if binary is None:
                 pos = f.tell()
-                binary = _chunk_looks_binary(f.read(4096))
+                binary = _chunk_looks_binary(f.read(4096), encoding)
                 f.seek(pos)
             if binary:
                 for _ in range(n_words):

@@ -49,6 +49,11 @@ def save_pytree(params, path: str) -> None:
     try:
         with os.fdopen(fd, "wb") as f:
             f.write(serialization.to_bytes(host))
+        # mkstemp creates 0600; restore the umask-governed mode so shared
+        # log dirs keep readable checkpoints (as a plain open() would)
+        umask = os.umask(0)
+        os.umask(umask)
+        os.chmod(tmp, 0o666 & ~umask)
         os.replace(tmp, path)  # atomic: no torn checkpoints on interruption
     except BaseException:
         try:

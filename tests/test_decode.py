@@ -209,3 +209,40 @@ def test_beam_search_jits_and_runs_batched(rng_np):
     assert toks.shape == (8, 5, CFG.max_seq_len)
     assert scores.shape == (8, 5)
     assert np.all(np.asarray(toks[:, :, 0]) == 1)
+
+
+def test_beam_compat_nan_scores_rank_last(rng_np):
+    """Q2b takes log of raw logits, so negative top-k logits make NaN
+    candidate scores. The compat beam's jnp.argsort ranks NaN LAST —
+    deterministically — so finite-scored candidates win while any
+    exist, and the decode stays reproducible even when every score is
+    NaN (where the reference's Python sorted() is insertion-order-
+    dependent and genuinely ill-defined; see decode/beam_compat.py)."""
+    pp = policy.init(jax.random.PRNGKey(20), CFG)
+    vp = value.init(jax.random.PRNGKey(21), CFG)
+    feats = jnp.asarray(rand_features(rng_np, 3, CFG.input_dim))
+    start = jnp.ones(3, jnp.int32)
+    dcfg = DecodeConfig(beam_size=3, max_seq_len=5, per_sample_beams=False)
+
+    # Mixed case: exactly two vocab slots get huge positive logits, the
+    # rest strongly negative -> each step's top-3 includes one negative
+    # logit (NaN score). Finite-scored extensions must fill the beam
+    # first; a NaN-scored candidate only survives in the last slot.
+    b = np.full(VOCAB, -50.0, np.float32)
+    b[5] = 40.0
+    b[7] = 38.0
+    pp_mixed = {**pp, "head": {**pp["head"], "b": jnp.asarray(b)}}
+    toks, scores, _ = beam_search_compat(pp_mixed, vp, CFG, dcfg, feats, start)
+    s = np.asarray(scores)
+    assert np.isfinite(s[:, :2]).all(), "finite candidates must outrank NaN"
+    # beams 0-1 extend only through the positive-logit tokens
+    assert set(np.asarray(toks)[:, :2, 1:].ravel().tolist()) <= {5, 7}
+
+    # All-NaN case: every logit negative -> every score NaN from step 0;
+    # the decode must still be deterministic and keep B valid candidates.
+    pp_neg = {**pp, "head": {**pp["head"], "b": jnp.full(VOCAB, -50.0)}}
+    t1, s1, _ = beam_search_compat(pp_neg, vp, CFG, dcfg, feats, start)
+    t2, s2, _ = beam_search_compat(pp_neg, vp, CFG, dcfg, feats, start)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    assert np.isnan(np.asarray(s1)).all()
+    assert np.asarray(t1).shape == (3, 3, 5)

@@ -190,3 +190,26 @@ def test_maybe_init_distributed_manual_env(monkeypatch):
     monkeypatch.setenv("JAX_PROCESS_ID", "2")
     maybe_init_distributed()
     assert seen == {"addr": "10.0.0.1:8476", "n": 4, "pid": 2}
+
+
+def test_maybe_init_distributed_auto_env(monkeypatch):
+    """JAX_AUTO_DISTRIBUTED=1 invokes the zero-argument
+    jax.distributed.initialize() (Cloud TPU metadata auto-discovery) —
+    stubbed, as in the manual-env test above."""
+    import jax
+
+    from image_captioning_through_rl_tpu.parallel import maybe_init_distributed
+
+    calls = []
+
+    def fake_init(*args, **kwargs):
+        calls.append((args, kwargs))
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: False, raising=False)
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+    monkeypatch.delenv("JAX_PROCESS_ID", raising=False)
+    monkeypatch.setenv("JAX_AUTO_DISTRIBUTED", "1")
+    maybe_init_distributed()
+    assert calls == [((), {})]

@@ -106,24 +106,51 @@ def bench_jax():
         from image_captioning_through_rl_tpu.models import reward as reward_mod
 
         caplens = train_steps.batch_caption_lens(caps_d)
-        lp_f = float(train_steps.policy_loss_fused(tparams, cfg, feats[:512], caps_d, caplens))
-        lp_x = float(train_steps.policy_loss(tparams, cfg, feats[:512], caps_d, caplens))
+        lp_f, gp_f = jax.value_and_grad(train_steps.policy_loss_fused)(
+            tparams, cfg, feats[:512], caps_d, caplens)
+        lp_x, gp_x = jax.value_and_grad(train_steps.policy_loss)(
+            tparams, cfg, feats[:512], caps_d, caplens)
         rw = reward_mod.init(jax.random.PRNGKey(2), cfg)
-        lr_f = float(train_steps.reward_loss_fused(rw, cfg, feats[:512], caps_d))
-        lr_x = float(train_steps.reward_loss(rw, cfg, feats[:512], caps_d))
+        lr_f, gr_f = jax.value_and_grad(train_steps.reward_loss_fused)(
+            rw, cfg, feats[:512], caps_d)
+        lr_x, gr_x = jax.value_and_grad(train_steps.reward_loss)(
+            rw, cfg, feats[:512], caps_d)
+        lp_f, lp_x, lr_f, lr_x = (float(x) for x in (lp_f, lp_x, lr_f, lr_x))
         chains_ok = (
             abs(lp_f - lp_x) <= 1e-2 * max(1.0, abs(lp_x))
             and abs(lr_f - lr_x) <= 1e-2 * max(1.0, abs(lr_x))
         )
-        fused_ok = greedy_exact and beam_ran and chains_ok
+        # Health check 4: GRADIENT fingerprints of the fused training
+        # kernels' hand-written VJPs vs XLA autodiff (per-leaf cosine +
+        # norm ratio) — a backward-kernel regression that preserves the
+        # forward loss must fail the bench, not silently corrupt
+        # training. Covers the policy XE chain, reward GRU chain, and
+        # the full fused A2C rollout.
+        from image_captioning_through_rl_tpu.train.loops import _grads_agree
+
+        aparams = {"policy": tparams, "value": vparams}
+        roll_args = (cfg, rw, feats[:512], caps_d, jnp.int32(1),
+                     jnp.int32(T), jax.random.PRNGKey(3))
+        (_, _), ga_f = jax.value_and_grad(
+            train_steps.a2c_rollout_loss_fused, has_aux=True)(aparams, *roll_args)
+        (_, _), ga_x = jax.value_and_grad(
+            train_steps.a2c_rollout_loss, has_aux=True)(aparams, *roll_args)
+        grads_ok = (
+            _grads_agree(gp_f, gp_x)
+            and _grads_agree(gr_f, gr_x)
+            and _grads_agree(ga_f, ga_x)
+        )
+        fused_ok = greedy_exact and beam_ran and chains_ok and grads_ok
         if not fused_ok:
             print(f"[bench] fused check failed: greedy_exact={greedy_exact} "
-                  f"beam_ran={beam_ran} chains_ok={chains_ok}", file=sys.stderr)
+                  f"beam_ran={beam_ran} chains_ok={chains_ok} "
+                  f"grads_ok={grads_ok}", file=sys.stderr)
     except Exception as e:  # Mosaic needs a real TPU; report, don't mask
         print(f"[bench] fused kernels unavailable ({type(e).__name__}: {e}); "
               f"on_tpu={on_tpu}", file=sys.stderr)
         fused_ok = False
-    return best, fused_ok
+        grads_ok = False
+    return best, fused_ok, grads_ok
 
 
 def bench_torch_cpu() -> float:
@@ -214,7 +241,7 @@ def bench_a2c_step() -> float:
 
 
 def main() -> None:
-    jax_cps, fused_ok = bench_jax()
+    jax_cps, fused_ok, grads_ok = bench_jax()
     torch_cps = bench_torch_cpu()
     a2c_sps = bench_a2c_step()
     # Baseline protocol: JAX runs JAX_BATCH=32768/dispatch (one chip's
@@ -231,6 +258,7 @@ def main() -> None:
         "unit": "captions/sec/chip",
         "vs_baseline": round(jax_cps / torch_cps, 2),
         "fused_ok": fused_ok,
+        "fused_grads_ok": grads_ok,
         "a2c_steps_per_sec_512ep": round(a2c_sps, 2),
     }))
 

@@ -138,6 +138,14 @@ def main(args):
         model = get_embeddings(args.pretrained_word2vec)
         data.embeddings = get_vectors_by_vocab(model, data.word_to_idx)
 
+    mesh = None
+    if args.spmd:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh((jax.device_count(),), ("data",))
+        print_green(f"[Info] SPMD: data-sharded mesh over "
+                    f"{jax.device_count()} devices / {jax.process_count()} processes")
+
     if os.path.isfile(args.test_model) and "a2cNetwork" in os.path.split(args.test_model)[1]:
         print_green("[Info] Loading A2C Network")
         a2c_params, cfg = load_a2c_models(args.test_model, data, network_paths, args.bidirectional)
@@ -162,6 +170,7 @@ def main(args):
             # TPU after loss agreement with the XLA rollout, else XLA)
             fused_rollout=True if args.fused_rollout else None,
             chunk_steps=args.chunk_steps,
+            mesh=mesh,
         )
         print_green("[Info] A2C Network trained")
 
@@ -171,8 +180,16 @@ def main(args):
         a2c_params, cfg, test_data=data,
         image_caption_data=image_caption_data, data_size=args.test_size,
         dcfg=dcfg, seed=args.seed, compat_dump=args.compat_dump,
+        mesh=mesh,  # per-sample mode shards decode groups; faithful ignores it
     )
     print_green("[Info] A2C Network Tested")
+
+    from ..parallel import is_main_process
+
+    if not is_main_process():
+        # non-main hosts hold no caption dumps (decode participation
+        # only); scoring/postprocess read the dumps on process 0
+        return
 
     print_green("[Info] A2C Network score - start")
     from ..metrics import calculate_a2c_network_score
@@ -244,6 +261,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="Force the fused Pallas rollout kernels for A2C training "
                         "(TPU, unidirectional; ~1.5x the XLA step). Default is "
                         "auto: probe once, use them when they verify")
+    p.add_argument("--spmd", action="store_true", default=False,
+                   help="Train and evaluate over a data-sharded mesh spanning "
+                        "every device of the job — all local chips, and all "
+                        "hosts when the multi-host launch env is set (see "
+                        "parallel.mesh.maybe_init_distributed). Each process "
+                        "uploads only its shard of every batch; process 0 "
+                        "writes the logs/checkpoints")
     return p
 
 

@@ -84,3 +84,39 @@ class DeviceCocoTables:
             if drop_remainder and mask.shape[0] < batch_size:
                 return
             yield self.gather(mask)
+
+
+class HostCocoTables:
+    """Host-memory twin of :class:`DeviceCocoTables` for multi-host loops.
+
+    On a multi-process mesh, ``jax.device_put`` cannot commit host data
+    to non-addressable devices, so the dataset stays in host memory and
+    gathers stay numpy; the training loops then upload only each
+    process's shard of a minibatch through
+    :class:`..parallel.hostbatch.GlobalBatcher`. Same ``num_captions`` /
+    ``gather`` / ``minibatches`` interface as the device tables.
+    """
+
+    def __init__(self, data: CocoData, split: str = "train"):
+        caps, idxs, feats, _ = data.split(split)
+        self.captions = np.asarray(caps)
+        self.image_idxs = np.asarray(idxs)
+        self.features = np.asarray(feats)
+        self.num_captions = int(caps.shape[0])
+
+    def gather(self, mask: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        caps_b = self.captions[mask]
+        feats_b = self.features[self.image_idxs[mask]]
+        return caps_b, feats_b
+
+    def minibatches(
+        self, batch_size: int, rng: Optional[np.random.Generator] = None,
+        drop_remainder: bool = False,
+    ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        rng = rng or np.random.default_rng()
+        perm = rng.permutation(self.num_captions)
+        for i in range(0, self.num_captions, batch_size):
+            mask = perm[i : i + batch_size]
+            if drop_remainder and mask.shape[0] < batch_size:
+                return
+            yield self.gather(mask)

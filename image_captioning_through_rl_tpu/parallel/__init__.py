@@ -17,6 +17,7 @@ vocab are the axes that exist. Multi-host runs gate host I/O on
 ``jax.process_index() == 0``.
 """
 
+from .hostbatch import GlobalBatcher
 from .mesh import (
     is_main_process,
     local_device_count,
@@ -36,6 +37,7 @@ from .sharding import (
 )
 
 __all__ = [
+    "GlobalBatcher",
     "make_mesh",
     "local_device_count",
     "is_main_process",

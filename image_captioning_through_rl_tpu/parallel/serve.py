@@ -27,7 +27,7 @@ from jax.sharding import Mesh
 from ..config import DecodeConfig, NetConfig
 from ..decode.beam import beam_search
 from ..decode.greedy import greedy_decode
-from .sharding import replicate, shard_batch
+from .sharding import _spans_processes as _multiprocess, replicate, shard_batch
 
 
 def _pad_to_multiple(x: jax.Array, multiple: int) -> Tuple[jax.Array, int]:
@@ -40,15 +40,30 @@ def _pad_to_multiple(x: jax.Array, multiple: int) -> Tuple[jax.Array, int]:
 
 # jit wrappers are cached per static config: a fresh jax.jit(lambda) per
 # call would key the jit cache on the new wrapper object and re-trace +
-# re-compile the whole decode program every invocation (per eval slice)
+# re-compile the whole decode program every invocation (per eval slice).
+# On a multi-process mesh the token outputs are all-gathered to the
+# replicated layout (out_shardings) so every host can read them back —
+# a sharded global array is not addressable outside its owning processes.
 @functools.lru_cache(maxsize=None)
-def _greedy_jit(cfg: NetConfig):
-    return jax.jit(lambda p, f, s: greedy_decode(p, cfg, f, s))
+def _greedy_jit(cfg: NetConfig, mesh: Optional[Mesh] = None):
+    out = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        out = NamedSharding(mesh, P())
+    return jax.jit(lambda p, f, s: greedy_decode(p, cfg, f, s), out_shardings=out)
 
 
 @functools.lru_cache(maxsize=None)
-def _beam_jit(cfg: NetConfig, dcfg: DecodeConfig):
-    return jax.jit(lambda p, v, f, s: beam_search(p, v, cfg, dcfg, f, s))
+def _beam_jit(cfg: NetConfig, dcfg: DecodeConfig, mesh: Optional[Mesh] = None):
+    out = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        out = NamedSharding(mesh, P())
+    return jax.jit(
+        lambda p, v, f, s: beam_search(p, v, cfg, dcfg, f, s), out_shardings=out
+    )
 
 
 def sharded_greedy_tokens(
@@ -65,7 +80,8 @@ def sharded_greedy_tokens(
     with mesh:
         params = replicate(mesh, policy_params)
         feats, start = shard_batch(mesh, feats, start)
-        toks = _greedy_jit(cfg)(params, feats, start)
+        toks = _greedy_jit(cfg, mesh if _multiprocess(mesh) else None)(
+            params, feats, start)
     return toks[:n]
 
 
@@ -99,5 +115,6 @@ def sharded_beam_tokens(
         pp = replicate(mesh, policy_params)
         vp = replicate(mesh, value_params)
         feats, start = shard_batch(mesh, feats, start)
-        toks, scores = _beam_jit(cfg, dcfg)(pp, vp, feats, start)
+        toks, scores = _beam_jit(cfg, dcfg, mesh if _multiprocess(mesh) else None)(
+            pp, vp, feats, start)
     return toks[:n], scores[:n]

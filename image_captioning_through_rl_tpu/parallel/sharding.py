@@ -19,8 +19,26 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def _spans_processes(mesh: Mesh) -> bool:
+    """True when ``mesh`` contains devices of other processes —
+    ``device_put`` cannot reach those; the per-process global-array path
+    (:mod:`.hostbatch`) takes over."""
+    pid = jax.process_index()
+    return any(d.process_index != pid for d in mesh.devices.flat)
+
+
 def shard_batch(mesh: Mesh, *arrays, axis: str = "data"):
-    """Commit arrays to a batch-sharded layout on ``mesh``."""
+    """Commit arrays to a batch-sharded layout on ``mesh``.
+
+    Multi-process meshes route through
+    :class:`.hostbatch.GlobalBatcher` (each process uploads only its
+    addressable shard); single-process meshes use ``device_put``.
+    """
+    if _spans_processes(mesh):
+        from .hostbatch import GlobalBatcher
+
+        out = GlobalBatcher(mesh, axis).shard(*arrays)
+        return out if isinstance(out, tuple) else out
     out = tuple(
         jax.device_put(a, NamedSharding(mesh, P(axis, *([None] * (a.ndim - 1)))))
         for a in arrays
@@ -29,7 +47,13 @@ def shard_batch(mesh: Mesh, *arrays, axis: str = "data"):
 
 
 def replicate(mesh: Mesh, tree):
-    """Commit a pytree to fully-replicated layout on ``mesh``."""
+    """Commit a pytree to fully-replicated layout on ``mesh`` (every
+    process contributes its identical local copy on multi-process
+    meshes)."""
+    if _spans_processes(mesh):
+        from .hostbatch import GlobalBatcher
+
+        return GlobalBatcher(mesh).replicate(tree)
     return jax.device_put(tree, NamedSharding(mesh, P()))
 
 

@@ -85,6 +85,23 @@ def _device_tables(data: CocoData, device_data: bool):
     return DeviceCocoTables(data, split="train")
 
 
+def _mesh_io(mesh, train_data: CocoData):
+    """Multi-device/host input plumbing for the trainer loops.
+
+    Returns ``(batcher, tables)``: a
+    :class:`..parallel.hostbatch.GlobalBatcher` committing each
+    minibatch to the ``data``-sharded global layout (each process
+    uploads only its addressable shard) and host-side tables (device
+    tables would need ``device_put`` to non-addressable devices on a
+    multi-process mesh). Works identically on single-process meshes, so
+    the CPU suite exercises the same path the multi-host job runs.
+    """
+    from ..data.device import HostCocoTables
+    from ..parallel.hostbatch import GlobalBatcher
+
+    return GlobalBatcher(mesh), HostCocoTables(train_data, split="train")
+
+
 
 class _DeferredBookkeeper:
     """One-step-deferred scalar bookkeeping.
@@ -226,30 +243,50 @@ def train_reward_network(
     device_data: bool = True,
     fused_chain=None,
     chunk_steps: int = 16,
+    mesh=None,
 ):
     """VSE-loss training of the reward network (trainers.py:260-309).
 
     ``fused_chain=None`` (auto) probes the fused Pallas GRU-chain step
-    once and uses it when its loss agrees with the XLA step."""
+    once and uses it when its loss agrees with the XLA step.
+
+    ``mesh``: a :class:`jax.sharding.Mesh` with a ``data`` axis scales
+    the loop across chips AND hosts: minibatches commit to the global
+    data-sharded layout (each process uploads only its shard), GSPMD
+    inserts the gradient all-reduce, and ``is_main_process`` gates the
+    checkpoint/metric writes. The fused single-chip kernels step aside
+    (GSPMD serves the mesh)."""
     cfg = _cfg_for(train_data, bidirectional)
     writer = make_metrics_writer(plot_dir if is_main_process() else None)
     rng = np.random.default_rng(seed)
     params = reward_mod.init(jax.random.PRNGKey(seed), cfg, train_data.embeddings)
     tx = adam(lr, params, cfg.freeze_embeddings)
     opt_state = tx.init(params)
-    if compat_batch_as_time or cfg.bidirectional:
+    if compat_batch_as_time or cfg.bidirectional or mesh is not None:
         fused_chain = False
     elif fused_chain is None:
         fused_chain = _probe_fused_pair(
-            lambda f, c: steps.reward_loss_fused(params, cfg, f, c),
-            lambda f, c: steps.reward_loss(params, cfg, f, c), cfg)
+            lambda p, f, c: steps.reward_loss_fused(p, cfg, f, c),
+            lambda p, f, c: steps.reward_loss(p, cfg, f, c), cfg, params)
         print_green(f"[Training] fused GRU-chain kernels "
                     f"{'verified — Pallas VSE step' if fused_chain else 'unavailable — XLA VSE step'}")
     step = steps.make_reward_step(cfg, tx, compat=compat_batch_as_time, fused=fused_chain)
-    tables = _device_tables(train_data, device_data)
     chunk = None
-    if chunk_steps > 1 and not compat_batch_as_time and not cfg.bidirectional:
-        chunk = steps.make_reward_chunk_step(cfg, tx, fused=fused_chain)
+    if mesh is not None:
+        batcher, tables = _mesh_io(mesh, train_data)
+        params, opt_state = batcher.replicate((params, opt_state))
+        raw_step, raw_chunk = step, steps.make_reward_chunk_step(cfg, tx)
+
+        def step(p, o, f, c):  # noqa: F811
+            return raw_step(p, o, *batcher.shard(f, c))
+
+        if chunk_steps > 1 and not compat_batch_as_time and not cfg.bidirectional:
+            def chunk(p, o, best, f, c):
+                return raw_chunk(p, o, best, *batcher.shard_stacked(f, c))
+    else:
+        tables = _device_tables(train_data, device_data)
+        if chunk_steps > 1 and not compat_batch_as_time and not cfg.bidirectional:
+            chunk = steps.make_reward_chunk_step(cfg, tx, fused=fused_chain)
 
     print_green("[Training] Training Reward Network")
     params = _drive_best_loss_training(
@@ -273,29 +310,43 @@ def train_policy_network(
     device_data: bool = True,
     fused_chain=None,
     chunk_steps: int = 16,
+    mesh=None,
 ):
     """Teacher-forced XE pretraining of the policy (trainers.py:202-257).
 
     ``fused_chain=None`` (auto) probes the fused Pallas LSTM-chain step
     once and uses it when its loss agrees with the XLA step (TPU,
-    unidirectional); ``True``/``False`` force a side."""
+    unidirectional); ``True``/``False`` force a side. ``mesh`` scales
+    across chips/hosts (see :func:`train_reward_network`)."""
     cfg = _cfg_for(train_data, bidirectional)
     writer = make_metrics_writer(plot_dir if is_main_process() else None)
     rng = np.random.default_rng(seed + 1)
     params = policy_mod.init(jax.random.PRNGKey(seed + 1), cfg, train_data.embeddings)
     tx = adam(lr, params, cfg.freeze_embeddings)
     opt_state = tx.init(params)
-    if cfg.bidirectional:
+    if cfg.bidirectional or mesh is not None:
         fused_chain = False
     elif fused_chain is None:
         fused_chain = _probe_fused_policy(cfg, params)
         print_green(f"[Training] fused LSTM-chain kernels "
                     f"{'verified — Pallas XE step' if fused_chain else 'unavailable — XLA XE step'}")
     step = steps.make_policy_step(cfg, tx, fused=fused_chain)
-    tables = _device_tables(train_data, device_data)
     chunk = None
-    if chunk_steps > 1 and not cfg.bidirectional:
-        chunk = steps.make_policy_chunk_step(cfg, tx, fused=fused_chain)
+    if mesh is not None:
+        batcher, tables = _mesh_io(mesh, train_data)
+        params, opt_state = batcher.replicate((params, opt_state))
+        raw_step, raw_chunk = step, steps.make_policy_chunk_step(cfg, tx)
+
+        def step(p, o, f, c):  # noqa: F811
+            return raw_step(p, o, *batcher.shard(f, c))
+
+        if chunk_steps > 1 and not cfg.bidirectional:
+            def chunk(p, o, best, f, c):
+                return raw_chunk(p, o, best, *batcher.shard_stacked(f, c))
+    else:
+        tables = _device_tables(train_data, device_data)
+        if chunk_steps > 1 and not cfg.bidirectional:
+            chunk = steps.make_policy_chunk_step(cfg, tx, fused=fused_chain)
 
     print_green("[Training] Training Policy Network")
     params = _drive_best_loss_training(
@@ -319,9 +370,11 @@ def train_value_network(
     compat_batch_as_time: bool = False,
     device_data: bool = True,
     chunk_steps: int = 16,
+    mesh=None,
 ):
     """MSE training of the critic against embedding rewards of greedy
-    rollouts from the frozen policy (trainers.py:125-199)."""
+    rollouts from the frozen policy (trainers.py:125-199). ``mesh``
+    scales across chips/hosts (see :func:`train_reward_network`)."""
     cfg = _cfg_for(train_data, bidirectional)
     writer = make_metrics_writer(plot_dir if is_main_process() else None)
     rng = np.random.default_rng(seed + 2)
@@ -333,20 +386,28 @@ def train_value_network(
     params = value_mod.init(jax.random.PRNGKey(seed + 2), cfg, train_data.embeddings)
     tx = adam(lr, params, cfg.freeze_embeddings)
     opt_state = tx.init(params)
-    if compat_batch_as_time or cfg.bidirectional:
+    if compat_batch_as_time or cfg.bidirectional or mesh is not None:
         fused_chain = False
     else:  # auto: probe the REAL fused value step (chain + fused rollout)
         fused_chain = _probe_fused_value(cfg, tx, params, pparams, rparams)
         print_green(f"[Training] fused value-step kernels "
                     f"{'verified — Pallas value step' if fused_chain else 'unavailable — XLA value step'}")
     step = steps.make_value_step(cfg, tx, compat=compat_batch_as_time, fused=fused_chain)
-    tables = _device_tables(train_data, device_data)
+    batcher = None
+    if mesh is not None:
+        batcher, tables = _mesh_io(mesh, train_data)
+        params, opt_state, pparams, rparams = batcher.replicate(
+            (params, opt_state, pparams, rparams))
+    else:
+        tables = _device_tables(train_data, device_data)
 
     # random prefix length per minibatch, shared by the batch
     # (trainers.py:177) — drawn in minibatch order by BOTH paths so the
     # host RNG stream is identical whether or not dispatches are chunked
     def single_step(params, opt_state, feats, caps):
         prefix_len = py_rng.randint(1, MAX_SEQ_LEN)
+        if batcher is not None:
+            feats, caps = batcher.shard(feats, caps)
         return step(params, opt_state, pparams, rparams, feats, caps, prefix_len)
 
     chunk = None
@@ -357,6 +418,8 @@ def train_value_network(
             k = feats_k.shape[0]
             prefix_lens = jnp.asarray(
                 [py_rng.randint(1, MAX_SEQ_LEN) for _ in range(k)], jnp.int32)
+            if batcher is not None:
+                feats_k, caps_k = batcher.shard_stacked(feats_k, caps_k)
             return chunk_fn(params, opt_state, best_loss, pparams, rparams,
                             feats_k, caps_k, prefix_lens)
 
@@ -392,6 +455,7 @@ def train_a2c_network(
     fused_rollout=None,
     chunk_steps: int = 16,
     a2c_lr: float = _T.a2c_lr,
+    mesh=None,
 ):
     """Orchestrator (trainers.py:312-399): train or load the three
     sub-networks, freeze the reward net, then run (curriculum) A2C.
@@ -399,14 +463,18 @@ def train_a2c_network(
     ``resume=True`` additionally restores the joint A2C checkpoint from
     ``network_paths['a2c_network']`` when one exists (the loop saves it
     every epoch), so an interrupted run continues from its last
-    completed epoch's weights instead of the pretrained sub-networks."""
+    completed epoch's weights instead of the pretrained sub-networks.
+
+    ``mesh`` threads through every sub-trainer and the A2C loop: one
+    global data-sharded mesh over all chips/hosts (see
+    :func:`train_reward_network`)."""
     cfg = _cfg_for(train_data, bidirectional)
 
     if retrain_all:
         print_green("[Training] Training all the networks")
-        rparams = train_reward_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed, compat_batch_as_time=compat_batch_as_time, chunk_steps=chunk_steps)
-        pparams = train_policy_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed, chunk_steps=chunk_steps)
-        vparams = train_value_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed, compat_batch_as_time=compat_batch_as_time, chunk_steps=chunk_steps)
+        rparams = train_reward_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed, compat_batch_as_time=compat_batch_as_time, chunk_steps=chunk_steps, mesh=mesh)
+        pparams = train_policy_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed, chunk_steps=chunk_steps, mesh=mesh)
+        vparams = train_value_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed, compat_batch_as_time=compat_batch_as_time, chunk_steps=chunk_steps, mesh=mesh)
         print_green("[Training] All networks trained")
     else:
         # load-or-train fallback per sub-network (trainers.py:338-370)
@@ -415,19 +483,19 @@ def train_a2c_network(
             print("[Training] loaded reward network")
         except FileNotFoundError:
             print("[Training] reward network not found")
-            rparams = train_reward_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed, compat_batch_as_time=compat_batch_as_time, chunk_steps=chunk_steps)
+            rparams = train_reward_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed, compat_batch_as_time=compat_batch_as_time, chunk_steps=chunk_steps, mesh=mesh)
         try:
             pparams = _load_or_fail("policy", network_paths["policy_network"], cfg, train_data, bidirectional)
             print("[Training] loaded policy network")
         except FileNotFoundError:
             print("[Training] policy network not found")
-            pparams = train_policy_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed, chunk_steps=chunk_steps)
+            pparams = train_policy_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed, chunk_steps=chunk_steps, mesh=mesh)
         try:
             vparams = _load_or_fail("value", network_paths["value_network"], cfg, train_data, bidirectional)
             print("[Training] loaded value network")
         except FileNotFoundError:
             print("[Training] value network not found")
-            vparams = train_value_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed, compat_batch_as_time=compat_batch_as_time, chunk_steps=chunk_steps)
+            vparams = train_value_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed, compat_batch_as_time=compat_batch_as_time, chunk_steps=chunk_steps, mesh=mesh)
 
     a2c_params = {"value": vparams, "policy": pparams}
     if resume:
@@ -452,7 +520,7 @@ def train_a2c_network(
             train_data, a2c_params, rparams, tx, opt_state, cfg, plot_dir,
             all_save_paths, batch_size, epochs, seed=seed,
             compat_batch_as_time=compat_batch_as_time,
-            fused_rollout=fused_rollout, chunk_steps=chunk_steps,
+            fused_rollout=fused_rollout, chunk_steps=chunk_steps, mesh=mesh,
         )
     else:
         curriculum = list(curriculum)
@@ -462,7 +530,7 @@ def train_a2c_network(
             train_data, a2c_params, rparams, tx, opt_state, cfg, plot_dir,
             all_save_paths, batch_size, epochs, curriculum, seed=seed,
             compat_batch_as_time=compat_batch_as_time,
-            fused_rollout=fused_rollout, chunk_steps=chunk_steps,
+            fused_rollout=fused_rollout, chunk_steps=chunk_steps, mesh=mesh,
         )
 
     if is_main_process():
@@ -488,61 +556,98 @@ def _losses_agree(lf, lx, rtol: float = 1e-2) -> bool:
     return bool(abs(float(lf) - float(lx)) <= rtol * max(1.0, abs(float(lx))))
 
 
-def _probe_fused_pair(fused_fn, xla_fn, cfg: NetConfig) -> bool:
-    """Compare a fused loss against its XLA twin on a tiny batch."""
-    if jax.devices()[0].platform == "cpu":
+def _grads_agree(gf, gx, cos_min: float = 0.99, norm_rtol: float = 0.05) -> bool:
+    """Gradient fingerprint agreement, fused vs XLA, per leaf.
+
+    A backward-kernel regression can preserve the forward loss while
+    corrupting the gradients (the round-2 probes checked only the loss);
+    requiring per-leaf cosine >= ``cos_min`` and norm ratio within
+    ``norm_rtol`` catches scale AND direction corruption while staying
+    far above the measured bf16-accumulation-order drift between the
+    hand-written VJPs and XLA autodiff (~1e-3 relative).
+    """
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gx)):
+        a = np.asarray(a, np.float64).ravel()
+        b = np.asarray(b, np.float64).ravel()
+        na, nb = float(np.linalg.norm(a)), float(np.linalg.norm(b))
+        if na == 0.0 and nb == 0.0:  # e.g. frozen embeddings: both zero
+            continue
+        if abs(na - nb) > norm_rtol * max(na, nb):
+            return False
+        if na == 0.0 or nb == 0.0 or float(a @ b) / (na * nb) < cos_min:
+            return False
+    return True
+
+
+def _probe_fused_pair(fused_loss, xla_loss, cfg: NetConfig, params,
+                      interpret: bool = False) -> bool:
+    """Compare a fused loss AND its parameter gradients against the XLA
+    twin on a tiny batch. ``fused_loss``/``xla_loss`` are
+    ``(params, features, captions) -> loss``; ``interpret=True`` runs
+    the Pallas kernels in interpreter mode (CPU testing of the probe
+    logic itself)."""
+    if not interpret and jax.devices()[0].platform == "cpu":
         return False
     try:
         feats, caps = _probe_batch(cfg)
-        return _losses_agree(fused_fn(feats, caps), xla_fn(feats, caps))
+        lf, gf = jax.value_and_grad(fused_loss)(params, feats, caps)
+        lx, gx = jax.value_and_grad(xla_loss)(params, feats, caps)
+        return _losses_agree(lf, lx) and _grads_agree(gf, gx)
     except Exception:
         return False
 
 
-def _probe_fused_value(cfg: NetConfig, tx, vparams, pparams, rparams) -> bool:
-    """Probe the actual fused value step (fused LSTM chain + fused greedy
-    rollout) against the XLA step on a tiny batch."""
-    if jax.devices()[0].platform == "cpu":
+def _probe_fused_value(cfg: NetConfig, tx, vparams, pparams, rparams,
+                       interpret: bool = False) -> bool:
+    """Probe the actual fused value loss (fused LSTM chain + fused greedy
+    rollout) against the XLA loss — value and gradients — on a tiny
+    batch."""
+    if not interpret and jax.devices()[0].platform == "cpu":
         return False
     try:
         feats, caps = _probe_batch(cfg)
-        opt = tx.init(vparams)
-        _, _, lf = steps.make_value_step(cfg, tx, fused=True)(
-            vparams, opt, pparams, rparams, feats, caps, jnp.int32(3))
-        _, _, lx = steps.make_value_step(cfg, tx)(
-            vparams, opt, pparams, rparams, feats, caps, jnp.int32(3))
-        return _losses_agree(lf, lx)
+        lf, gf = jax.value_and_grad(steps.value_episode_loss)(
+            vparams, cfg, pparams, rparams, feats, caps, jnp.int32(3),
+            fused=True, interpret=interpret)
+        lx, gx = jax.value_and_grad(steps.value_episode_loss)(
+            vparams, cfg, pparams, rparams, feats, caps, jnp.int32(3))
+        return _losses_agree(lf, lx) and _grads_agree(gf, gx)
     except Exception:
         return False
 
 
-def _probe_fused_policy(cfg: NetConfig, params) -> bool:
-    """Auto-dispatch probe for the fused LSTM-chain XE step: loss must
-    agree with the XLA step on a tiny batch; False on CPU/Mosaic failure."""
-    if jax.devices()[0].platform == "cpu":
+def _probe_fused_policy(cfg: NetConfig, params, interpret: bool = False) -> bool:
+    """Auto-dispatch probe for the fused LSTM-chain XE step: loss and
+    gradients must agree with the XLA step on a tiny batch; False on
+    CPU/Mosaic failure."""
+    if not interpret and jax.devices()[0].platform == "cpu":
         return False
     try:
         feats, caps = _probe_batch(cfg)
         caplens = steps.batch_caption_lens(caps)
-        lf = steps.policy_loss_fused(params, cfg, feats, caps, caplens)
-        lx = steps.policy_loss(params, cfg, feats, caps, caplens)
-        return _losses_agree(lf, lx)
+        lf, gf = jax.value_and_grad(steps.policy_loss_fused)(
+            params, cfg, feats, caps, caplens, interpret=interpret)
+        lx, gx = jax.value_and_grad(steps.policy_loss)(
+            params, cfg, feats, caps, caplens)
+        return _losses_agree(lf, lx) and _grads_agree(gf, gx)
     except Exception:
         return False
 
 
 def _probe_fused_rollout(cfg: NetConfig, a2c_params, reward_params,
                          per_step_mean: bool = False,
-                         curriculum: bool = False) -> bool:
+                         curriculum: bool = False,
+                         interpret: bool = False) -> bool:
     """Auto-dispatch probe for the fused training kernels: compile and
     run one tiny fused rollout loss and require agreement with the XLA
-    rollout (same keys -> same sampled trajectory; loss differences are
-    bf16-accumulation-order level, measured ~1e-4). The probe runs the
-    SERVED configuration: curriculum probes add a mid-rollout
-    ``curr_seq_len`` so the teacher-forced token branch is exercised,
-    and ``per_step_mean`` matches the curriculum loss. Returns False on
+    rollout on the loss AND the parameter gradients (same keys -> same
+    sampled trajectory; differences are bf16-accumulation-order level,
+    measured ~1e-4 on the loss). The probe runs the SERVED
+    configuration: curriculum probes add a mid-rollout ``curr_seq_len``
+    so the teacher-forced token branch is exercised, and
+    ``per_step_mean`` matches the curriculum loss. Returns False on
     CPU or when Mosaic lowering fails, so auto mode degrades cleanly."""
-    if jax.devices()[0].platform == "cpu":
+    if not interpret and jax.devices()[0].platform == "cpu":
         return False
     try:
         feats, caps = _probe_batch(cfg)
@@ -550,11 +655,16 @@ def _probe_fused_rollout(cfg: NetConfig, a2c_params, reward_params,
         if curriculum:  # teacher branch active for the first half
             currs.append(jnp.int32(max(2, cfg.max_seq_len // 2)))
         for curr in currs:
-            args = (a2c_params, cfg, reward_params, feats, caps,
+            args = (cfg, reward_params, feats, caps,
                     curr, jnp.int32(cfg.max_seq_len), jax.random.PRNGKey(0))
-            lf, _ = steps.a2c_rollout_loss_fused(*args, per_step_mean=per_step_mean)
-            lx, _ = steps.a2c_rollout_loss(*args, per_step_mean=per_step_mean)
-            if not _losses_agree(lf, lx):
+            (lf, _), gf = jax.value_and_grad(
+                steps.a2c_rollout_loss_fused, has_aux=True)(
+                a2c_params, *args, per_step_mean=per_step_mean,
+                interpret=interpret)
+            (lx, _), gx = jax.value_and_grad(
+                steps.a2c_rollout_loss, has_aux=True)(
+                a2c_params, *args, per_step_mean=per_step_mean)
+            if not (_losses_agree(lf, lx) and _grads_agree(gf, gx)):
                 return False
         return True
     except Exception:
@@ -576,6 +686,7 @@ def a2c_training(
     device_data: bool = True,
     chunk_steps: int = 16,
     fused_rollout=None,
+    mesh=None,
 ):
     """Core A2C loop (trainers.py:402-500).
 
@@ -585,11 +696,16 @@ def a2c_training(
     at every chunk length, so runs are bit-identical across
     ``chunk_steps`` settings (same trajectories, scalars, checkpoints);
     per-minibatch TB scalars come back one per step.
+
+    ``mesh``: global data-sharded SPMD over all chips/hosts — params
+    replicate, each process uploads only its shard of every episode
+    batch, and GSPMD inserts the gradient all-reduce (see
+    :func:`train_reward_network`).
     """
     writer = make_metrics_writer(plot_dir if is_main_process() else None)
     rng = np.random.default_rng(seed + 3)
     key = jax.random.PRNGKey(seed + 3)
-    if compat_batch_as_time or cfg.bidirectional:
+    if compat_batch_as_time or cfg.bidirectional or mesh is not None:
         fused_rollout = False
     elif fused_rollout is None:  # auto: fused kernels when they verify
         fused_rollout = _probe_fused_rollout(cfg, a2c_params, reward_params)
@@ -597,10 +713,25 @@ def a2c_training(
                     f"{'verified — training with Pallas rollout' if fused_rollout else 'unavailable — XLA rollout'}")
     step = steps.make_a2c_step(cfg, tx, per_step_mean=False, compat=compat_batch_as_time,
                                donate=True, fused=fused_rollout)
-    tables = _device_tables(train_data, device_data)
+    batcher = None
+    if mesh is not None:
+        batcher, tables = _mesh_io(mesh, train_data)
+        a2c_params, opt_state, reward_params = batcher.replicate(
+            (a2c_params, opt_state, reward_params))
+        raw_step = step
+
+        def step(p, o, rp, f, c, curr, sub):  # noqa: F811
+            return raw_step(p, o, rp, *batcher.shard(f, c), curr, sub)
+    else:
+        tables = _device_tables(train_data, device_data)
     use_chunks = chunk_steps > 1 and not compat_batch_as_time and tables is not None
     if use_chunks:
-        chunk_fn = steps.make_a2c_chunk_step(cfg, tx, per_step_mean=False, fused=fused_rollout)
+        raw_chunk = steps.make_a2c_chunk_step(cfg, tx, per_step_mean=False, fused=fused_rollout)
+        if batcher is None:
+            chunk_fn = raw_chunk
+        else:
+            def chunk_fn(p, o, rp, f, c, curr, subs):
+                return raw_chunk(p, o, rp, *batcher.shard_stacked(f, c), curr, subs)
 
     state = {"best": float("inf"), "bar": None}
 
@@ -700,6 +831,7 @@ def a2c_curriculum_training(
     device_data: bool = True,
     chunk_steps: int = 16,
     fused_rollout=None,
+    mesh=None,
 ):
     """Curriculum A2C (trainers.py:503-616): per level, teacher-force the
     ground-truth prefix of length ``caplen - level`` and roll out the
@@ -710,11 +842,13 @@ def a2c_curriculum_training(
     (``curr_seq_len < 1`` -> no update, no scalars, trainers.py:550)
     moves on device as a masked update, reported back through the
     chunk's validity mask so the logged artifacts are identical.
+    ``mesh`` scales across chips/hosts exactly as in
+    :func:`a2c_training`.
     """
     writer = make_metrics_writer(plot_dir if is_main_process() else None)
     rng = np.random.default_rng(seed + 4)
     key = jax.random.PRNGKey(seed + 4)
-    if compat_batch_as_time or cfg.bidirectional:
+    if compat_batch_as_time or cfg.bidirectional or mesh is not None:
         fused_rollout = False
     elif fused_rollout is None:  # auto: fused kernels when they verify
         fused_rollout = _probe_fused_rollout(
@@ -724,11 +858,26 @@ def a2c_curriculum_training(
                     f"{'verified — training with Pallas rollout' if fused_rollout else 'unavailable — XLA rollout'}")
     step = steps.make_a2c_step(cfg, tx, per_step_mean=True, compat=compat_batch_as_time,
                                donate=True, fused=fused_rollout)
-    tables = _device_tables(train_data, device_data)
+    batcher = None
+    if mesh is not None:
+        batcher, tables = _mesh_io(mesh, train_data)
+        a2c_params, opt_state, reward_params = batcher.replicate(
+            (a2c_params, opt_state, reward_params))
+        raw_step = step
+
+        def step(p, o, rp, f, c, curr, sub):  # noqa: F811
+            return raw_step(p, o, rp, *batcher.shard(f, c), curr, sub)
+    else:
+        tables = _device_tables(train_data, device_data)
     use_chunks = chunk_steps > 1 and not compat_batch_as_time and tables is not None
     if use_chunks:
-        chunk_fn = steps.make_a2c_chunk_step(cfg, tx, per_step_mean=True, curriculum=True,
-                                             fused=fused_rollout)
+        raw_chunk = steps.make_a2c_chunk_step(cfg, tx, per_step_mean=True, curriculum=True,
+                                              fused=fused_rollout)
+        if batcher is None:
+            chunk_fn = raw_chunk
+        else:
+            def chunk_fn(p, o, rp, f, c, curr, subs):
+                return raw_chunk(p, o, rp, *batcher.shard_stacked(f, c), curr, subs)
 
     print_green("[Training] Training Advantage Actor-Critic Network")
     print_green(f"[Training] mode set to curriculum training using levels: {list(curriculum)}")
@@ -962,9 +1111,16 @@ def test_a2c_network(
         else:
             f.write("\n".join(lines) + "\n")
 
-    with open(image_caption_data["real_captions_path"], "a") as real_f, \
-         open(image_caption_data["generated_captions_path"], "a") as gen_f, \
-         open(image_caption_data["image_urls_path"], "a") as url_f:
+    # multi-host: every process participates in the sharded decodes, but
+    # only process 0 materializes the caption dumps
+    def _open_gated(path: str):
+        import os as _os
+
+        return open(path if is_main_process() else _os.devnull, "a")
+
+    with _open_gated(image_caption_data["real_captions_path"]) as real_f, \
+         _open_gated(image_caption_data["generated_captions_path"]) as gen_f, \
+         _open_gated(image_caption_data["image_urls_path"]) as url_f:
         for g in tqdm(range(0, len(slices), group), desc="Testing model"):
             batch = slices[g : g + group]
             captions_real = np.concatenate([b[0] for b in batch], axis=0)

@@ -258,48 +258,10 @@ def make_value_step(cfg: NetConfig, tx: optax.GradientTransformation, compat: bo
     if cfg.bidirectional:
         return _make_value_step_bidirectional(cfg, tx)
 
-    from ..decode.greedy import greedy_decode
-
-    def value_prefix_loss(vparams, cfg, features, gen_caps, rewards, prefix_len):
-        """Value of ``gen_caps[:, :prefix_len]`` vs the full-caption reward.
-
-        The reference evaluates ``V`` on a random-length prefix (shared
-        by the whole batch, trainers.py:177). Under jit we scan the
-        encoder over the full caption and pick the hidden state at
-        ``prefix_len - 1`` with a dynamic index — same value, one
-        compile. ``fused`` swaps the scan for the Pallas LSTM chain.
-        """
-        n = gen_caps.shape[0]
-        zeros = jnp.zeros((n, cfg.hidden_dim), jnp.float32)
-        if fused:
-            from ..ops.pallas_lstm import fused_lstm_chain
-
-            hs_nt = fused_lstm_chain(
-                vparams["lstm"], vparams["embedding"], gen_caps, zeros, zeros)
-            h = jax.lax.dynamic_index_in_dim(hs_nt, prefix_len - 1, axis=1, keepdims=False)
-        else:
-            xs = jnp.swapaxes(vparams["embedding"][gen_caps], 0, 1)  # [T, N, E]
-            hs, _ = lstm_scan(vparams["lstm"], xs, (zeros, zeros), precision=cfg.precision)
-            h = jax.lax.dynamic_index_in_dim(hs, prefix_len - 1, axis=0, keepdims=False)
-        values = value_mod.value_head(vparams, cfg, features, h)  # [N, 1]
-        return jnp.mean(jnp.square(values - rewards))
-
     def update(vparams, opt_state, pparams, rparams, features, captions, prefix_len):
-        if fused:
-            # the rollout is frozen-policy + stop-gradient: serve it with
-            # the fused greedy kernel (same decode the serving path uses)
-            from ..ops.pallas_decode import fused_greedy_decode
-
-            gen_caps = fused_greedy_decode(
-                pparams, features, captions[:, 0], max_len=cfg.max_seq_len
-            )
-        else:
-            gen_caps = greedy_decode(pparams, cfg, features, captions[:, 0])
-        ve, se = reward_mod.forward(rparams, cfg, features, gen_caps)
-        rewards = cosine_embedding_reward(ve, se)[:, None]  # [N, 1]
-        rewards = jax.lax.stop_gradient(rewards)
-        loss, grads = jax.value_and_grad(value_prefix_loss)(
-            vparams, cfg, features, gen_caps, rewards, prefix_len
+        loss, grads = jax.value_and_grad(value_episode_loss)(
+            vparams, cfg, pparams, rparams, features, captions, prefix_len,
+            fused=fused,
         )
         updates, opt_state = tx.update(grads, opt_state, vparams)
         return optax.apply_updates(vparams, updates), opt_state, loss
@@ -307,6 +269,57 @@ def make_value_step(cfg: NetConfig, tx: optax.GradientTransformation, compat: bo
     if chunked:
         return update
     return jax.jit(update)
+
+
+def value_episode_loss(vparams, cfg: NetConfig, pparams, rparams,
+                       features, captions, prefix_len,
+                       fused: bool = False, interpret: bool = False):
+    """The value trainer's per-minibatch loss (unidirectional,
+    non-compat): greedy-rollout the frozen policy, score the rollout
+    with the frozen reward net (stop-gradient), and regress the value
+    of the random-length prefix onto that reward (trainers.py:125-199).
+
+    Factored out of :func:`make_value_step` so gradient-level probes can
+    differentiate the exact served loss; ``fused`` swaps in the Pallas
+    greedy-decode and LSTM-chain kernels.
+    """
+    from ..decode.greedy import greedy_decode
+
+    if fused:
+        # the rollout is frozen-policy + stop-gradient: serve it with
+        # the fused greedy kernel (same decode the serving path uses)
+        from ..ops.pallas_decode import fused_greedy_decode
+
+        gen_caps = fused_greedy_decode(
+            pparams, features, captions[:, 0], max_len=cfg.max_seq_len,
+            interpret=interpret,
+        )
+    else:
+        gen_caps = greedy_decode(pparams, cfg, features, captions[:, 0])
+    ve, se = reward_mod.forward(rparams, cfg, features, gen_caps)
+    rewards = cosine_embedding_reward(ve, se)[:, None]  # [N, 1]
+    rewards = jax.lax.stop_gradient(rewards)
+
+    # Value of ``gen_caps[:, :prefix_len]`` vs the full-caption reward.
+    # The reference evaluates ``V`` on a random-length prefix (shared by
+    # the whole batch, trainers.py:177). Under jit we scan the encoder
+    # over the full caption and pick the hidden state at
+    # ``prefix_len - 1`` with a dynamic index — same value, one compile.
+    n = gen_caps.shape[0]
+    zeros = jnp.zeros((n, cfg.hidden_dim), jnp.float32)
+    if fused:
+        from ..ops.pallas_lstm import fused_lstm_chain
+
+        hs_nt = fused_lstm_chain(
+            vparams["lstm"], vparams["embedding"], gen_caps, zeros, zeros,
+            interpret=interpret)
+        h = jax.lax.dynamic_index_in_dim(hs_nt, prefix_len - 1, axis=1, keepdims=False)
+    else:
+        xs = jnp.swapaxes(vparams["embedding"][gen_caps], 0, 1)  # [T, N, E]
+        hs, _ = lstm_scan(vparams["lstm"], xs, (zeros, zeros), precision=cfg.precision)
+        h = jax.lax.dynamic_index_in_dim(hs, prefix_len - 1, axis=0, keepdims=False)
+    values = value_mod.value_head(vparams, cfg, features, h)  # [N, 1]
+    return jnp.mean(jnp.square(values - rewards))
 
 
 def _make_value_step_compat(cfg: NetConfig, tx: optax.GradientTransformation):

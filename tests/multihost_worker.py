@@ -1,0 +1,139 @@
+"""Subprocess worker for tests/test_multihost.py — one process of a
+2-process ``jax.distributed`` CPU job (4 virtual devices each, gloo
+collectives).
+
+Run as: ``python multihost_worker.py <pid> <nproc> <port> <workdir>``.
+Prints one JSON line on success. Not a pytest file (no ``test_``
+prefix); the driving test asserts on the JSON from both ranks.
+"""
+
+import json
+import os
+import sys
+
+
+def main() -> None:
+    pid, nproc, port, workdir = (
+        int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4],
+    )
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    # share the suite's compile cache so repeat runs stay fast
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+    # the launch-hook env contract (parallel.mesh.maybe_init_distributed)
+    os.environ["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+    os.environ["JAX_NUM_PROCESSES"] = str(nproc)
+    os.environ["JAX_PROCESS_ID"] = str(pid)
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from image_captioning_through_rl_tpu.parallel import (
+        is_main_process,
+        make_mesh,
+        maybe_init_distributed,
+    )
+
+    assert maybe_init_distributed() is True, "distributed init did not come up"
+    assert jax.process_count() == nproc
+    assert jax.device_count() == 4 * nproc
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from image_captioning_through_rl_tpu.config import NetConfig
+    from image_captioning_through_rl_tpu.models import policy
+    from image_captioning_through_rl_tpu.parallel.hostbatch import GlobalBatcher
+    from image_captioning_through_rl_tpu.train import optim, steps
+
+    mesh = make_mesh((4 * nproc,), ("data",))
+    batcher = GlobalBatcher(mesh)
+
+    # --- Part 1: bare make_policy_step on per-process-sharded batches ---
+    cfg = NetConfig(vocab_size=32, input_dim=8, wordvec_dim=8, hidden_dim=8,
+                    max_seq_len=9)
+    rng = np.random.default_rng(1234)
+    n = 16
+    feats = rng.standard_normal((n, cfg.input_dim)).astype(np.float32)
+    caps = rng.integers(3, cfg.vocab_size, size=(n, cfg.max_seq_len)).astype(np.int32)
+    caps[:, 0] = 1
+    caps[:, -1] = 2
+
+    params = policy.init(jax.random.PRNGKey(0), cfg)
+    tx = optim.adam(1e-3)
+    opt = tx.init(params)
+    params, opt = batcher.replicate((params, opt))
+    step = steps.make_policy_step(cfg, tx)
+    losses = []
+    for _ in range(3):
+        params, opt, loss = step(params, opt, *batcher.shard(feats, caps))
+        losses.append(float(loss))
+
+    # --- Part 2: the real trainer loop over the global mesh ---
+    import image_captioning_through_rl_tpu.train.loops as loops
+    from image_captioning_through_rl_tpu.config import NetConfig as NC
+    from image_captioning_through_rl_tpu.data import load_data, make_synthetic_coco
+
+    loops._cfg_for = lambda d, b: NC.for_vocab(
+        d.word_to_idx, d.embeddings, bidirectional=b,
+        input_dim=16, wordvec_dim=8, hidden_dim=8,
+    )
+
+    # every process materializes the identical fixture (deterministic seed)
+    fixture = os.path.join(workdir, f"coco_rank{pid}")
+    make_synthetic_coco(fixture, num_train_images=8, num_val_images=4,
+                        vocab_size=30, feature_dim=16, seed=5)
+    data = load_data(fixture)
+
+    rank_dir = os.path.join(workdir, f"rank{pid}")
+    os.makedirs(rank_dir, exist_ok=True)
+    paths = {"policy_network": os.path.join(rank_dir, "policyNetwork.ckpt")}
+    tparams = loops.train_policy_network(
+        data, paths, None, False, epochs=1, batch_size=8, seed=3,
+        chunk_steps=2, mesh=mesh,
+    )
+    leafsums = [float(np.asarray(x, np.float64).sum())
+                for x in jax.tree.leaves(jax.device_get(tparams))]
+
+    # --- Part 3: sharded EVAL over the 2-process mesh (decode on all
+    # ranks, caption dumps gated to process 0) ---
+    from image_captioning_through_rl_tpu.config import DecodeConfig
+    from image_captioning_through_rl_tpu.models import a2c
+
+    eval_cfg = NC(vocab_size=30, input_dim=16, wordvec_dim=8, hidden_dim=8,
+                  max_seq_len=6)
+    eval_params = a2c.init(jax.random.PRNGKey(4), eval_cfg)
+    eval_paths = {
+        "real_captions_path": os.path.join(rank_dir, "real.txt"),
+        "generated_captions_path": os.path.join(rank_dir, "gen.txt"),
+        "image_urls_path": os.path.join(rank_dir, "urls.txt"),
+    }
+    loops.test_a2c_network(
+        eval_params, eval_cfg, data, eval_paths, data_size=20,
+        validation_batch_size=8, dcfg=DecodeConfig(beam_size=2, max_seq_len=6),
+        seed=0, mesh=mesh, use_fused_kernel=False,
+    )
+    gen_path = eval_paths["generated_captions_path"]
+    gen_text = open(gen_path).read() if (
+        os.path.exists(gen_path) and os.path.getsize(gen_path)
+    ) else ""
+
+    print(json.dumps({
+        "pid": pid,
+        "is_main": bool(is_main_process()),
+        "losses": losses,
+        "leafsums": leafsums,
+        "ckpt_written": os.path.exists(paths["policy_network"]),
+        "gen_captions": gen_text,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,236 @@
+"""Multi-HOST execution proof: a genuine 2-process ``jax.distributed``
+job on CPU (localhost coordinator, 4 virtual devices per process, gloo
+collectives) runs the same jitted SPMD programs as a single process and
+produces the same numbers.
+
+This is the missing evidence named by the round-2 review: the launch
+hook (``parallel.mesh.maybe_init_distributed``) actually brings up a
+2-process runtime; ``GlobalBatcher`` builds global arrays from
+per-process shards (``jax.make_array_from_process_local_data``); the
+trainer loops run over the global mesh with ``is_main_process`` gating
+the checkpoint writes; and both the bare step and the full
+``train_policy_network`` loop match the single-process run.
+
+The single-process leg reuses the suite's 8-virtual-device CPU mesh, so
+the equivalence is 2x4 devices across processes vs 8 devices in one.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from image_captioning_through_rl_tpu.config import NetConfig
+from image_captioning_through_rl_tpu.models import policy
+from image_captioning_through_rl_tpu.parallel import GlobalBatcher, make_mesh
+from image_captioning_through_rl_tpu.train import optim, steps
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _single_process_reference():
+    """The exact Part-1 computation of multihost_worker.py, run inside
+    this (single-process, 8-device) suite."""
+    cfg = NetConfig(vocab_size=32, input_dim=8, wordvec_dim=8, hidden_dim=8,
+                    max_seq_len=9)
+    rng = np.random.default_rng(1234)
+    n = 16
+    feats = rng.standard_normal((n, cfg.input_dim)).astype(np.float32)
+    caps = rng.integers(3, cfg.vocab_size, size=(n, cfg.max_seq_len)).astype(np.int32)
+    caps[:, 0] = 1
+    caps[:, -1] = 2
+    params = policy.init(jax.random.PRNGKey(0), cfg)
+    tx = optim.adam(1e-3)
+    opt = tx.init(params)
+    step = steps.make_policy_step(cfg, tx)
+    losses = []
+    for _ in range(3):
+        params, opt, loss = step(params, opt, jnp.asarray(feats), jnp.asarray(caps))
+        losses.append(float(loss))
+    return losses
+
+
+def _single_process_trainer(tmp_path, monkeypatch):
+    """The exact Part-2 trainer run of multihost_worker.py, single-process
+    (plain path: no mesh, default device tables + chunked dispatch)."""
+    import image_captioning_through_rl_tpu.train.loops as loops
+    from image_captioning_through_rl_tpu.config import NetConfig as NC
+    from image_captioning_through_rl_tpu.data import load_data, make_synthetic_coco
+
+    monkeypatch.setattr(
+        loops, "_cfg_for",
+        lambda d, b: NC.for_vocab(d.word_to_idx, d.embeddings, bidirectional=b,
+                                  input_dim=16, wordvec_dim=8, hidden_dim=8),
+    )
+    fixture = make_synthetic_coco(str(tmp_path / "coco_ref"), num_train_images=8,
+                                  num_val_images=4, vocab_size=30, feature_dim=16,
+                                  seed=5)
+    data = load_data(fixture)
+    paths = {"policy_network": str(tmp_path / "ref_policyNetwork.ckpt")}
+    params = loops.train_policy_network(
+        data, paths, None, False, epochs=1, batch_size=8, seed=3, chunk_steps=2,
+    )
+    return [float(np.asarray(x, np.float64).sum())
+            for x in jax.tree.leaves(jax.device_get(params))]
+
+
+@pytest.mark.slow
+def test_two_process_job_matches_single_process(tmp_path, monkeypatch):
+    port = _free_port()
+    nproc = 2
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "JAX_COORDINATOR_ADDRESS",
+                        "JAX_NUM_PROCESSES", "JAX_PROCESS_ID")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(_HERE, "multihost_worker.py"),
+             str(i), str(nproc), str(port), str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True,
+        )
+        for i in range(nproc)
+    ]
+    results = {}
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"worker failed:\nstdout:{out}\nstderr:{err}"
+        rec = json.loads(out.strip().splitlines()[-1])
+        results[rec["pid"]] = rec
+
+    # both ranks computed identical global numbers (same SPMD program)
+    assert results[0]["losses"] == pytest.approx(results[1]["losses"], rel=1e-6)
+    assert results[0]["leafsums"] == pytest.approx(results[1]["leafsums"], rel=1e-6)
+
+    # rank gating: only process 0 is main; only it wrote the checkpoint
+    assert results[0]["is_main"] is True
+    assert results[1]["is_main"] is False
+    assert results[0]["ckpt_written"] is True
+    assert results[1]["ckpt_written"] is False
+
+    # 2-process run == single-process run (bare step losses)
+    ref_losses = _single_process_reference()
+    assert results[0]["losses"] == pytest.approx(ref_losses, rel=1e-5)
+
+    # 2-process trainer == single-process trainer (final params)
+    ref_sums = _single_process_trainer(tmp_path, monkeypatch)
+    assert results[0]["leafsums"] == pytest.approx(ref_sums, rel=1e-4)
+
+    # sharded eval: rank 0 wrote caption dumps, rank 1 wrote nothing,
+    # and the captions equal the single-process (no-mesh) eval's
+    assert results[0]["gen_captions"] and results[1]["gen_captions"] == ""
+    ref_gen = _single_process_eval(tmp_path)
+    assert results[0]["gen_captions"] == ref_gen
+
+
+def _single_process_eval(tmp_path):
+    """The exact Part-3 eval of multihost_worker.py, single-process
+    without a mesh."""
+    import image_captioning_through_rl_tpu.train.loops as loops
+    from image_captioning_through_rl_tpu.config import DecodeConfig, NetConfig as NC
+    from image_captioning_through_rl_tpu.data import load_data, make_synthetic_coco
+    from image_captioning_through_rl_tpu.models import a2c
+
+    fixture = make_synthetic_coco(str(tmp_path / "coco_eval"), num_train_images=8,
+                                  num_val_images=4, vocab_size=30, feature_dim=16,
+                                  seed=5)
+    data = load_data(fixture)
+    cfg = NC(vocab_size=30, input_dim=16, wordvec_dim=8, hidden_dim=8, max_seq_len=6)
+    params = a2c.init(jax.random.PRNGKey(4), cfg)
+    out = tmp_path / "eval_ref"
+    out.mkdir()
+    paths = {
+        "real_captions_path": str(out / "real.txt"),
+        "generated_captions_path": str(out / "gen.txt"),
+        "image_urls_path": str(out / "urls.txt"),
+    }
+    loops.test_a2c_network(
+        params, cfg, data, paths, data_size=20, validation_batch_size=8,
+        dcfg=DecodeConfig(beam_size=2, max_seq_len=6), seed=0,
+        use_fused_kernel=False,
+    )
+    return open(paths["generated_captions_path"]).read()
+
+
+def test_mesh_trainer_single_process_matches_plain(tmp_path, monkeypatch):
+    """mesh= path on the suite's own 8-device mesh (single process): the
+    GlobalBatcher/HostCocoTables route must reproduce the plain
+    device-tables run exactly (same host RNG stream, same artifacts)."""
+    import image_captioning_through_rl_tpu.train.loops as loops
+    from image_captioning_through_rl_tpu.config import NetConfig as NC
+    from image_captioning_through_rl_tpu.data import load_data, make_synthetic_coco
+
+    monkeypatch.setattr(
+        loops, "_cfg_for",
+        lambda d, b: NC.for_vocab(d.word_to_idx, d.embeddings, bidirectional=b,
+                                  input_dim=16, wordvec_dim=8, hidden_dim=8),
+    )
+    fixture = make_synthetic_coco(str(tmp_path / "coco"), num_train_images=8,
+                                  num_val_images=4, vocab_size=30, feature_dim=16,
+                                  seed=5)
+    data = load_data(fixture)
+
+    paths_plain = {"policy_network": str(tmp_path / "plain.ckpt")}
+    p_plain = loops.train_policy_network(
+        data, paths_plain, None, False, epochs=1, batch_size=8, seed=3,
+        chunk_steps=2,
+    )
+    paths_mesh = {"policy_network": str(tmp_path / "mesh.ckpt")}
+    p_mesh = loops.train_policy_network(
+        data, paths_mesh, None, False, epochs=1, batch_size=8, seed=3,
+        chunk_steps=2, mesh=make_mesh((8,), ("data",)),
+    )
+    for a, b in zip(jax.tree.leaves(p_plain), jax.tree.leaves(p_mesh)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+    assert os.path.exists(paths_mesh["policy_network"])
+
+
+def test_mesh_a2c_training_single_process(tmp_path, monkeypatch):
+    """a2c_training(mesh=...) runs the chunked loop over the 8-device
+    mesh and matches the plain run (same keys, same stats)."""
+    import image_captioning_through_rl_tpu.train.loops as loops
+    from image_captioning_through_rl_tpu.config import NetConfig as NC
+    from image_captioning_through_rl_tpu.data import load_data, make_synthetic_coco
+    from image_captioning_through_rl_tpu.models import a2c, reward
+    from image_captioning_through_rl_tpu.train.optim import adam
+
+    cfg = NC(vocab_size=30, input_dim=16, wordvec_dim=8, hidden_dim=8)
+    fixture = make_synthetic_coco(str(tmp_path / "coco"), num_train_images=8,
+                                  num_val_images=4, vocab_size=30, feature_dim=16,
+                                  seed=7)
+    data = load_data(fixture)
+    params = a2c.init(jax.random.PRNGKey(0), cfg)
+    rparams = reward.init(jax.random.PRNGKey(1), cfg)
+    tx = adam(1e-4, params, cfg.freeze_embeddings)
+
+    def run(mesh, sub):
+        sp = [str(tmp_path / sub / "model.ckpt"), str(tmp_path / sub / "a2c.ckpt")]
+        (tmp_path / sub).mkdir()
+        p = jax.tree.map(np.asarray, params)  # fresh copy (donated buffers)
+        p = jax.tree.map(jnp.asarray, p)
+        out = loops.a2c_training(
+            data, p, rparams, tx, tx.init(p), cfg, None, sp,
+            batch_size=8, epochs=1, seed=0, chunk_steps=2, mesh=mesh,
+        )
+        return jax.device_get(out)
+
+    p_plain = run(None, "plain")
+    p_mesh = run(make_mesh((8,), ("data",)), "mesh")
+    for a, b in zip(jax.tree.leaves(p_plain), jax.tree.leaves(p_mesh)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+    assert os.path.exists(str(tmp_path / "mesh" / "a2c.ckpt"))

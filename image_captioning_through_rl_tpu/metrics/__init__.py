@@ -5,8 +5,10 @@ Native Python implementations of the scorers the reference gets from
 corpus BLEU 1-4, ROUGE-L, CIDEr, and METEOR. BLEU/ROUGE-L/CIDEr follow
 the pycocoevalcap algorithms exactly (same smoothing constants, brevity
 penalty, tf-idf weighting and length penalty); METEOR is a native
-exact-match implementation (the original shells out to a Java jar) —
-see :mod:`.meteor`.
+exact+stem implementation with delta weighting (the original shells out
+to a Java jar whose synonym/paraphrase modules are absent here, so
+native METEOR is a LOWER BOUND on the Java tool's number) — see
+:mod:`.meteor`.
 
 The file-level API mirrors the reference: :func:`load_textfiles` /
 :func:`score` / :func:`get_singleton_score` (metrics.py:26-91) and the

@@ -1,4 +1,5 @@
-"""METEOR (native: exact + stem match modules, METEOR-1.5 parameters).
+"""METEOR (native: exact + stem modules, delta weighting, METEOR-1.5
+parameters).
 
 pycocoevalcap's METEOR shells out to the Java METEOR-1.5 jar (reference
 metrics.py:23); that binary and its resources are not portable
@@ -14,25 +15,36 @@ scheme:
     preferred over stem matches) — searched exactly by DFS with
     bipartite-matching feasibility bounds (captions are <= 17 tokens;
     METEOR-1.5 itself approximates this with a beam of 40);
+  * **content/function-word weighting** (the METEOR-1.5 ``delta``
+    parameter): each word contributes ``delta`` to precision/recall
+    mass if it is a content word and ``1 - delta`` if it is a function
+    word (:mod:`.function_words`), on the hypothesis side for P and the
+    reference side for R (Denkowski & Lavie 2014, eq. 1-2);
   * METEOR-1.5 English ranking parameters: alpha=0.85, beta=0.2,
-    gamma=0.6; weighted precision/recall over module weights.
+    gamma=0.6, delta=0.75.
 
 Remaining gaps vs the Java tool (documented, unverifiable without it):
-the synonym (WordNet) and paraphrase (table) modules, and the
-content/function-word weighting delta (every word is treated as a
-content word). The reference's shipped results do not include METEOR
-at all (BASELINE.md), so no parity target exists.
+the synonym (WordNet) and paraphrase (table) match modules are absent,
+and the shipped function-word list is a curated closed-class list
+rather than the tool's corpus-frequency-derived resource. Because the
+missing modules can only ADD matches, the scores reported here are a
+LOWER BOUND on what Java METEOR-1.5 would report — do not compare them
+against published METEOR numbers from the Java tool. The reference's
+shipped results do not include METEOR at all (BASELINE.md), so no
+parity target exists.
 """
 
 from __future__ import annotations
 
 from typing import Dict, List, Tuple
 
+from .function_words import is_function_word
 from .porter import porter_stem
 
 _ALPHA = 0.85
 _BETA = 0.2
 _GAMMA = 0.6
+_DELTA = 0.75
 _W_EXACT = 1.0
 _W_STEM = 0.6
 
@@ -58,12 +70,16 @@ def _max_matching(edges: List[List[int]], n_right: int, left_alive, right_alive)
     return size
 
 
-def _align(hyp: List[str], ref: List[str]) -> Tuple[int, int, float]:
+def _align(
+    hyp: List[str], ref: List[str]
+) -> Tuple[int, int, float, List[Tuple[int, int]]]:
     """Exact+stem METEOR alignment.
 
-    Returns ``(matches, chunks, weighted_matches)`` for the alignment
-    that maximizes matches, then minimizes chunks, then maximizes the
-    module-weight sum.
+    Returns ``(matches, chunks, weighted_matches, pairs)`` for the
+    alignment that maximizes matches, then minimizes chunks, then
+    maximizes the module-weight sum; ``pairs`` are the chosen
+    ``(hyp_i, ref_j)`` matches (for the delta-weighted P/R
+    computation).
     """
     n, m = len(hyp), len(ref)
     hyp_stem = [porter_stem(w) for w in hyp]
@@ -85,9 +101,10 @@ def _align(hyp: List[str], ref: List[str]) -> Tuple[int, int, float]:
     right_alive = [True] * m
     total = _max_matching(edges, m, left_all, right_alive)
     if total == 0:
-        return 0, 0, 0.0
+        return 0, 0, 0.0, []
 
-    best = [total + 1, -1.0]  # (min chunks, max weight at that chunk count)
+    best = [total + 1, -1.0, []]  # (min chunks, max weight, its pairs)
+    trail: List[Tuple[int, int]] = []
 
     def dfs(i, matched, chunks, wsum, last_i, last_j):
         if chunks > best[0]:  # chunk count only grows
@@ -96,7 +113,7 @@ def _align(hyp: List[str], ref: List[str]) -> Tuple[int, int, float]:
             return  # cannot beat the incumbent weight at equal chunks
         if matched == total:
             if chunks < best[0] or (chunks == best[0] and wsum > best[1]):
-                best[0], best[1] = chunks, wsum
+                best[0], best[1], best[2] = chunks, wsum, list(trail)
             return
         if i == n:
             return
@@ -113,13 +130,21 @@ def _align(hyp: List[str], ref: List[str]) -> Tuple[int, int, float]:
                 continue
             extend = last_i == i - 1 and j == last_j + 1
             right_alive[j] = False
+            trail.append((i, j))
             dfs(i + 1, matched + 1, chunks + (0 if extend else 1),
                 wsum + weight[(i, j)], i, j)
+            trail.pop()
             right_alive[j] = True
         dfs(i + 1, matched, chunks, wsum, last_i, last_j)
 
     dfs(0, 0, 0, 0.0, -2, -2)
-    return total, best[0], best[1]
+    return total, best[0], best[1], best[2]
+
+
+def _delta_mass(words: List[str]) -> float:
+    """Total content/function-weighted mass of a token list."""
+    return sum(_DELTA if not is_function_word(w) else 1.0 - _DELTA
+               for w in words)
 
 
 def meteor_sentence(hypo: str, refs: List[str]) -> float:
@@ -129,11 +154,22 @@ def meteor_sentence(hypo: str, refs: List[str]) -> float:
         ref = ref_str.split()
         if not hyp or not ref:
             continue
-        matches, chunks, wsum = _align(hyp, ref)
+        matches, chunks, _, pairs = _align(hyp, ref)
         if matches == 0:
             continue
-        p = wsum / len(hyp)
-        r = wsum / len(ref)
+        # delta-weighted precision/recall (Denkowski & Lavie 2014 eq. 1):
+        # a matched word contributes its module weight scaled by delta
+        # (content) or 1-delta (function) — judged on the hypothesis
+        # side for P and the reference side for R
+        p_num = r_num = 0.0
+        for i, j in pairs:
+            w = _W_EXACT if hyp[i] == ref[j] else _W_STEM
+            p_num += w * (_DELTA if not is_function_word(hyp[i]) else 1.0 - _DELTA)
+            r_num += w * (_DELTA if not is_function_word(ref[j]) else 1.0 - _DELTA)
+        p = p_num / _delta_mass(hyp)
+        r = r_num / _delta_mass(ref)
+        if p == 0.0 or r == 0.0:
+            continue
         fmean = p * r / (_ALPHA * p + (1 - _ALPHA) * r)
         penalty = _GAMMA * (chunks / matches) ** _BETA
         best = max(best, fmean * (1.0 - penalty))

@@ -137,7 +137,7 @@ def test_meteor_alignment_fast_on_repetitive_full_length():
     hyp = ("a b " * 9).split()[:17]
     ref = ("b a " * 9).split()[:17]
     t0 = time.perf_counter()
-    m, chunks, _ = _align(hyp, ref)
+    m, chunks = _align(hyp, ref)[:2]
     assert time.perf_counter() - t0 < 2.0
     assert m == 17 - 1  # 9 a's + 8 b's vs 9 b's + 8 a's -> 8 + 8
     # hyp[1:] ("b a b a ...", 16 tokens) == ref[:16] exactly -> the
@@ -193,7 +193,7 @@ def test_meteor_stem_module_aligns_inflections():
 
     hyp = "the cats running fast".split()
     ref = "the cat runs quickly".split()
-    matches, chunks, wsum = _align(hyp, ref)
+    matches, chunks, wsum, _ = _align(hyp, ref)
     assert matches == 3  # the (exact), cats~cat (stem), running~runs (stem)
     assert wsum == 1.0 + 0.6 + 0.6
     assert chunks == 1  # one contiguous run in both sentences
@@ -201,11 +201,11 @@ def test_meteor_stem_module_aligns_inflections():
     # resolution order: chunk count beats module weight — the crossed
     # exact alignment (2 chunks, weight 2.0) loses to the in-order stem
     # alignment (1 chunk, weight 1.2), exactly like METEOR's resolver
-    matches, chunks, wsum = _align("run running".split(), "running run".split())
+    matches, chunks, wsum, _ = _align("run running".split(), "running run".split())
     assert (matches, chunks, wsum) == (2, 1, 1.2)
 
     # at equal chunks, exact is preferred over stem
-    assert _align(["running"], ["running"]) == (1, 1, 1.0)
+    assert _align(["running"], ["running"])[:3] == (1, 1, 1.0)
 
 
 def test_meteor_score_sensible_with_stems():
@@ -214,3 +214,46 @@ def test_meteor_score_sensible_with_stems():
     no_overlap = meteor({0: ["a dog runs"]}, {0: ["a dog walked"]})
     assert with_stem > no_overlap > 0.0
     assert with_stem > 0.4
+
+
+def test_meteor_delta_weighting_properties():
+    """METEOR-1.5 delta (content/function-word weighting, delta=0.75,
+    metrics/function_words.py): content-word matches carry 3x the P/R
+    mass of function-word matches; perfect matches stay invariant."""
+    from image_captioning_through_rl_tpu.metrics.function_words import (
+        is_function_word,
+    )
+
+    # sanity of the shipped list
+    assert is_function_word("the") and is_function_word("The")
+    assert is_function_word("of") and is_function_word("is")
+    assert not is_function_word("cat") and not is_function_word("running")
+
+    # perfect hypothesis: P = R = 1 regardless of word types, so delta
+    # cannot change the score (numerator equals denominator)
+    ref = {0: ["the cat sat on the mat"]}
+    assert meteor(ref, {0: ["the cat sat on the mat"]}) == pytest.approx(
+        1 - 0.6 * (1 / 6) ** 0.2, rel=1e-9)
+
+    # same match COUNT, different word types: matching the content words
+    # must outscore matching only function words
+    content_hyp = meteor(ref, {0: ["cat sat mat"]})
+    function_hyp = meteor(ref, {0: ["the on the"]})
+    assert content_hyp > function_hyp > 0.0
+
+    # an extra UNMATCHED function word costs less precision than an
+    # extra unmatched content word
+    extra_function = meteor(ref, {0: ["the cat sat on the mat again"]})
+    extra_content = meteor(ref, {0: ["the cat sat on the mat quickly"]})
+    assert extra_function > extra_content
+    # ("again" is in the function list, "quickly" is not)
+
+
+def test_meteor_delta_hand_computed_value():
+    """One fully hand-computed delta-weighted score: ref 'the cat',
+    hyp 'the dog'. Only 'the' aligns (function word, mass 0.25 each
+    side); hyp/ref mass = 0.25 + 0.75 = 1.0 -> P = R = 0.25;
+    fmean = PR/(0.85P + 0.15R) = 0.25; penalty = 0.6*(1/1)^0.2 = 0.6;
+    score = 0.25 * 0.4 = 0.1."""
+    got = meteor({0: ["the cat"]}, {0: ["the dog"]})
+    assert got == pytest.approx(0.25 * (1 - 0.6), rel=1e-9)

@@ -70,19 +70,64 @@ def _lstm_gates(xh, w, b, hidden):
     return i, f, g, o
 
 
-def _rollout_fwd_kernel(
-    # inputs
-    curr_ref, feats_ref, ph_ref, pc_ref, vh_ref, vc_ref, teach_ref, gumbel_ref,
-    p_emb_ref, p_w_ref, p_b_ref, p_hw_ref, p_hb_ref,
-    v_emb_ref, v_w_ref, v_b_ref, v_w1_ref, v_b1_ref, v_w2_ref, v_b2_ref,
-    # outputs
-    val_ref, logp_ref, act_ref, tok_ref,
-    hp_ref, cp_ref, gp_ref, hv_ref, cv_ref, gv_ref,
-    # scratch (persist across the step axis of the grid)
-    sph, spc, svh, svc,
-    *, hidden: int,
-):
+def _gru_step(tok, h, col_v, r_emb_ref, r_wi_ref, r_wh_ref, r_bi_ref,
+              r_bh_ref, hidden):
+    """One GRU advance from a one-hot token gather (reward encoder)."""
     f32 = jnp.float32
+    wd = r_emb_ref.dtype
+    x = jnp.dot((col_v == tok).astype(wd), r_emb_ref[:], preferred_element_type=f32)
+    gi = jnp.dot(x.astype(wd), r_wi_ref[:], preferred_element_type=f32) + r_bi_ref[:]
+    gh = jnp.dot(h.astype(wd), r_wh_ref[:], preferred_element_type=f32) + r_bh_ref[:]
+    r = jax.nn.sigmoid(gi[:, :hidden] + gh[:, :hidden])
+    z = jax.nn.sigmoid(gi[:, hidden : 2 * hidden] + gh[:, hidden : 2 * hidden])
+    n = jnp.tanh(gi[:, 2 * hidden :] + r * gh[:, 2 * hidden :])
+    return (1.0 - z) * n + z * h
+
+
+def _rollout_fwd_kernel(
+    *refs, hidden: int, fuse_reward: bool, tape_gates: bool,
+):
+    """Forward rollout grid step (one batch tile x one rollout step).
+
+    Static variants:
+      * ``fuse_reward``: the frozen reward GRU stream (lookahead on the
+        sampled action + advance with the placed token) runs INSIDE this
+        kernel instead of a separate Pallas program — its 9 extra weight
+        refs append to the inputs, a reward stream to the outputs, and
+        one carried-state scratch. Saves a program launch plus the
+        action/token HBM round trip (round-3 A/B: see BENCHMARKS.md).
+      * ``tape_gates``: when False, the gate-activation tape (two
+        ``[bn, 4H]`` stores per step — 2/3 of all tape bytes) is NOT
+        written; the backward kernels recompute the gates from the
+        carried (h, c) tape with one extra matmul per net per step.
+    """
+    f32 = jnp.float32
+    n_in = 20 + (9 if fuse_reward else 0)
+    (curr_ref, feats_ref, ph_ref, pc_ref, vh_ref, vc_ref, teach_ref, gumbel_ref,
+     p_emb_ref, p_w_ref, p_b_ref, p_hw_ref, p_hb_ref,
+     v_emb_ref, v_w_ref, v_b_ref, v_w1_ref, v_b1_ref, v_w2_ref, v_b2_ref) = refs[:20]
+    if fuse_reward:
+        (rew0_ref, vn_ref, r_emb_ref, r_wi_ref, r_wh_ref, r_bi_ref, r_bh_ref,
+         sem_w_ref, sem_b_ref) = refs[20:29]
+    pos = n_in
+    val_ref, logp_ref, act_ref, tok_ref, hp_ref, cp_ref = refs[pos : pos + 6]
+    pos += 6
+    if tape_gates:
+        gp_ref = refs[pos]
+        pos += 1
+    hv_ref, cv_ref = refs[pos : pos + 2]
+    pos += 2
+    if tape_gates:
+        gv_ref = refs[pos]
+        pos += 1
+    if fuse_reward:
+        rew_ref = refs[pos]
+        pos += 1
+    sph, spc, svh, svc = refs[pos : pos + 4]
+    pos += 4
+    if fuse_reward:
+        srh = refs[pos]
+
     s = pl.program_id(1)
     bn = feats_ref.shape[0]
     vp = p_emb_ref.shape[0]
@@ -94,6 +139,8 @@ def _rollout_fwd_kernel(
         spc[:] = pc_ref[:]
         svh[:] = vh_ref[:]
         svc[:] = vc_ref[:]
+        if fuse_reward:
+            srh[:] = rew0_ref[:]
 
     h_p, c_p = sph[:], spc[:]
     h_v, c_v = svh[:], svc[:]
@@ -137,13 +184,29 @@ def _rollout_fwd_kernel(
     token = jnp.where(p_pos < curr_ref[0, 0], teach_ref[:], action)
     tok_ref[:, :] = token
 
+    # 5b) frozen reward stream (fused variant): lookahead on the sampled
+    # action scores the prefix (trainers.py:459), the placed token
+    # advances the carried GRU — identical math to fused_reward_stream
+    if fuse_reward:
+        h_r = srh[:]
+        after = _gru_step(action, h_r, col_v, r_emb_ref, r_wi_ref, r_wh_ref,
+                          r_bi_ref, r_bh_ref, hidden)
+        se = (jnp.dot(after.astype(wd), sem_w_ref[:], preferred_element_type=f32)
+              + sem_b_ref[:])
+        sn = jnp.sqrt(jnp.sum(se * se, axis=-1, keepdims=True))
+        rew_ref[:, :] = (jnp.sum(vn_ref[:] * se, axis=-1, keepdims=True)
+                         / jnp.maximum(sn, 1e-12))
+        srh[:] = _gru_step(token, h_r, col_v, r_emb_ref, r_wi_ref, r_wh_ref,
+                           r_bi_ref, r_bh_ref, hidden)
+
     # 6) advance policy
     hot_t = (col_v == token).astype(wd)
     x_p = jnp.dot(hot_t, p_emb_ref[:], preferred_element_type=f32)
     i, f, g, o = _lstm_gates(
         jnp.concatenate([x_p, h_p], axis=1), p_w_ref[:], p_b_ref[:], hidden
     )
-    gp_ref[:, :] = jnp.concatenate([i, f, g, o], axis=1).astype(td)
+    if tape_gates:
+        gp_ref[:, :] = jnp.concatenate([i, f, g, o], axis=1).astype(td)
     c_new = f * c_p + i * g
     sph[:] = o * jnp.tanh(c_new)
     spc[:] = c_new
@@ -153,7 +216,8 @@ def _rollout_fwd_kernel(
     i, f, g, o = _lstm_gates(
         jnp.concatenate([x_v, h_v], axis=1), v_w_ref[:], v_b_ref[:], hidden
     )
-    gv_ref[:, :] = jnp.concatenate([i, f, g, o], axis=1).astype(td)
+    if tape_gates:
+        gv_ref[:, :] = jnp.concatenate([i, f, g, o], axis=1).astype(td)
     c_new = f * c_v + i * g
     svh[:] = o * jnp.tanh(c_new)
     svc[:] = c_new
@@ -163,11 +227,15 @@ def _fwd_pallas(
     curr, feats, ph1, pc1, vh1, vc1, teach_sm, gumbel_sm,
     p_emb, p_w, p_b, p_hw, p_hb, v_emb, v_w, v_b, v_w1, v_b1, v_w2, v_b2,
     *, steps: int, bn: int, hidden: int, interpret: bool, tape_dtype=jnp.float32,
+    reward_operands=None, tape_gates: bool = True,
 ):
+    """``reward_operands``: ``(rew0, vn, r_emb, r_wi, r_wh, r_bi, r_bh,
+    sem_w, sem_b)`` enables the fused in-kernel reward stream."""
     n_pad, feat_dim = feats.shape
     vp, emb_dim = p_emb.shape
     tiles = n_pad // bn
     grid = (tiles, steps)
+    fuse_reward = reward_operands is not None
 
     vm = lambda shape, index_map: pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)  # noqa: E731
     tile = lambda i, s: (i, 0)  # noqa: E731
@@ -178,16 +246,26 @@ def _fwd_pallas(
     td = tape_dtype  # f32 default (bf16 measured slower; see fused_rollout)
     row = lambda width, dt=f32: jax.ShapeDtypeStruct((steps * n_pad, width), dt)  # noqa: E731
 
-    out_shape = (
+    out_shape = [
         row(1), row(1), row(1, jnp.int32), row(1, jnp.int32),  # value, logp, action, token
-        row(hidden, td), row(hidden, td), row(4 * hidden, td),  # h_p, c_p, gates_p
-        row(hidden, td), row(hidden, td), row(4 * hidden, td),  # h_v, c_v, gates_v
-    )
-    out_specs = (
+        row(hidden, td), row(hidden, td),                      # h_p, c_p
+    ]
+    out_specs = [
         vm((bn, 1), stream), vm((bn, 1), stream), vm((bn, 1), stream), vm((bn, 1), stream),
-        vm((bn, hidden), stream), vm((bn, hidden), stream), vm((bn, 4 * hidden), stream),
-        vm((bn, hidden), stream), vm((bn, hidden), stream), vm((bn, 4 * hidden), stream),
-    )
+        vm((bn, hidden), stream), vm((bn, hidden), stream),
+    ]
+    if tape_gates:
+        out_shape.append(row(4 * hidden, td))                  # gates_p
+        out_specs.append(vm((bn, 4 * hidden), stream))
+    out_shape += [row(hidden, td), row(hidden, td)]            # h_v, c_v
+    out_specs += [vm((bn, hidden), stream), vm((bn, hidden), stream)]
+    if tape_gates:
+        out_shape.append(row(4 * hidden, td))                  # gates_v
+        out_specs.append(vm((bn, 4 * hidden), stream))
+    if fuse_reward:
+        out_shape.append(row(1))                               # rewards
+        out_specs.append(vm((bn, 1), stream))
+
     in_specs = [
         vm((1, 1), whole),                     # curr_seq_len
         vm((bn, feat_dim), tile),              # features
@@ -203,22 +281,36 @@ def _fwd_pallas(
         vm((feat_dim + hidden, hidden), whole), vm((1, hidden), whole),
         vm((hidden, 128), whole), vm((1, 128), whole),
     ]
+    operands = [
+        curr, feats, ph1, pc1, vh1, vc1, teach_sm, gumbel_sm,
+        p_emb, p_w, p_b, p_hw, p_hb, v_emb, v_w, v_b, v_w1, v_b1, v_w2, v_b2,
+    ]
+    if fuse_reward:
+        in_specs += [
+            vm((bn, hidden), tile),            # rew0 (start-token GRU state)
+            vm((bn, hidden), tile),            # vn (normalized visual embed)
+            vm((vp, emb_dim), whole),
+            vm((emb_dim, 3 * hidden), whole), vm((hidden, 3 * hidden), whole),
+            vm((1, 3 * hidden), whole), vm((1, 3 * hidden), whole),
+            vm((hidden, hidden), whole), vm((1, hidden), whole),
+        ]
+        operands += list(reward_operands)
+
+    scratch = [pltpu.VMEM((bn, hidden), f32)] * (5 if fuse_reward else 4)
     return pl.pallas_call(
-        functools.partial(_rollout_fwd_kernel, hidden=hidden),
+        functools.partial(_rollout_fwd_kernel, hidden=hidden,
+                          fuse_reward=fuse_reward, tape_gates=tape_gates),
         grid=grid,
         in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((bn, hidden), f32)] * 4,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,
-    )(
-        curr, feats, ph1, pc1, vh1, vc1, teach_sm, gumbel_sm,
-        p_emb, p_w, p_b, p_hw, p_hb, v_emb, v_w, v_b, v_w1, v_b1, v_w2, v_b2,
-    )
+    )(*operands)
 
 
 def _cell_bwd(dh_next, dc_next, gates, c_prev, w_ref, hidden):
@@ -275,15 +367,19 @@ def _outer(a, b, wd):
 
 def _policy_bwd_kernel(
     # inputs (streams feed REVERSED: grid step s reads real step S-1-s)
-    dlogp_ref, hp_ref, cp_ref, gp_ref, act_ref, tok_ref,
-    p_emb_ref, p_w_ref, p_hw_ref, p_hb_ref,
-    # outputs
-    dxp_ref, dph1_ref, dpc1_ref, dw_ref, db_ref, dhw_ref, dhb_ref,
-    # scratch
-    sdh, sdc,
-    *, hidden: int,
+    *refs, hidden: int, tape_gates: bool,
 ):
     f32 = jnp.float32
+    if tape_gates:
+        (dlogp_ref, hp_ref, cp_ref, gp_ref, act_ref, tok_ref,
+         p_emb_ref, p_w_ref, p_hw_ref, p_hb_ref,
+         dxp_ref, dph1_ref, dpc1_ref, dw_ref, db_ref, dhw_ref, dhb_ref,
+         sdh, sdc) = refs
+    else:  # gates recomputed from the (h, c) tape — one extra matmul
+        (dlogp_ref, hp_ref, cp_ref, act_ref, tok_ref,
+         p_emb_ref, p_w_ref, p_b_ref, p_hw_ref, p_hb_ref,
+         dxp_ref, dph1_ref, dpc1_ref, dw_ref, db_ref, dhw_ref, dhb_ref,
+         sdh, sdc) = refs
     i_t = pl.program_id(0)
     s = pl.program_id(1)
     last = pl.num_programs(1) - 1
@@ -329,7 +425,12 @@ def _policy_bwd_kernel(
                   preferred_element_type=f32)
     emb_dim = x_p.shape[1]
     xh = jnp.concatenate([x_p, h_p], axis=1)
-    dgates, dxh, dc_prev = _cell_bwd(sdh[:], sdc[:], gp_ref[:], cp_ref[:], p_w_ref, hidden)
+    if tape_gates:
+        gates = gp_ref[:]
+    else:
+        gi, gf, gg, go = _lstm_gates(xh, p_w_ref[:], p_b_ref[:], hidden)
+        gates = jnp.concatenate([gi, gf, gg, go], axis=1)
+    dgates, dxh, dc_prev = _cell_bwd(sdh[:], sdc[:], gates, cp_ref[:], p_w_ref, hidden)
     dw_ref[:, :] += _outer(xh, dgates, wd)
     db_ref[:, :] += jnp.sum(dgates, axis=0, keepdims=True)
     dxp_ref[:, :] = dxh[:, :emb_dim]
@@ -342,14 +443,21 @@ def _policy_bwd_kernel(
 
 
 def _value_bwd_kernel(
-    dval_ref, feats_ref, hv_ref, cv_ref, gv_ref, tok_ref,
-    v_emb_ref, v_w_ref, v_w1_ref, v_b1_ref, v_w2_ref,
-    dxv_ref, dfeat_ref, dvh1_ref, dvc1_ref,
-    dw_ref, db_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
-    sdh, sdc,
-    *, hidden: int,
+    *refs, hidden: int, tape_gates: bool,
 ):
     f32 = jnp.float32
+    if tape_gates:
+        (dval_ref, feats_ref, hv_ref, cv_ref, gv_ref, tok_ref,
+         v_emb_ref, v_w_ref, v_w1_ref, v_b1_ref, v_w2_ref,
+         dxv_ref, dfeat_ref, dvh1_ref, dvc1_ref,
+         dw_ref, db_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+         sdh, sdc) = refs
+    else:
+        (dval_ref, feats_ref, hv_ref, cv_ref, tok_ref,
+         v_emb_ref, v_w_ref, v_b_ref, v_w1_ref, v_b1_ref, v_w2_ref,
+         dxv_ref, dfeat_ref, dvh1_ref, dvc1_ref,
+         dw_ref, db_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+         sdh, sdc) = refs
     i_t = pl.program_id(0)
     s = pl.program_id(1)
     bn = hv_ref.shape[0]
@@ -402,7 +510,12 @@ def _value_bwd_kernel(
                   preferred_element_type=f32)
     emb_dim = x_v.shape[1]
     xh = jnp.concatenate([x_v, h_v], axis=1)
-    dgates, dxh, dc_prev = _cell_bwd(sdh[:], sdc[:], gv_ref[:], cv_ref[:], v_w_ref, hidden)
+    if tape_gates:
+        gates = gv_ref[:]
+    else:
+        gi, gf, gg, go = _lstm_gates(xh, v_w_ref[:], v_b_ref[:], hidden)
+        gates = jnp.concatenate([gi, gf, gg, go], axis=1)
+    dgates, dxh, dc_prev = _cell_bwd(sdh[:], sdc[:], gates, cv_ref[:], v_w_ref, hidden)
     dw_ref[:, :] += _outer(xh, dgates, wd)
     db_ref[:, :] += jnp.sum(dgates, axis=0, keepdims=True)
     dxv_ref[:, :] = dxh[:, :emb_dim]
@@ -414,14 +527,17 @@ def _value_bwd_kernel(
 
 
 def _policy_bwd_pallas(
-    dlogp_sm, hp, cp, gp, act_sm, tok_sm, p_emb, p_w, p_hw, p_hb,
+    dlogp_sm, hp, cp, gp, act_sm, tok_sm, p_emb, p_w, p_b, p_hw, p_hb,
     *, steps: int, bn: int, hidden: int, emb_dim: int, interpret: bool,
 ):
+    """``gp=None`` selects the gate-recompute variant (no gate tape);
+    ``p_b`` is only read in that variant."""
     n_pad = hp.shape[0] // steps
     vp = p_hw.shape[1]
     tiles = n_pad // bn
     grid = (tiles, steps)
     f32 = jnp.float32
+    tape_gates = gp is not None
 
     vm = lambda shape, index_map: pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)  # noqa: E731
     tile = lambda i, s: (i, 0)  # noqa: E731
@@ -429,20 +545,32 @@ def _policy_bwd_pallas(
     # reverse-time streams: grid step s touches real step steps-1-s
     rev = lambda i, s: ((steps - 1 - s) * tiles + i, 0)  # noqa: E731
 
+    in_specs = [
+        vm((bn, 1), rev),             # dlogp
+        vm((bn, hidden), rev),        # h_p (entering)
+        vm((bn, hidden), rev),        # c_p (entering)
+    ]
+    operands = [dlogp_sm, hp, cp]
+    if tape_gates:
+        in_specs.append(vm((bn, 4 * hidden), rev))   # gates
+        operands.append(gp)
+    in_specs += [
+        vm((bn, 1), rev),             # actions
+        vm((bn, 1), rev),             # placed tokens
+        vm((vp, emb_dim), whole),     # embedding (x recompute)
+        vm((emb_dim + hidden, 4 * hidden), whole),
+    ]
+    operands += [act_sm, tok_sm, p_emb, p_w]
+    if not tape_gates:
+        in_specs.append(vm((1, 4 * hidden), whole))  # cell bias (recompute)
+        operands.append(p_b)
+    in_specs += [vm((hidden, vp), whole), vm((1, vp), whole)]
+    operands += [p_hw, p_hb]
+
     return pl.pallas_call(
-        functools.partial(_policy_bwd_kernel, hidden=hidden),
+        functools.partial(_policy_bwd_kernel, hidden=hidden, tape_gates=tape_gates),
         grid=grid,
-        in_specs=[
-            vm((bn, 1), rev),             # dlogp
-            vm((bn, hidden), rev),        # h_p (entering)
-            vm((bn, hidden), rev),        # c_p (entering)
-            vm((bn, 4 * hidden), rev),    # gates
-            vm((bn, 1), rev),             # actions
-            vm((bn, 1), rev),             # placed tokens
-            vm((vp, emb_dim), whole),     # embedding (x recompute)
-            vm((emb_dim + hidden, 4 * hidden), whole),
-            vm((hidden, vp), whole), vm((1, vp), whole),
-        ],
+        in_specs=in_specs,
         out_specs=(
             vm((bn, emb_dim), rev),       # dx_p stream (real-step order)
             vm((bn, hidden), tile), vm((bn, hidden), tile),  # d(ph1), d(pc1)
@@ -464,38 +592,55 @@ def _policy_bwd_pallas(
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,
-    )(dlogp_sm, hp, cp, gp, act_sm, tok_sm, p_emb, p_w, p_hw, p_hb)
+    )(*operands)
 
 
 def _value_bwd_pallas(
-    dval_sm, feats, hv, cv, gv, tok_sm, v_emb, v_w, v_w1, v_b1, v_w2,
+    dval_sm, feats, hv, cv, gv, tok_sm, v_emb, v_w, v_b, v_w1, v_b1, v_w2,
     *, steps: int, bn: int, hidden: int, emb_dim: int, vp: int, interpret: bool,
 ):
+    """``gv=None`` selects the gate-recompute variant; ``v_b`` is only
+    read in that variant."""
     n_pad, feat_dim = feats.shape
     tiles = n_pad // bn
     grid = (tiles, steps)
     f32 = jnp.float32
+    tape_gates = gv is not None
 
     vm = lambda shape, index_map: pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)  # noqa: E731
     tile = lambda i, s: (i, 0)  # noqa: E731
     whole = lambda i, s: (0, 0)  # noqa: E731
     rev = lambda i, s: ((steps - 1 - s) * tiles + i, 0)  # noqa: E731
 
+    in_specs = [
+        vm((bn, 1), rev),             # dvalue
+        vm((bn, feat_dim), tile),     # features
+        vm((bn, hidden), rev),        # h_v (entering)
+        vm((bn, hidden), rev),        # c_v (entering)
+    ]
+    operands = [dval_sm, feats, hv, cv]
+    if tape_gates:
+        in_specs.append(vm((bn, 4 * hidden), rev))   # gates
+        operands.append(gv)
+    in_specs += [
+        vm((bn, 1), rev),             # placed tokens
+        vm((vp, emb_dim), whole),     # embedding (x recompute)
+        vm((emb_dim + hidden, 4 * hidden), whole),
+    ]
+    operands += [tok_sm, v_emb, v_w]
+    if not tape_gates:
+        in_specs.append(vm((1, 4 * hidden), whole))  # cell bias (recompute)
+        operands.append(v_b)
+    in_specs += [
+        vm((feat_dim + hidden, hidden), whole), vm((1, hidden), whole),
+        vm((hidden, 128), whole),
+    ]
+    operands += [v_w1, v_b1, v_w2]
+
     return pl.pallas_call(
-        functools.partial(_value_bwd_kernel, hidden=hidden),
+        functools.partial(_value_bwd_kernel, hidden=hidden, tape_gates=tape_gates),
         grid=grid,
-        in_specs=[
-            vm((bn, 1), rev),             # dvalue
-            vm((bn, feat_dim), tile),     # features
-            vm((bn, hidden), rev),        # h_v (entering)
-            vm((bn, hidden), rev),        # c_v (entering)
-            vm((bn, 4 * hidden), rev),    # gates
-            vm((bn, 1), rev),             # placed tokens
-            vm((vp, emb_dim), whole),     # embedding (x recompute)
-            vm((emb_dim + hidden, 4 * hidden), whole),
-            vm((feat_dim + hidden, hidden), whole), vm((1, hidden), whole),
-            vm((hidden, 128), whole),
-        ],
+        in_specs=in_specs,
         out_specs=(
             vm((bn, emb_dim), rev),       # dx_v stream
             vm((bn, feat_dim), tile),     # dfeat, accumulated per tile
@@ -522,27 +667,43 @@ def _value_bwd_pallas(
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,
-    )(dval_sm, feats, hv, cv, gv, tok_sm, v_emb, v_w, v_w1, v_b1, v_w2)
+    )(*operands)
 
 
 @functools.lru_cache(maxsize=None)
 def _make_core(steps: int, bn: int, hidden: int, emb_dim: int, vp: int,
                weight_dtype_name: str, interpret: bool,
-               tape_dtype_name: str = "float32"):
+               tape_dtype_name: str = "float32",
+               fuse_reward: bool = False, tape_gates: bool = True):
     """Factory: the custom-VJP'd rollout core for one static shape set.
 
     The core's array arguments are the PADDED weight forms (built in
     plain JAX by the public wrapper so pad/concat cotangents un-do
     themselves under autodiff); bf16 casting happens inside, and the
     hand-written backward returns f32 cotangents for every float input.
+
+    ``fuse_reward`` appends the 9 frozen-reward operands to the core's
+    arguments and a rewards array to its outputs (forward-only: the
+    reward net is frozen + stop-gradient, Q7, so its operands get zero
+    cotangents). ``tape_gates=False`` drops the gate tape; the backward
+    kernels recompute gates from the (h, c) tape (round-3 A/B).
     """
     wd = jnp.bfloat16 if weight_dtype_name == "bfloat16" else jnp.float32
     td = jnp.bfloat16 if tape_dtype_name == "bfloat16" else jnp.float32
     f32 = jnp.float32
+    n_rew = 9 if fuse_reward else 0
 
     def _run_fwd(curr, feats, ph1, pc1, vh1, vc1, teach_sm, gumbel_sm,
                  p_emb, p_w, p_b, p_hw, p_hb,
-                 v_emb, v_w, v_b, v_w1, v_b1, v_w2, v_b2):
+                 v_emb, v_w, v_b, v_w1, v_b1, v_w2, v_b2, *rew_ops):
+        reward_operands = None
+        if fuse_reward:
+            (rew0, vn, r_emb, r_wi, r_wh, r_bi, r_bh, sem_w, sem_b) = rew_ops
+            reward_operands = (
+                rew0.astype(f32), vn.astype(f32), r_emb.astype(wd),
+                r_wi.astype(wd), r_wh.astype(wd), r_bi.astype(f32),
+                r_bh.astype(f32), sem_w.astype(wd), sem_b.astype(f32),
+            )
         return _fwd_pallas(
             curr, feats, ph1, pc1, vh1, vc1, teach_sm, gumbel_sm,
             p_emb.astype(wd), p_w.astype(wd), p_b.astype(f32),
@@ -550,44 +711,61 @@ def _make_core(steps: int, bn: int, hidden: int, emb_dim: int, vp: int,
             v_emb.astype(wd), v_w.astype(wd), v_b.astype(f32),
             v_w1.astype(wd), v_b1.astype(f32), v_w2.astype(wd), v_b2.astype(f32),
             steps=steps, bn=bn, hidden=hidden, interpret=interpret, tape_dtype=td,
+            reward_operands=reward_operands, tape_gates=tape_gates,
         )
 
-    @jax.custom_vjp
-    def core(curr, feats, ph1, pc1, vh1, vc1, teach_sm, gumbel_sm,
-             p_emb, p_w, p_b, p_hw, p_hb, v_emb, v_w, v_b, v_w1, v_b1, v_w2, v_b2):
-        outs = _run_fwd(curr, feats, ph1, pc1, vh1, vc1, teach_sm, gumbel_sm,
-                        p_emb, p_w, p_b, p_hw, p_hb,
-                        v_emb, v_w, v_b, v_w1, v_b1, v_w2, v_b2)
+    def _split_outs(outs):
+        """-> (primals, tape) where primals = (values, logps, actions,
+        tokens[, rewards]) and tape = (hp, cp, gp?, hv, cv, gv?)."""
         values, logps, actions, tokens = outs[:4]
-        return values, logps, actions, tokens
+        pos = 4
+        n_tape = 6 if tape_gates else 4
+        tape = outs[pos : pos + n_tape]
+        pos += n_tape
+        primals = (values, logps, actions, tokens)
+        if fuse_reward:
+            primals = primals + (outs[pos],)
+        return primals, tape
 
-    def core_fwd(curr, feats, ph1, pc1, vh1, vc1, teach_sm, gumbel_sm,
-                 p_emb, p_w, p_b, p_hw, p_hb, v_emb, v_w, v_b, v_w1, v_b1, v_w2, v_b2):
-        outs = _run_fwd(curr, feats, ph1, pc1, vh1, vc1, teach_sm, gumbel_sm,
-                        p_emb, p_w, p_b, p_hw, p_hb,
-                        v_emb, v_w, v_b, v_w1, v_b1, v_w2, v_b2)
-        (values, logps, actions, tokens,
-         hp, cp, gp, hv, cv, gv) = outs
+    @jax.custom_vjp
+    def core(*args):
+        primals, _ = _split_outs(_run_fwd(*args))
+        return primals
+
+    def core_fwd(*args):
+        (curr, feats, ph1, pc1, vh1, vc1, teach_sm, gumbel_sm,
+         p_emb, p_w, p_b, p_hw, p_hb,
+         v_emb, v_w, v_b, v_w1, v_b1, v_w2, v_b2) = args[:20]
+        primals, tape = _split_outs(_run_fwd(*args))
+        actions, tokens = primals[2], primals[3]
+        if tape_gates:
+            hp, cp, gp, hv, cv, gv = tape
+        else:
+            hp, cp, hv, cv = tape
+            gp = gv = None
         res = (feats, actions, tokens, hp, cp, gp, hv, cv, gv,
-               p_emb.astype(wd), p_w.astype(wd), p_hw.astype(wd), p_hb.astype(f32),
-               v_emb.astype(wd), v_w.astype(wd), v_w1.astype(wd),
-               v_b1.astype(f32), v_w2.astype(wd))
-        return (values, logps, actions, tokens), res
+               p_emb.astype(wd), p_w.astype(wd), p_b.astype(f32),
+               p_hw.astype(wd), p_hb.astype(f32),
+               v_emb.astype(wd), v_w.astype(wd), v_b.astype(f32),
+               v_w1.astype(wd), v_b1.astype(f32), v_w2.astype(wd))
+        return primals, res
 
     def core_bwd(res, cots):
         import numpy as np
 
         (feats, act_sm, tok_sm, hp, cp, gp, hv, cv, gv,
-         p_emb_c, p_w_c, p_hw_c, p_hb_c, v_emb_c, v_w_c, v_w1_c, v_b1_c,
-         v_w2_c) = res
-        dvalues, dlogps, _, _ = cots  # int outputs carry no gradient
+         p_emb_c, p_w_c, p_b_c, p_hw_c, p_hb_c,
+         v_emb_c, v_w_c, v_b_c, v_w1_c, v_b1_c, v_w2_c) = res
+        dvalues, dlogps = cots[0], cots[1]  # ints/rewards carry no gradient
 
         (dxp, dph1, dpc1, dpw, dpb, dphw, dphb) = _policy_bwd_pallas(
-            dlogps, hp, cp, gp, act_sm, tok_sm, p_emb_c, p_w_c, p_hw_c, p_hb_c,
+            dlogps, hp, cp, gp, act_sm, tok_sm, p_emb_c, p_w_c, p_b_c,
+            p_hw_c, p_hb_c,
             steps=steps, bn=bn, hidden=hidden, emb_dim=emb_dim, interpret=interpret,
         )
         (dxv, dfeats, dvh1, dvc1, dvw, dvb, dvw1, dvb1, dvw2, dvb2) = _value_bwd_pallas(
-            dvalues, feats, hv, cv, gv, tok_sm, v_emb_c, v_w_c, v_w1_c, v_b1_c, v_w2_c,
+            dvalues, feats, hv, cv, gv, tok_sm, v_emb_c, v_w_c, v_b_c,
+            v_w1_c, v_b1_c, v_w2_c,
             steps=steps, bn=bn, hidden=hidden, emb_dim=emb_dim, vp=vp, interpret=interpret,
         )
         # embedding-table scatter: tokens drove both encoders' inputs
@@ -598,7 +776,7 @@ def _make_core(steps: int, bn: int, hidden: int, emb_dim: int, vp: int,
         n_pad = feats.shape[0]
 
         fz = lambda x: np.zeros(x.shape, jax.dtypes.float0)  # noqa: E731 int args
-        return (
+        grads = (
             fz(jnp.zeros((1, 1), jnp.int32)),      # curr
             dfeats,                                  # feats
             dph1, dpc1, dvh1, dvc1,                  # initial states
@@ -607,6 +785,20 @@ def _make_core(steps: int, bn: int, hidden: int, emb_dim: int, vp: int,
             dp_emb, dpw, dpb, dphw, dphb,
             dv_emb, dvw, dvb, dvw1, dvb1, dvw2, dvb2,
         )
+        if fuse_reward:
+            # frozen reward operands: zero cotangents (Q7 stop-gradient)
+            grads = grads + (
+                jnp.zeros((n_pad, hidden), f32),       # rew0
+                jnp.zeros((n_pad, hidden), f32),       # vn
+                jnp.zeros((vp, emb_dim), f32),         # r_emb
+                jnp.zeros((emb_dim, 3 * hidden), f32),  # r_wi
+                jnp.zeros((hidden, 3 * hidden), f32),   # r_wh
+                jnp.zeros((1, 3 * hidden), f32),        # r_bi
+                jnp.zeros((1, 3 * hidden), f32),        # r_bh
+                jnp.zeros((hidden, hidden), f32),       # sem_w
+                jnp.zeros((1, hidden), f32),            # sem_b
+            )
+        return grads
 
     core.defvjp(core_fwd, core_bwd)
     return core
@@ -623,18 +815,27 @@ def fused_rollout(
     weight_dtype=jnp.bfloat16,
     interpret: bool = False,
     tape_dtype=None,
-) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    reward_params: dict = None,
+    tape_gates: bool = True,
+):
     """Fused policy+value rollout; drop-in core of ``a2c_rollout_loss``.
 
     Returns ``(values [N, S], log_probs [N, S], actions [N, S],
     token_in [N, S])`` with S = max_seq_len - 1, differentiable wrt the
     policy/value parameters through the hand-written Pallas VJP. The
     frozen reward stream is computed by the caller from ``actions`` /
-    ``token_in`` (see ``train.steps.a2c_rollout_loss_fused``).
+    ``token_in`` (see ``train.steps.a2c_rollout_loss_fused``) — unless
+    ``reward_params`` is given, in which case the reward GRU stream runs
+    INSIDE the rollout kernel (one program instead of two; Q7
+    stop-gradient by construction) and a fifth array ``rewards [N, S]``
+    is returned. ``tape_gates=False`` drops the gate-activation tape
+    (2/3 of tape bytes); the backward recomputes gates instead.
     """
     from ..models import policy as policy_mod
+    from ..models import reward as reward_mod
     from ..models import value as value_mod
-    from ..ops.rnn import lstm_cell
+    from ..ops.linalg import dense
+    from ..ops.rnn import gru_cell, lstm_cell
 
     pparams, vparams = a2c_params["policy"], a2c_params["value"]
     n, t_max = captions.shape
@@ -697,28 +898,54 @@ def fused_rollout(
     # per fwd+bwd — the cast/relayout cost outweighs the bandwidth win
     # at 512-wide streams — and f32 keeps the hand-written VJP in the
     # same rounding class as jax.grad of the XLA rollout.
+    fuse_reward = reward_params is not None
     core = _make_core(
         steps, block_n, hidden, emb_dim, vp,
         jnp.dtype(weight_dtype).name, interpret,
         jnp.dtype(tape_dtype if tape_dtype is not None else jnp.float32).name,
+        fuse_reward, tape_gates,
     )
-    values, logps, actions, tokens = core(
+    operands = (
         curr, feats_p, ph1, pc1, vh1, vc1, teach_sm, gum_sm,
         pad_emb(pparams["embedding"]), p_w, pparams["lstm"]["b"][None, :],
         p_hw, p_hb,
         pad_emb(vparams["embedding"]), v_w, vparams["lstm"]["b"][None, :],
         vparams["linear1"]["w"], vparams["linear1"]["b"][None, :], v_w2, v_b2,
     )
+    if fuse_reward:
+        # per-episode constants of the frozen reward stream, precomputed
+        # in XLA exactly as fused_reward_stream does
+        rew0 = gru_cell(
+            reward_params["gru"], reward_params["embedding"][start],
+            reward_mod.zero_rnn_state(cfg, n), precision=cfg.precision,
+        )
+        ve = dense(features, reward_params["visual_embed"], precision=cfg.precision)
+        vn = ve / jnp.maximum(jnp.linalg.norm(ve, axis=-1, keepdims=True), 1e-12)
+        rg = reward_params["gru"]
+        operands = operands + tuple(
+            jax.lax.stop_gradient(x) for x in (
+                pad_rows(rew0.astype(f32)), pad_rows(vn.astype(f32)),
+                pad_emb(reward_params["embedding"]),
+                rg["wi"], rg["wh"], rg["bi"][None, :], rg["bh"][None, :],
+                reward_params["semantic_embed"]["w"],
+                reward_params["semantic_embed"]["b"][None, :],
+            )
+        )
+
+    outs = core(*operands)
 
     def unstream(x, dt):  # [S*n_pad, 1] -> [N, S]
         return jnp.swapaxes(x.reshape(steps, n_pad), 0, 1)[:n].astype(dt)
 
-    return (
-        unstream(values, f32),
-        unstream(logps, f32),
-        unstream(actions, jnp.int32),
-        unstream(tokens, jnp.int32),
+    result = (
+        unstream(outs[0], f32),
+        unstream(outs[1], f32),
+        unstream(outs[2], jnp.int32),
+        unstream(outs[3], jnp.int32),
     )
+    if fuse_reward:
+        result = result + (jax.lax.stop_gradient(unstream(outs[4], f32)),)
+    return result
 
 
 # ---------------------------------------------------------------------------

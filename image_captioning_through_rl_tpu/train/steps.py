@@ -763,6 +763,8 @@ def a2c_rollout_loss_fused(
     block_n: int = 128,
     weight_dtype=None,
     interpret: bool = False,
+    fuse_reward: bool = True,
+    tape_gates: bool = True,
 ) -> Tuple[jax.Array, RolloutStats]:
     """:func:`a2c_rollout_loss` with the policy+value rollout fused into
     Pallas TPU kernels (ops/pallas_rollout.py, hand-written VJP).
@@ -770,27 +772,39 @@ def a2c_rollout_loss_fused(
     Identical semantics: same Gumbel-max sampling keys (token parity
     with the XLA rollout under the interpreter), same loss/mask math.
     The frozen reward stream — stop-gradient by construction (Q7,
-    trainers.py:372-373) — runs as a plain XLA scan over the token and
-    action streams the kernel returns.
+    trainers.py:372-373) — runs INSIDE the rollout kernel by default
+    (``fuse_reward=True``, the round-3 A/B winner: one Pallas program
+    instead of two); ``fuse_reward=False`` keeps it as the separate
+    :func:`..ops.pallas_rollout.fused_reward_stream` program.
+    ``tape_gates=False`` trades the gate-activation tape for a
+    recompute in the backward kernels (see BENCHMARKS.md for the A/B).
     """
     from ..ops.pallas_rollout import fused_rollout
 
     if weight_dtype is None:
         weight_dtype = jnp.bfloat16
     n, t_max = captions.shape
-    values, log_probs, actions, tokens = fused_rollout(
-        a2c_params, cfg, features, captions, curr_seq_len, rng,
-        block_n=block_n, weight_dtype=weight_dtype, interpret=interpret,
-    )
+    if fuse_reward:
+        values, log_probs, actions, tokens, rewards = fused_rollout(
+            a2c_params, cfg, features, captions, curr_seq_len, rng,
+            block_n=block_n, weight_dtype=weight_dtype, interpret=interpret,
+            reward_params=reward_params, tape_gates=tape_gates,
+        )
+    else:
+        values, log_probs, actions, tokens = fused_rollout(
+            a2c_params, cfg, features, captions, curr_seq_len, rng,
+            block_n=block_n, weight_dtype=weight_dtype, interpret=interpret,
+            tape_gates=tape_gates,
+        )
 
-    # frozen reward stream (lookahead on the sampled action, then the
-    # placed token advances the carried GRU), fused like the rollout
-    from ..ops.pallas_rollout import fused_reward_stream
+        # frozen reward stream (lookahead on the sampled action, then the
+        # placed token advances the carried GRU), fused like the rollout
+        from ..ops.pallas_rollout import fused_reward_stream
 
-    rewards = fused_reward_stream(
-        reward_params, cfg, features, captions[:, 0], actions, tokens,
-        block_n=block_n, weight_dtype=weight_dtype, interpret=interpret,
-    )
+        rewards = fused_reward_stream(
+            reward_params, cfg, features, captions[:, 0], actions, tokens,
+            block_n=block_n, weight_dtype=weight_dtype, interpret=interpret,
+        )
 
     p_idx = jnp.arange(1, t_max)[None, :]
     mask = ((p_idx >= curr_seq_len) & (p_idx <= caplen - 1)).astype(values.dtype)

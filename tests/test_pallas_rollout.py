@@ -139,3 +139,38 @@ def test_fused_step_trains(rng_np):
         assert np.isfinite(float(stats.loss))
     changed = jax.tree.map(lambda a, b: not np.allclose(a, b), params, p)
     assert any(jax.tree.leaves(changed))
+
+def test_rollout_variants_match_xla_loss_and_grads(rng_np):
+    """Round-3 kernel variants — in-kernel frozen-reward stream
+    (fuse_reward) and gate-tape elision with backward recompute
+    (tape_gates=False) — must match the XLA rollout's loss AND every
+    parameter gradient, in every combination."""
+    import itertools
+    import pytest
+
+    params, rparams, feats, caps = _setup(rng_np)
+    key = jax.random.PRNGKey(9)
+    (lx, _), gx = jax.value_and_grad(_xla, has_aux=True)(
+        params, rparams, feats, caps, 1, key)
+    for fuse_reward, tape_gates in itertools.product((False, True), repeat=2):
+        (lf, _), gf = jax.value_and_grad(_fused, has_aux=True)(
+            params, rparams, feats, caps, 1, key,
+            fuse_reward=fuse_reward, tape_gates=tape_gates)
+        assert float(lf) == pytest.approx(float(lx), rel=1e-6), (fuse_reward, tape_gates)
+        for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gx)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
+                err_msg=f"fuse_reward={fuse_reward} tape_gates={tape_gates}")
+
+
+def test_rollout_variants_curriculum_teacher_branch(rng_np):
+    """The fused-reward stream must see the TEACHER tokens inside the
+    curriculum prefix (the placed-token branch), matching XLA."""
+    params, rparams, feats, caps = _setup(rng_np)
+    key = jax.random.PRNGKey(10)
+    curr = CFG.max_seq_len // 2
+    lx, sx = _xla(params, rparams, feats, caps, curr, key, per_step_mean=True)
+    lf, sf = _fused(params, rparams, feats, caps, curr, key,
+                    per_step_mean=True, fuse_reward=True, tape_gates=False)
+    np.testing.assert_allclose(float(lf), float(lx), rtol=1e-6)
+    np.testing.assert_allclose(float(sf.mean_reward), float(sx.mean_reward), rtol=1e-6)

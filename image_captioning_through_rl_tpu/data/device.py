@@ -14,7 +14,7 @@ layout so downstream steps partition automatically.
 
 from __future__ import annotations
 
-from typing import Iterator, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +30,28 @@ def _gather(captions, features, image_idxs, mask):
     return caps_b, feats_b
 
 
-class DeviceCocoTables:
+class _MinibatchMixin:
+    """Shared epoch iterator mirroring
+    :func:`..data.coco.get_coco_minibatches` (one permutation per epoch);
+    the subclass supplies ``gather``/``num_captions``. Shared so the
+    single-process (device-tables) and multi-host (host-tables) loops
+    consume IDENTICAL index streams — the mesh-vs-plain equivalence
+    tests depend on it."""
+
+    def minibatches(
+        self, batch_size: int, rng: Optional[np.random.Generator] = None,
+        drop_remainder: bool = False,
+    ):
+        rng = rng or np.random.default_rng()
+        perm = rng.permutation(self.num_captions)
+        for i in range(0, self.num_captions, batch_size):
+            mask = perm[i : i + batch_size]
+            if drop_remainder and mask.shape[0] < batch_size:
+                return
+            yield self.gather(mask)
+
+
+class DeviceCocoTables(_MinibatchMixin):
     """HBM-resident caption/feature tables for one split."""
 
     def __init__(self, data: CocoData, split: str = "train", mesh=None, data_axis: str = "data"):
@@ -71,22 +92,8 @@ class DeviceCocoTables:
             feats_b = jax.device_put(feats_b, batch_sharding)
         return caps_b, feats_b
 
-    def minibatches(
-        self, batch_size: int, rng: Optional[np.random.Generator] = None,
-        drop_remainder: bool = False,
-    ) -> Iterator[Tuple[jax.Array, jax.Array]]:
-        """Epoch iterator mirroring :func:`..data.coco.get_coco_minibatches`
-        (one permutation per epoch) with device-side gathers."""
-        rng = rng or np.random.default_rng()
-        perm = rng.permutation(self.num_captions)
-        for i in range(0, self.num_captions, batch_size):
-            mask = perm[i : i + batch_size]
-            if drop_remainder and mask.shape[0] < batch_size:
-                return
-            yield self.gather(mask)
 
-
-class HostCocoTables:
+class HostCocoTables(_MinibatchMixin):
     """Host-memory twin of :class:`DeviceCocoTables` for multi-host loops.
 
     On a multi-process mesh, ``jax.device_put`` cannot commit host data
@@ -108,15 +115,3 @@ class HostCocoTables:
         caps_b = self.captions[mask]
         feats_b = self.features[self.image_idxs[mask]]
         return caps_b, feats_b
-
-    def minibatches(
-        self, batch_size: int, rng: Optional[np.random.Generator] = None,
-        drop_remainder: bool = False,
-    ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-        rng = rng or np.random.default_rng()
-        perm = rng.permutation(self.num_captions)
-        for i in range(0, self.num_captions, batch_size):
-            mask = perm[i : i + batch_size]
-            if drop_remainder and mask.shape[0] < batch_size:
-                return
-            yield self.gather(mask)

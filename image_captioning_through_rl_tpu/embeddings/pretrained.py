@@ -23,20 +23,51 @@ _NAME_MAP = {
 }
 
 
+def _local_model_file(name: str, short: str):
+    """Resolve a named model against the local cache directory
+    ``$ICRL_EMBEDDINGS_DIR`` (default ``~/.cache/icrl_embeddings``):
+    ``<dir>/<short-or-full-name>.{txt,vec,bin,gz}`` loads through the
+    native reader, so named models work offline once the file is
+    dropped there (mirrors gensim-data's ``~/gensim-data`` layout
+    without requiring gensim)."""
+    root = os.environ.get(
+        "ICRL_EMBEDDINGS_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "icrl_embeddings"),
+    )
+    for stem in (short, name):
+        for ext in ("", ".txt", ".vec", ".bin"):
+            p = os.path.join(root, stem + ext)
+            if os.path.isfile(p):
+                return p
+    return None
+
+
 def get_embeddings(emb_type: str):
-    """Load a standard pretrained embedding model by short name or path."""
+    """Load a standard pretrained embedding model by short name or path.
+
+    Resolution order for a short name: (1) the local cache directory
+    (``$ICRL_EMBEDDINGS_DIR``, native reader — no gensim needed),
+    (2) gensim-downloader when installed (live download). File paths
+    always load natively.
+    """
     if os.path.isfile(emb_type):
         return get_embedding_model(emb_type)
     name = _NAME_MAP.get(emb_type)
     if name is None:
         raise ValueError(f"unknown embedding type {emb_type!r}; expected one of "
                          f"{sorted(_NAME_MAP)} or a file path")
+    local = _local_model_file(name, emb_type)
+    if local is not None:
+        return load_word2vec_format(local)
     try:
         import gensim.downloader as api
     except ImportError as e:
         raise ImportError(
-            "loading pretrained gensim models requires gensim; train embeddings "
-            "natively instead with --train_word2vec word2vec|fasttext"
+            f"model {name!r} is neither in the local cache "
+            f"($ICRL_EMBEDDINGS_DIR/{emb_type}.txt|.vec|.bin) nor is gensim "
+            "installed for a live download; drop the word2vec-format file in "
+            "the cache dir, pass a file path, or train embeddings natively "
+            "with --train_word2vec word2vec|fasttext"
         ) from e
     return api.load(name)
 

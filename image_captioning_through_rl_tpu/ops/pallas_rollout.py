@@ -972,13 +972,8 @@ def _reward_stream_kernel(
     col_v = jax.lax.broadcasted_iota(jnp.int32, (bn, vp), 1)
 
     def gru(tok, h):
-        x = jnp.dot((col_v == tok).astype(wd), r_emb_ref[:], preferred_element_type=f32)
-        gi = jnp.dot(x.astype(wd), r_wi_ref[:], preferred_element_type=f32) + r_bi_ref[:]
-        gh = jnp.dot(h.astype(wd), r_wh_ref[:], preferred_element_type=f32) + r_bh_ref[:]
-        r = jax.nn.sigmoid(gi[:, :hidden] + gh[:, :hidden])
-        z = jax.nn.sigmoid(gi[:, hidden : 2 * hidden] + gh[:, hidden : 2 * hidden])
-        n = jnp.tanh(gi[:, 2 * hidden :] + r * gh[:, 2 * hidden :])
-        return (1.0 - z) * n + z * h
+        return _gru_step(tok, h, col_v, r_emb_ref, r_wi_ref, r_wh_ref,
+                         r_bi_ref, r_bh_ref, hidden)
 
     h = sh[:]
     # lookahead: reward of prefix + sampled action (trainers.py:459)

@@ -49,9 +49,10 @@ class GlobalBatcher:
     def _row_sharding(self, ndim: int) -> NamedSharding:
         return NamedSharding(self.mesh, P(self.axis, *([None] * (ndim - 1))))
 
-    def local_rows(self, sharding: NamedSharding, global_shape) -> Tuple[int, int]:
-        """This process's contiguous ``[lo, hi)`` row block of a batch
-        with ``global_shape`` under ``sharding``.
+    def local_rows(self, sharding: NamedSharding, global_shape,
+                   axis: int = 0) -> Tuple[int, int]:
+        """This process's contiguous ``[lo, hi)`` block of dimension
+        ``axis`` of a batch with ``global_shape`` under ``sharding``.
 
         Meshes built over ``jax.devices()`` enumerate devices
         process-major, so each process's shards form one contiguous
@@ -60,9 +61,9 @@ class GlobalBatcher:
         idx_map = sharding.addressable_devices_indices_map(tuple(global_shape))
         starts, stops, total = [], [], 0
         for idx in idx_map.values():
-            sl = idx[0]
+            sl = idx[axis]
             lo = sl.start or 0
-            hi = sl.stop if sl.stop is not None else global_shape[0]
+            hi = sl.stop if sl.stop is not None else global_shape[axis]
             starts.append(lo)
             stops.append(hi)
             total += hi - lo
@@ -113,15 +114,7 @@ class GlobalBatcher:
             sharding = NamedSharding(
                 self.mesh, P(None, self.axis, *([None] * (a.ndim - 2)))
             )
-            idx_map = sharding.addressable_devices_indices_map(tuple(a.shape))
-            starts = [idx[1].start or 0 for idx in idx_map.values()]
-            stops = [
-                idx[1].stop if idx[1].stop is not None else a.shape[1]
-                for idx in idx_map.values()
-            ]
-            lo, hi = min(starts), max(stops)
-            if hi - lo != sum(t - s for s, t in zip(starts, stops)):
-                raise ValueError("non-contiguous process-local shards")
+            lo, hi = self.local_rows(sharding, a.shape, axis=1)
             out.append(
                 jax.make_array_from_process_local_data(
                     sharding, a[:, lo:hi], a.shape

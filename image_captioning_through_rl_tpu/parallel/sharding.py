@@ -37,8 +37,7 @@ def shard_batch(mesh: Mesh, *arrays, axis: str = "data"):
     if _spans_processes(mesh):
         from .hostbatch import GlobalBatcher
 
-        out = GlobalBatcher(mesh, axis).shard(*arrays)
-        return out if isinstance(out, tuple) else out
+        return GlobalBatcher(mesh, axis).shard(*arrays)
     out = tuple(
         jax.device_put(a, NamedSharding(mesh, P(axis, *([None] * (a.ndim - 1)))))
         for a in arrays

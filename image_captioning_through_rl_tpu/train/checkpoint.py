@@ -37,6 +37,12 @@ _CONVERTERS = {
     "a2c": a2c_from_torch,
 }
 
+# process umask, captured once at import: os.umask can only be READ by
+# setting it, and doing that per save would race concurrent savers /
+# writer threads (briefly zeroing the process umask)
+_UMASK = os.umask(0)
+os.umask(_UMASK)
+
 
 def save_pytree(params, path: str) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
@@ -51,9 +57,7 @@ def save_pytree(params, path: str) -> None:
             f.write(serialization.to_bytes(host))
         # mkstemp creates 0600; restore the umask-governed mode so shared
         # log dirs keep readable checkpoints (as a plain open() would)
-        umask = os.umask(0)
-        os.umask(umask)
-        os.chmod(tmp, 0o666 & ~umask)
+        os.chmod(tmp, 0o666 & ~_UMASK)
         os.replace(tmp, path)  # atomic: no torn checkpoints on interruption
     except BaseException:
         try:

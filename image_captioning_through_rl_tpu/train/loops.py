@@ -275,12 +275,14 @@ def train_reward_network(
     if mesh is not None:
         batcher, tables = _mesh_io(mesh, train_data)
         params, opt_state = batcher.replicate((params, opt_state))
-        raw_step, raw_chunk = step, steps.make_reward_chunk_step(cfg, tx)
+        raw_step = step
 
         def step(p, o, f, c):  # noqa: F811
             return raw_step(p, o, *batcher.shard(f, c))
 
         if chunk_steps > 1 and not compat_batch_as_time and not cfg.bidirectional:
+            raw_chunk = steps.make_reward_chunk_step(cfg, tx)
+
             def chunk(p, o, best, f, c):
                 return raw_chunk(p, o, best, *batcher.shard_stacked(f, c))
     else:
@@ -335,12 +337,14 @@ def train_policy_network(
     if mesh is not None:
         batcher, tables = _mesh_io(mesh, train_data)
         params, opt_state = batcher.replicate((params, opt_state))
-        raw_step, raw_chunk = step, steps.make_policy_chunk_step(cfg, tx)
+        raw_step = step
 
         def step(p, o, f, c):  # noqa: F811
             return raw_step(p, o, *batcher.shard(f, c))
 
         if chunk_steps > 1 and not cfg.bidirectional:
+            raw_chunk = steps.make_policy_chunk_step(cfg, tx)
+
             def chunk(p, o, best, f, c):
                 return raw_chunk(p, o, best, *batcher.shard_stacked(f, c))
     else:
@@ -380,8 +384,8 @@ def train_value_network(
     rng = np.random.default_rng(seed + 2)
     py_rng = pyrandom.Random(seed + 2)
 
-    rparams = _load_or_fail("reward", network_paths["reward_network"], cfg, train_data, bidirectional)
-    pparams = _load_or_fail("policy", network_paths["policy_network"], cfg, train_data, bidirectional)
+    rparams = _load_or_fail_sync("reward", network_paths["reward_network"], cfg, train_data, bidirectional, mesh)
+    pparams = _load_or_fail_sync("policy", network_paths["policy_network"], cfg, train_data, bidirectional, mesh)
 
     params = value_mod.init(jax.random.PRNGKey(seed + 2), cfg, train_data.embeddings)
     tx = adam(lr, params, cfg.freeze_embeddings)
@@ -439,6 +443,53 @@ def _load_or_fail(kind: str, path: str, cfg: NetConfig, data: CocoData, bidirect
     return ckpt.load_network(kind, path, template=template, bidirectional=bidirectional)
 
 
+def _sync_load(load_fn, template_fn, multiprocess: bool):
+    """Cross-host-consistent checkpoint load.
+
+    Branching on LOCAL file existence deadlocks a multi-host job when
+    ranks disagree (e.g. no shared filesystem: only rank 0 wrote the
+    checkpoint, so rank 0 would skip training while the others enter
+    it and block in its first collective). When ``multiprocess``,
+    process 0 alone attempts ``load_fn``; its success bit and — on
+    success — the loaded values broadcast to every rank, so all ranks
+    take the same branch with the same weights. Single-process: plain
+    ``load_fn()``.
+    """
+    if not multiprocess:
+        return load_fn()
+    import numpy as _np
+    from jax.experimental import multihost_utils
+
+    params, ok = None, False
+    if is_main_process():
+        try:
+            params = load_fn()
+            ok = True
+        except FileNotFoundError:
+            ok = False
+    ok = bool(multihost_utils.broadcast_one_to_all(_np.int32(1 if ok else 0)))
+    if not ok:
+        raise FileNotFoundError("checkpoint absent on process 0")
+    if params is None:  # non-main ranks contribute the template structure
+        params = template_fn()
+    return multihost_utils.broadcast_one_to_all(
+        jax.tree.map(np.asarray, jax.device_get(params))
+    )
+
+
+def _load_or_fail_sync(kind: str, path: str, cfg: NetConfig, data: CocoData,
+                       bidirectional: bool, mesh) -> dict:
+    """:func:`_load_or_fail` with the multi-host agreement of
+    :func:`_sync_load` when ``mesh`` spans processes."""
+    init_fn = {"reward": reward_mod.init, "policy": policy_mod.init,
+               "value": value_mod.init}[kind]
+    return _sync_load(
+        lambda: _load_or_fail(kind, path, cfg, data, bidirectional),
+        lambda: init_fn(jax.random.PRNGKey(0), cfg, data.embeddings),
+        mesh is not None and jax.process_count() > 1,
+    )
+
+
 def train_a2c_network(
     train_data: CocoData,
     save_paths: Dict[str, str],
@@ -479,19 +530,19 @@ def train_a2c_network(
     else:
         # load-or-train fallback per sub-network (trainers.py:338-370)
         try:
-            rparams = _load_or_fail("reward", network_paths["reward_network"], cfg, train_data, bidirectional)
+            rparams = _load_or_fail_sync("reward", network_paths["reward_network"], cfg, train_data, bidirectional, mesh)
             print("[Training] loaded reward network")
         except FileNotFoundError:
             print("[Training] reward network not found")
             rparams = train_reward_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed, compat_batch_as_time=compat_batch_as_time, chunk_steps=chunk_steps, mesh=mesh)
         try:
-            pparams = _load_or_fail("policy", network_paths["policy_network"], cfg, train_data, bidirectional)
+            pparams = _load_or_fail_sync("policy", network_paths["policy_network"], cfg, train_data, bidirectional, mesh)
             print("[Training] loaded policy network")
         except FileNotFoundError:
             print("[Training] policy network not found")
             pparams = train_policy_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed, chunk_steps=chunk_steps, mesh=mesh)
         try:
-            vparams = _load_or_fail("value", network_paths["value_network"], cfg, train_data, bidirectional)
+            vparams = _load_or_fail_sync("value", network_paths["value_network"], cfg, train_data, bidirectional, mesh)
             print("[Training] loaded value network")
         except FileNotFoundError:
             print("[Training] value network not found")
@@ -500,9 +551,14 @@ def train_a2c_network(
     a2c_params = {"value": vparams, "policy": pparams}
     if resume:
         try:
-            a2c_params = ckpt.load_network(
-                "a2c", network_paths["a2c_network"], template=a2c_params,
-                bidirectional=bidirectional,
+            template = a2c_params
+            a2c_params = _sync_load(
+                lambda: ckpt.load_network(
+                    "a2c", network_paths["a2c_network"], template=template,
+                    bidirectional=bidirectional,
+                ),
+                lambda: template,
+                mesh is not None and jax.process_count() > 1,
             )
             print_green("[Training] resumed A2C weights from checkpoint")
         except FileNotFoundError:

@@ -125,6 +125,18 @@ def main() -> None:
         os.path.exists(gen_path) and os.path.getsize(gen_path)
     ) else ""
 
+    # --- Part 4: cross-host-consistent checkpoint load (_sync_load) ---
+    # Only rank 0 wrote policyNetwork.ckpt (Part 2's rank gating); each
+    # rank passes its OWN rank-dir path, so rank 1's does not exist —
+    # the sync load must still give every rank rank-0's weights instead
+    # of deadlocking on divergent load-or-train branches.
+    synced = loops._load_or_fail_sync(
+        "policy", paths["policy_network"], loops._cfg_for(data, False), data,
+        False, mesh,
+    )
+    sync_sum = float(sum(np.asarray(x, np.float64).sum()
+                         for x in jax.tree.leaves(jax.device_get(synced))))
+
     print(json.dumps({
         "pid": pid,
         "is_main": bool(is_main_process()),
@@ -132,6 +144,7 @@ def main() -> None:
         "leafsums": leafsums,
         "ckpt_written": os.path.exists(paths["policy_network"]),
         "gen_captions": gen_text,
+        "sync_load_sum": sync_sum,
     }))
 
 

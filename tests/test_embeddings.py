@@ -143,3 +143,23 @@ def test_native_loader_raises_on_truncated_binary(tmp_path):
         f.write(b"cut " + struct.pack("<2f", 5, 6))  # half a vector
     with pytest.raises(ValueError, match="truncated"):
         load_word2vec_format(str(p), binary=True)
+
+
+def test_named_model_resolves_from_local_cache(tmp_path, monkeypatch):
+    """Short names (reference utilities.py:384-395) load offline from
+    $ICRL_EMBEDDINGS_DIR through the native reader — gensim is only
+    needed for live downloads."""
+    from image_captioning_through_rl_tpu.embeddings.pretrained import get_embeddings
+
+    cache = tmp_path / "emb_cache"
+    cache.mkdir()
+    (cache / "glove.txt").write_text("hello 1.0 2.0\nworld 3.0 4.0\n")
+    monkeypatch.setenv("ICRL_EMBEDDINGS_DIR", str(cache))
+    vecs = get_embeddings("glove")
+    assert set(vecs) == {"hello", "world"}
+    np.testing.assert_allclose(vecs["world"], [3.0, 4.0])
+
+    # absent from cache + no gensim -> actionable error naming the cache
+    import pytest as _pytest
+    with _pytest.raises(ImportError, match="ICRL_EMBEDDINGS_DIR"):
+        get_embeddings("word2vec")

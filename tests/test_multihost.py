@@ -104,9 +104,30 @@ def test_two_process_job_matches_single_process(tmp_path, monkeypatch):
         )
         for i in range(nproc)
     ]
-    results = {}
+    # drain all ranks concurrently (a full sibling pipe or a dead peer
+    # would otherwise deadlock a sequential communicate loop), and kill
+    # survivors before asserting so no orphan outlives a failure
+    import threading
+
+    drained = [None] * nproc
+
+    def _drain(i, p):
+        try:
+            drained[i] = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            drained[i] = ("", "timeout")
+
+    threads = [threading.Thread(target=_drain, args=(i, p))
+               for i, p in enumerate(procs)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=620)
     for p in procs:
-        out, err = p.communicate(timeout=600)
+        if p.poll() is None:
+            p.kill()
+    results = {}
+    for p, (out, err) in zip(procs, drained):
         assert p.returncode == 0, f"worker failed:\nstdout:{out}\nstderr:{err}"
         rec = json.loads(out.strip().splitlines()[-1])
         results[rec["pid"]] = rec
@@ -134,6 +155,11 @@ def test_two_process_job_matches_single_process(tmp_path, monkeypatch):
     assert results[0]["gen_captions"] and results[1]["gen_captions"] == ""
     ref_gen = _single_process_eval(tmp_path)
     assert results[0]["gen_captions"] == ref_gen
+
+    # sync load: rank 1 has NO local checkpoint, yet both ranks resolve
+    # to rank 0's weights (no divergent load-or-train branches)
+    assert results[0]["sync_load_sum"] == pytest.approx(
+        results[1]["sync_load_sum"], rel=1e-6)
 
 
 def _single_process_eval(tmp_path):
@@ -234,3 +260,33 @@ def test_mesh_a2c_training_single_process(tmp_path, monkeypatch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
     assert os.path.exists(str(tmp_path / "mesh" / "a2c.ckpt"))
+
+
+def test_mesh_trainer_bidirectional_runs(tmp_path, monkeypatch):
+    """Regression: --spmd + --bidirectional must not crash — the mesh
+    branch used to build the (unidirectional-only) chunk step
+    unconditionally; bidirectional configs take the non-chunked path."""
+    import image_captioning_through_rl_tpu.train.loops as loops
+    from image_captioning_through_rl_tpu.config import NetConfig as NC
+    from image_captioning_through_rl_tpu.data import load_data, make_synthetic_coco
+
+    monkeypatch.setattr(
+        loops, "_cfg_for",
+        lambda d, b: NC.for_vocab(d.word_to_idx, d.embeddings, bidirectional=b,
+                                  input_dim=16, wordvec_dim=8, hidden_dim=8),
+    )
+    fixture = make_synthetic_coco(str(tmp_path / "coco"), num_train_images=4,
+                                  num_val_images=2, vocab_size=30, feature_dim=16,
+                                  seed=5)
+    data = load_data(fixture)
+    mesh = make_mesh((8,), ("data",))
+
+    p_paths = {"policy_network": str(tmp_path / "policy_bidi.ckpt")}
+    loops.train_policy_network(
+        data, p_paths, None, True, epochs=1, batch_size=8, seed=3, mesh=mesh)
+    assert os.path.exists(p_paths["policy_network"])
+
+    r_paths = {"reward_network": str(tmp_path / "reward_bidi.ckpt")}
+    loops.train_reward_network(
+        data, r_paths, None, True, epochs=1, batch_size=8, seed=3, mesh=mesh)
+    assert os.path.exists(r_paths["reward_network"])

@@ -140,6 +140,8 @@ def main(args):
 
     mesh = None
     if args.spmd:
+        import jax
+
         from ..parallel import make_mesh
 
         mesh = make_mesh((jax.device_count(),), ("data",))

@@ -147,3 +147,34 @@ def test_setup_falls_back_to_reference_pt_filenames(tmp_path, monkeypatch):
     assert network_paths["value_network"].endswith("valueNetwork.pt")
     assert network_paths["reward_network"].endswith("rewardNetwork.pt")
     assert network_paths["a2c_network"].endswith("a2cNetwork.ckpt")
+
+
+def test_spmd_pipeline(coco_dir, tmp_path, monkeypatch):
+    """--spmd drives the whole CLI flow over the 8-virtual-device mesh:
+    mesh-threaded trainers (GlobalBatcher path), sharded eval decode,
+    scoring — same artifact set as the single-device run."""
+    monkeypatch.chdir(tmp_path)
+    import image_captioning_through_rl_tpu.train.loops as loops
+    from image_captioning_through_rl_tpu.config import NetConfig
+
+    def tiny_cfg(data, bidirectional):
+        return NetConfig.for_vocab(
+            data.word_to_idx, data.embeddings, bidirectional=bidirectional,
+            input_dim=32, wordvec_dim=16, hidden_dim=16,
+        )
+
+    monkeypatch.setattr(loops, "_cfg_for", tiny_cfg)
+
+    main(_args(coco_dir, str(tmp_path), spmd=True))
+
+    logs = os.listdir("logs")
+    assert len(logs) == 1
+    log_dir = os.path.join("logs", logs[0])
+    files = set(os.listdir(log_dir))
+    assert {"real_captions.txt", "generated_captions.txt", "image_url.txt",
+            "results.txt", "a2cNetwork.ckpt"} <= files
+    with open(os.path.join(log_dir, "results.txt")) as f:
+        assert "CIDEr" in f.read()
+    with open(os.path.join(log_dir, "generated_captions.txt")) as f:
+        gen_lines = [l for l in f.read().splitlines() if l]
+    assert gen_lines and all(l.startswith("<START>") for l in gen_lines)

@@ -42,7 +42,13 @@ class Captioner:
     the XLA path does. Pass ``True``/``False`` to force either side.
     """
 
-    def __init__(self, params: dict, cfg: NetConfig, idx_to_word: dict):
+    def __init__(self, params: dict, cfg: NetConfig, idx_to_word: dict,
+                 mesh=None):
+        """``mesh``: a :class:`jax.sharding.Mesh` with a ``data`` axis
+        serves each request batch-sharded across its chips/hosts
+        (:mod:`.parallel.serve`); single-chip fused kernels step aside —
+        mesh takes precedence, mirroring ``test_a2c_network``. Faithful
+        beams stay single-device (Q2 couples the batch)."""
         if "policy" in params:  # a2c pytree
             self._policy = params["policy"]
             self._value = params.get("value")
@@ -51,6 +57,7 @@ class Captioner:
             self._value = None
         self._cfg = cfg
         self._idx_to_word = idx_to_word
+        self._mesh = mesh
         self._jitted = {}
         self._fused_verdict = {}  # decode key -> VerifiedDispatch
 
@@ -97,6 +104,15 @@ class Captioner:
                 lambda pp, vp, f, s: beam_fn(pp, vp, cfg, dcfg, f, s)[:2]
             ))
 
+            if self._mesh is not None and not faithful_beam:
+                from .parallel.serve import sharded_beam_tokens
+
+                toks, _ = sharded_beam_tokens(
+                    self._mesh, self._policy, self._value, cfg, dcfg,
+                    features, start,
+                )
+                return np.asarray(toks[:, 0])
+
             def fused(f, s):
                 from .ops.pallas_beam import fused_beam_search
 
@@ -118,6 +134,13 @@ class Captioner:
                 )
             toks, _ = xla_fn(self._policy, self._value, features, start)
             return np.asarray(toks[:, 0])
+
+        if self._mesh is not None and not cfg.bidirectional:
+            from .parallel.serve import sharded_greedy_tokens
+
+            return np.asarray(
+                sharded_greedy_tokens(self._mesh, self._policy, cfg, features, start)
+            )
 
         xla_fn = self._get("greedy", lambda: jax.jit(
             lambda pp, f, s: (

@@ -151,3 +151,24 @@ def test_captioner_forced_fused_kernel_raises_when_unfusable(rng_np):
         cap.caption_tokens(feats, use_fused_kernel=True)
     with pytest.raises(ValueError, match="cannot be honored"):
         cap.caption_tokens(feats, beam_size=3, use_fused_kernel=True)
+
+
+def test_captioner_mesh_serving_matches_single_device(rng_np):
+    """Captioner(mesh=...) serves batch-sharded over the 8-device mesh,
+    token-equal to the single-device Captioner (greedy and beam)."""
+    from image_captioning_through_rl_tpu.api import Captioner
+    from image_captioning_through_rl_tpu.models import a2c
+    from image_captioning_through_rl_tpu.parallel import make_mesh
+
+    params = a2c.init(jax.random.PRNGKey(6), CFG)
+    idx_to_word = {i: f"w{i}" for i in range(CFG.vocab_size)}
+    feats = rand_features(rng_np, 13, CFG.input_dim)  # not a multiple of 8
+
+    plain = Captioner(params, CFG, idx_to_word)
+    meshy = Captioner(params, CFG, idx_to_word, mesh=make_mesh((8,), ("data",)))
+
+    np.testing.assert_array_equal(
+        meshy.caption_tokens(feats), plain.caption_tokens(feats, use_fused_kernel=False))
+    np.testing.assert_array_equal(
+        meshy.caption_tokens(feats, beam_size=3),
+        plain.caption_tokens(feats, beam_size=3, use_fused_kernel=False))

@@ -104,7 +104,8 @@ class Captioner:
                 lambda pp, vp, f, s: beam_fn(pp, vp, cfg, dcfg, f, s)[:2]
             ))
 
-            if self._mesh is not None and not faithful_beam:
+            if (self._mesh is not None and not faithful_beam
+                    and not cfg.bidirectional):
                 from .parallel.serve import sharded_beam_tokens
 
                 toks, _ = sharded_beam_tokens(

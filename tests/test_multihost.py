@@ -290,3 +290,32 @@ def test_mesh_trainer_bidirectional_runs(tmp_path, monkeypatch):
     loops.train_reward_network(
         data, r_paths, None, True, epochs=1, batch_size=8, seed=3, mesh=mesh)
     assert os.path.exists(r_paths["reward_network"])
+
+
+def test_mesh_eval_bidirectional_falls_back_to_xla(tmp_path):
+    """Regression: sharded beam decode is unidirectional-only; a
+    bidirectional eval with a mesh must fall back to the XLA beam
+    instead of feeding bidi params to the unidirectional kernel."""
+    import image_captioning_through_rl_tpu.train.loops as loops
+    from image_captioning_through_rl_tpu.config import DecodeConfig, NetConfig as NC
+    from image_captioning_through_rl_tpu.data import load_data, make_synthetic_coco
+    from image_captioning_through_rl_tpu.models import a2c
+
+    fixture = make_synthetic_coco(str(tmp_path / "coco"), num_train_images=4,
+                                  num_val_images=3, vocab_size=30, feature_dim=16,
+                                  seed=8)
+    data = load_data(fixture)
+    cfg = NC(vocab_size=30, input_dim=16, wordvec_dim=8, hidden_dim=8,
+             max_seq_len=6, bidirectional=True)
+    params = a2c.init(jax.random.PRNGKey(2), cfg)
+    paths = {
+        "real_captions_path": str(tmp_path / "real.txt"),
+        "generated_captions_path": str(tmp_path / "gen.txt"),
+        "image_urls_path": str(tmp_path / "urls.txt"),
+    }
+    loops.test_a2c_network(
+        params, cfg, data, paths, data_size=10, validation_batch_size=8,
+        dcfg=DecodeConfig(beam_size=2, max_seq_len=6), seed=0,
+        mesh=make_mesh((8,), ("data",)),
+    )
+    assert open(paths["generated_captions_path"]).read()

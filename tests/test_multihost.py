@@ -319,3 +319,39 @@ def test_mesh_eval_bidirectional_falls_back_to_xla(tmp_path):
         mesh=make_mesh((8,), ("data",)),
     )
     assert open(paths["generated_captions_path"]).read()
+
+
+def test_mesh_a2c_curriculum_single_process(tmp_path):
+    """a2c_curriculum_training(mesh=...) — chunked dispatch with the
+    on-device skip rule over the mesh — matches the plain run."""
+    import image_captioning_through_rl_tpu.train.loops as loops
+    from image_captioning_through_rl_tpu.config import NetConfig as NC
+    from image_captioning_through_rl_tpu.data import load_data, make_synthetic_coco
+    from image_captioning_through_rl_tpu.models import a2c, reward
+    from image_captioning_through_rl_tpu.train.optim import adam
+
+    cfg = NC(vocab_size=30, input_dim=16, wordvec_dim=8, hidden_dim=8)
+    fixture = make_synthetic_coco(str(tmp_path / "coco"), num_train_images=8,
+                                  num_val_images=4, vocab_size=30, feature_dim=16,
+                                  seed=7)
+    data = load_data(fixture)
+    params = a2c.init(jax.random.PRNGKey(0), cfg)
+    rparams = reward.init(jax.random.PRNGKey(1), cfg)
+    tx = adam(1e-4, params, cfg.freeze_embeddings)
+
+    def run(mesh, sub):
+        sp = [str(tmp_path / sub / "model.ckpt"), str(tmp_path / sub / "a2c.ckpt")]
+        (tmp_path / sub).mkdir()
+        p = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), params)
+        out = loops.a2c_curriculum_training(
+            data, p, rparams, tx, tx.init(p), cfg, None, sp,
+            batch_size=8, epochs=1, curriculum=[3, 16], seed=0,
+            chunk_steps=2, mesh=mesh,
+        )
+        return jax.device_get(out)
+
+    p_plain = run(None, "plain")
+    p_mesh = run(make_mesh((8,), ("data",)), "mesh")
+    for a, b in zip(jax.tree.leaves(p_plain), jax.tree.leaves(p_mesh)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)

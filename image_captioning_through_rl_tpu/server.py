@@ -1,0 +1,275 @@
+"""Captioning HTTP server with dynamic micro-batching.
+
+The reference exposes inference only as a CLI pass that dumps caption
+files (reference trainers.py:619-665; image_captioner.py:119-151) —
+there is no serving story. This module is the production-serving layer
+of the framework: a stdlib-only HTTP front end over
+:class:`.api.Captioner` whose batcher coalesces concurrent requests
+into single device dispatches — the TPU wants large batches
+(bench: decode throughput saturates in the thousands of captions per
+dispatch), while clients send a few images at a time.
+
+Design:
+  * one background batcher thread owns ALL device work (single-stream
+    dispatch; JAX programs are thread-compatible but serializing them
+    avoids interleaved-dispatch latency jitter);
+  * requests enqueue ``(features, beam_size, future)``; the batcher
+    drains the queue, groups by decode config, concatenates up to
+    ``max_batch`` rows, decodes once, and scatters the rows back;
+  * requests wait at most ``max_wait_ms`` for co-batching — the classic
+    latency/throughput knob;
+  * endpoints: ``POST /caption`` (JSON ``{"features": [[...]],
+    "beam_size": 0}`` -> ``{"captions": [...]}``), ``GET /healthz``,
+    ``GET /stats`` (request/batch/latency counters).
+
+Multi-chip serving composes by constructing the
+:class:`.api.Captioner` with a mesh; the server itself is
+placement-agnostic.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional
+
+import numpy as np
+
+from .api import Captioner
+
+
+class _Pending:
+    __slots__ = ("features", "beam_size", "event", "result", "error", "t_enq")
+
+    def __init__(self, features: np.ndarray, beam_size: int):
+        self.features = features
+        self.beam_size = beam_size
+        self.event = threading.Event()
+        self.result: Optional[List[str]] = None
+        self.error: Optional[str] = None
+        self.t_enq = time.perf_counter()
+
+
+class CaptionServer:
+    """Dynamic-batching caption service.
+
+    >>> srv = CaptionServer(captioner, port=0)  # port 0: pick a free one
+    >>> srv.start()
+    >>> srv.port
+    >>> ... POST http://host:port/caption ...
+    >>> srv.stop()
+    """
+
+    def __init__(self, captioner: Captioner, host: str = "127.0.0.1",
+                 port: int = 8000, max_batch: int = 1024,
+                 max_wait_ms: float = 5.0):
+        self._cap = captioner
+        self._queue: "queue.Queue[_Pending]" = queue.Queue()
+        self._max_batch = max_batch
+        self._max_wait = max_wait_ms / 1e3
+        self._stop = threading.Event()
+        self._stats_lock = threading.Lock()
+        self.stats = {
+            "requests": 0, "captions": 0, "batches": 0,
+            "max_batch_rows": 0, "latency_ms": [],
+        }
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet access log
+                pass
+
+            def _reply(self, code: int, payload: dict):
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    import jax
+
+                    self._reply(200, {
+                        "ok": True,
+                        "platform": jax.devices()[0].platform,
+                        "devices": jax.device_count(),
+                    })
+                elif self.path == "/stats":
+                    self._reply(200, server.snapshot_stats())
+                else:
+                    self._reply(404, {"error": "not found"})
+
+            def do_POST(self):
+                if self.path != "/caption":
+                    self._reply(404, {"error": "not found"})
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n))
+                    feats = np.asarray(req["features"], np.float32)
+                    if feats.ndim == 1:
+                        feats = feats[None, :]
+                    if feats.ndim != 2:
+                        raise ValueError("features must be [N, F] or [F]")
+                    beam = int(req.get("beam_size", 0))
+                except Exception as e:  # malformed request
+                    self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+                    return
+                pending = _Pending(feats, beam)
+                server._queue.put(pending)
+                pending.event.wait()
+                if pending.error is not None:
+                    self._reply(500, {"error": pending.error})
+                else:
+                    with server._stats_lock:
+                        server.stats["requests"] += 1
+                        server.stats["captions"] += len(pending.result)
+                        server.stats["latency_ms"].append(
+                            (time.perf_counter() - pending.t_enq) * 1e3)
+                    self._reply(200, {"captions": pending.result})
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.host, self.port = self._httpd.server_address[:2]
+        self._threads: List[threading.Thread] = []
+
+    # ------------------------------------------------------------------
+    def snapshot_stats(self) -> dict:
+        with self._stats_lock:
+            lat = sorted(self.stats["latency_ms"])
+            snap = {k: v for k, v in self.stats.items() if k != "latency_ms"}
+        if lat:
+            snap["latency_p50_ms"] = round(lat[len(lat) // 2], 3)
+            snap["latency_p95_ms"] = round(lat[int(len(lat) * 0.95)], 3)
+        return snap
+
+    def _drain(self) -> List[_Pending]:
+        """Block for one request, then co-batch whatever else arrives
+        within ``max_wait`` (or until ``max_batch`` rows)."""
+        try:
+            first = self._queue.get(timeout=0.2)
+        except queue.Empty:
+            return []
+        group = [first]
+        rows = first.features.shape[0]
+        deadline = time.perf_counter() + self._max_wait
+        while rows < self._max_batch:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            group.append(nxt)
+            rows += nxt.features.shape[0]
+        return group
+
+    def _batcher(self):
+        while not self._stop.is_set():
+            group = self._drain()
+            if not group:
+                continue
+            # group by decode config (beam size): each config is its own
+            # compiled program, so mixed groups split into sub-batches
+            by_beam = {}
+            for p in group:
+                by_beam.setdefault(p.beam_size, []).append(p)
+            for beam, members in by_beam.items():
+                feats = np.concatenate([m.features for m in members], axis=0)
+                try:
+                    captions = self._cap.caption(feats, beam_size=beam)
+                except Exception as e:
+                    for m in members:
+                        m.error = f"{type(e).__name__}: {e}"
+                        m.event.set()
+                    continue
+                with self._stats_lock:
+                    self.stats["batches"] += 1
+                    self.stats["max_batch_rows"] = max(
+                        self.stats["max_batch_rows"], feats.shape[0])
+                off = 0
+                for m in members:
+                    k = m.features.shape[0]
+                    m.result = captions[off : off + k]
+                    off += k
+                    m.event.set()
+
+    # ------------------------------------------------------------------
+    def start(self):
+        self._threads = [
+            threading.Thread(target=self._batcher, daemon=True),
+            threading.Thread(target=self._httpd.serve_forever, daemon=True),
+        ]
+        for t in self._threads:
+            t.start()
+        return self
+
+    def stop(self):
+        self._stop.set()
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        for t in self._threads:
+            t.join(timeout=5)
+
+
+def main(argv=None, block: bool = True):
+    """``python -m image_captioning_through_rl_tpu.server`` — serve a
+    trained model over HTTP. ``block=False`` returns the started
+    :class:`CaptionServer` instead of parking the main thread (tests)."""
+    import argparse
+
+    from .data.coco import load_data
+    from .api import load_captioner
+    from .utils.io import get_filename
+    from .utils.logging import print_green
+
+    ap = argparse.ArgumentParser(description="Caption serving over HTTP")
+    ap.add_argument("--model", required=True,
+                    help="a2cNetwork checkpoint (.ckpt or reference .pt)")
+    ap.add_argument("--pretrained_path", default="models_pretrained",
+                    help="dir holding the policy/value sub-network checkpoints")
+    ap.add_argument("--data_dir", required=True, help="COCO bundle (for the vocab)")
+    ap.add_argument("--bidirectional", action="store_true", default=False)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--max_batch", type=int, default=1024)
+    ap.add_argument("--max_wait_ms", type=float, default=5.0)
+    ap.add_argument("--spmd", action="store_true", default=False,
+                    help="shard each decode batch over all devices")
+    args = ap.parse_args(argv)
+
+    import os
+
+    data = load_data(base_dir=args.data_dir, max_train=1)
+    network_paths = {
+        k: os.path.join(args.pretrained_path,
+                        get_filename(f"{n}Network.ckpt", args.bidirectional, None))
+        for k, n in (("policy_network", "policy"), ("value_network", "value"),
+                     ("reward_network", "reward"))
+    }
+    cap = load_captioner(args.model, data, network_paths, args.bidirectional)
+    if args.spmd:
+        from .parallel import make_mesh
+
+        cap._mesh = make_mesh()
+    srv = CaptionServer(cap, host=args.host, port=args.port,
+                        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
+    srv.start()
+    print_green(f"[Serving] captioning at http://{srv.host}:{srv.port} "
+                f"(POST /caption, GET /healthz, GET /stats)")
+    if not block:
+        return srv
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        srv.stop()
+
+
+if __name__ == "__main__":
+    main()

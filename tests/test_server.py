@@ -144,3 +144,15 @@ def test_server_cli_main_serves_from_checkpoints(tmp_path, rng_np, monkeypatch):
         assert all(c.startswith("<START>") for c in out["captions"])
     finally:
         srv.stop()
+
+
+def test_bucketing_pads_and_slices(server, rng_np):
+    """Co-batches pad to power-of-two buckets (one compiled program per
+    bucket, the TPU static-shape rule) and padding rows are sliced off."""
+    srv, cap = server
+    assert srv._buckets[0] >= 1 and all(
+        b == srv._buckets[0] * 2**i for i, b in enumerate(srv._buckets[:-1]))
+    for n in (1, 3, 9):  # below, inside, above the first bucket
+        feats = rng_np.standard_normal((n, CFG.input_dim)).astype(np.float32)
+        got = _post(srv, {"features": feats.tolist()})["captions"]
+        assert got == cap.caption(feats)

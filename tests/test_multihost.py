@@ -355,3 +355,37 @@ def test_mesh_a2c_curriculum_single_process(tmp_path):
     for a, b in zip(jax.tree.leaves(p_plain), jax.tree.leaves(p_mesh)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_mesh_value_trainer_single_process_matches_plain(tmp_path, monkeypatch):
+    """train_value_network(mesh=...) — frozen-net loads via the synced
+    path, host-RNG prefix draws, chunked dispatch — matches plain."""
+    import image_captioning_through_rl_tpu.train.loops as loops
+    from image_captioning_through_rl_tpu.config import NetConfig as NC
+    from image_captioning_through_rl_tpu.data import load_data, make_synthetic_coco
+    from image_captioning_through_rl_tpu.models import policy, reward
+    from image_captioning_through_rl_tpu.train import checkpoint as ckpt
+
+    cfg = NC(vocab_size=30, input_dim=16, wordvec_dim=8, hidden_dim=8)
+    monkeypatch.setattr(loops, "_cfg_for", lambda d, b: cfg)
+    fixture = make_synthetic_coco(str(tmp_path / "coco"), num_train_images=8,
+                                  num_val_images=4, vocab_size=30, feature_dim=16,
+                                  seed=6)
+    data = load_data(fixture)
+    paths = {
+        "policy_network": str(tmp_path / "policyNetwork.ckpt"),
+        "reward_network": str(tmp_path / "rewardNetwork.ckpt"),
+        "value_network": str(tmp_path / "value_plain.ckpt"),
+    }
+    ckpt.save_pytree(policy.init(jax.random.PRNGKey(0), cfg), paths["policy_network"])
+    ckpt.save_pytree(reward.init(jax.random.PRNGKey(1), cfg), paths["reward_network"])
+
+    p_plain = loops.train_value_network(
+        data, paths, None, False, epochs=1, batch_size=8, seed=2, chunk_steps=2)
+    paths_m = dict(paths, value_network=str(tmp_path / "value_mesh.ckpt"))
+    p_mesh = loops.train_value_network(
+        data, paths_m, None, False, epochs=1, batch_size=8, seed=2, chunk_steps=2,
+        mesh=make_mesh((8,), ("data",)))
+    for a, b in zip(jax.tree.leaves(p_plain), jax.tree.leaves(p_mesh)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)

@@ -106,6 +106,12 @@ class Captioner:
 
             if (self._mesh is not None and not faithful_beam
                     and not cfg.bidirectional):
+                if use_fused_kernel:
+                    raise ValueError(
+                        "use_fused_kernel=True cannot be honored on a mesh: "
+                        "the fused beam kernel is single-chip — drop the "
+                        "mesh or the force flag"
+                    )
                 from .parallel.serve import sharded_beam_tokens
 
                 toks, _ = sharded_beam_tokens(
@@ -137,6 +143,12 @@ class Captioner:
             return np.asarray(toks[:, 0])
 
         if self._mesh is not None and not cfg.bidirectional:
+            if use_fused_kernel:
+                raise ValueError(
+                    "use_fused_kernel=True cannot be honored on a mesh: the "
+                    "fused greedy kernel is single-chip — drop the mesh or "
+                    "the force flag"
+                )
             from .parallel.serve import sharded_greedy_tokens
 
             return np.asarray(
@@ -216,9 +228,10 @@ def load_captioner(
     data: CocoData,
     network_paths: dict,
     bidirectional: bool = False,
+    mesh=None,
 ) -> Captioner:
     """Build a :class:`Captioner` from checkpoints on disk (native or .pt)."""
     from .train.loops import load_a2c_models
 
     params, cfg = load_a2c_models(model_path, data, network_paths, bidirectional)
-    return Captioner(params, cfg, data.idx_to_word)
+    return Captioner(params, cfg, data.idx_to_word, mesh=mesh)

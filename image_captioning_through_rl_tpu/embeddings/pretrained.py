@@ -35,7 +35,7 @@ def _local_model_file(name: str, short: str):
         os.path.join(os.path.expanduser("~"), ".cache", "icrl_embeddings"),
     )
     for stem in (short, name):
-        for ext in ("", ".txt", ".vec", ".bin"):
+        for ext in ("", ".txt", ".vec", ".bin", ".gz", ".txt.gz", ".vec.gz"):
             p = os.path.join(root, stem + ext)
             if os.path.isfile(p):
                 return p
@@ -121,8 +121,13 @@ def load_word2vec_format(path: str, binary=None, encoding: str = "utf-8"):
         up to a space followed by ``dim`` raw little-endian float32s.
 
     ``binary=None`` auto-detects by sniffing the post-header bytes.
+    ``.gz`` files (the compression gensim-data ships) decompress
+    transparently.
     """
-    with open(path, "rb") as f:
+    import gzip
+
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rb") as f:
         first = f.readline()
         parts = first.split()
         has_header = len(parts) == 2 and all(p.isdigit() for p in parts)

@@ -89,10 +89,15 @@ class CaptionServer:
             b *= 2
         self._buckets.append(max_batch)
         self._stop = threading.Event()
+        self._carry: Optional[_Pending] = None
         self._stats_lock = threading.Lock()
+        import collections
+
         self.stats = {
             "requests": 0, "captions": 0, "batches": 0,
-            "max_batch_rows": 0, "latency_ms": [],
+            "max_batch_rows": 0,
+            # bounded: a long-running server must not grow per-request
+            "latency_ms": collections.deque(maxlen=10_000),
         }
         server = self
 
@@ -134,6 +139,10 @@ class CaptionServer:
                         feats = feats[None, :]
                     if feats.ndim != 2:
                         raise ValueError("features must be [N, F] or [F]")
+                    want = server._cap._cfg.input_dim
+                    if feats.shape[1] != want:
+                        raise ValueError(
+                            f"feature dim {feats.shape[1]} != model's {want}")
                     beam = int(req.get("beam_size", 0))
                 except Exception as e:  # malformed request
                     self._reply(400, {"error": f"{type(e).__name__}: {e}"})
@@ -167,11 +176,16 @@ class CaptionServer:
 
     def _drain(self) -> List[_Pending]:
         """Block for one request, then co-batch whatever else arrives
-        within ``max_wait`` (or until ``max_batch`` rows)."""
-        try:
-            first = self._queue.get(timeout=0.2)
-        except queue.Empty:
-            return []
+        within ``max_wait`` — never exceeding ``max_batch`` rows (a
+        request that would overflow carries to the next batch, so every
+        multi-request dispatch stays inside the compiled buckets)."""
+        if self._carry is not None:
+            first, self._carry = self._carry, None
+        else:
+            try:
+                first = self._queue.get(timeout=0.2)
+            except queue.Empty:
+                return []
         group = [first]
         rows = first.features.shape[0]
         deadline = time.perf_counter() + self._max_wait
@@ -182,6 +196,9 @@ class CaptionServer:
             try:
                 nxt = self._queue.get(timeout=remaining)
             except queue.Empty:
+                break
+            if rows + nxt.features.shape[0] > self._max_batch:
+                self._carry = nxt
                 break
             group.append(nxt)
             rows += nxt.features.shape[0]
@@ -198,16 +215,21 @@ class CaptionServer:
             for p in group:
                 by_beam.setdefault(p.beam_size, []).append(p)
             for beam, members in by_beam.items():
-                feats = np.concatenate([m.features for m in members], axis=0)
-                n = feats.shape[0]
-                bucket = next((b for b in self._buckets if b >= n),
-                              self._buckets[-1])
-                if bucket > n:
-                    feats = np.concatenate(
-                        [feats, np.repeat(feats[-1:], bucket - n, axis=0)],
-                        axis=0)
                 try:
-                    captions = self._cap.caption(feats, beam_size=beam)[:n]
+                    feats = np.concatenate([m.features for m in members], axis=0)
+                    n = feats.shape[0]
+                    captions: List[str] = []
+                    # oversized single requests split into max_batch
+                    # chunks; every dispatched shape is a bucket
+                    for lo in range(0, n, self._max_batch):
+                        chunk = feats[lo : lo + self._max_batch]
+                        c = chunk.shape[0]
+                        bucket = next(b for b in self._buckets if b >= c)
+                        if bucket > c:
+                            chunk = np.concatenate(
+                                [chunk, np.repeat(chunk[-1:], bucket - c, axis=0)],
+                                axis=0)
+                        captions += self._cap.caption(chunk, beam_size=beam)[:c]
                 except Exception as e:
                     for m in members:
                         m.error = f"{type(e).__name__}: {e}"
@@ -216,7 +238,7 @@ class CaptionServer:
                 with self._stats_lock:
                     self.stats["batches"] += 1
                     self.stats["max_batch_rows"] = max(
-                        self.stats["max_batch_rows"], feats.shape[0])
+                        self.stats["max_batch_rows"], min(n, self._max_batch))
                 off = 0
                 for m in members:
                     k = m.features.shape[0]
@@ -233,7 +255,9 @@ class CaptionServer:
         rng = np.random.default_rng(0)  # NOT zeros: the verified-dispatch
         # canary compares fused-vs-XLA tokens on this batch, and all-zero
         # features make every logit a tie (ill-conditioned verdict)
-        for b in (buckets if buckets is not None else self._buckets[:1]):
+        if buckets is None:
+            buckets = sorted({self._buckets[0], self._buckets[-1]})
+        for b in buckets:
             feats = rng.standard_normal((b, feature_dim)).astype(np.float32)
             for beam in beam_sizes:
                 self._cap.caption(feats, beam_size=beam)
@@ -254,6 +278,18 @@ class CaptionServer:
         self._httpd.server_close()
         for t in self._threads:
             t.join(timeout=5)
+        # fail anything still queued/carried so no handler thread is
+        # stranded in event.wait()
+        leftovers = [] if self._carry is None else [self._carry]
+        self._carry = None
+        while True:
+            try:
+                leftovers.append(self._queue.get_nowait())
+            except queue.Empty:
+                break
+        for p in leftovers:
+            p.error = "server stopped"
+            p.event.set()
 
 
 def main(argv=None, block: bool = True):
@@ -280,6 +316,12 @@ def main(argv=None, block: bool = True):
     ap.add_argument("--max_wait_ms", type=float, default=5.0)
     ap.add_argument("--spmd", action="store_true", default=False,
                     help="shard each decode batch over all devices")
+    ap.add_argument("--no_warmup", action="store_true", default=False,
+                    help="skip pre-compiling the decode buckets (first "
+                         "requests then pay compile latency — minutes on "
+                         "remote-compile backends)")
+    ap.add_argument("--warmup_beams", type=int, nargs="*", default=[0],
+                    help="beam sizes to pre-compile (0 = greedy)")
     args = ap.parse_args(argv)
 
     import os
@@ -291,13 +333,19 @@ def main(argv=None, block: bool = True):
         for k, n in (("policy_network", "policy"), ("value_network", "value"),
                      ("reward_network", "reward"))
     }
-    cap = load_captioner(args.model, data, network_paths, args.bidirectional)
+    mesh = None
     if args.spmd:
         from .parallel import make_mesh
 
-        cap._mesh = make_mesh()
+        mesh = make_mesh()
+    cap = load_captioner(args.model, data, network_paths, args.bidirectional,
+                         mesh=mesh)
     srv = CaptionServer(cap, host=args.host, port=args.port,
                         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
+    if not args.no_warmup:
+        print_green("[Serving] warming decode buckets (pre-compiling; the "
+                    "first compile on a fresh cache can take minutes)")
+        srv.warmup(cap._cfg.input_dim, beam_sizes=tuple(args.warmup_beams))
     srv.start()
     print_green(f"[Serving] captioning at http://{srv.host}:{srv.port} "
                 f"(POST /caption, GET /healthz, GET /stats)")

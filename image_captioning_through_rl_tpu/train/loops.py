@@ -460,16 +460,27 @@ def _sync_load(load_fn, template_fn, multiprocess: bool):
     import numpy as _np
     from jax.experimental import multihost_utils
 
-    params, ok = None, False
+    # the verdict bit MUST broadcast on every control path: an uncaught
+    # exception on rank 0 before the broadcast would strand every other
+    # rank in the collective (the exact hang this function prevents)
+    params, code, err = None, 1, None
     if is_main_process():
         try:
             params = load_fn()
-            ok = True
-        except FileNotFoundError:
-            ok = False
-    ok = bool(multihost_utils.broadcast_one_to_all(_np.int32(1 if ok else 0)))
-    if not ok:
-        raise FileNotFoundError("checkpoint absent on process 0")
+        except FileNotFoundError as e:
+            code, err = 0, e
+        except Exception as e:  # corrupt/mismatched checkpoint etc.
+            code, err = 2, e
+    code = int(multihost_utils.broadcast_one_to_all(_np.int32(code)))
+    if code == 0:
+        raise err if err is not None else FileNotFoundError(
+            "checkpoint absent on process 0")
+    if code == 2:
+        if err is not None:
+            raise err
+        raise RuntimeError(
+            "checkpoint load failed on process 0 (see its log for the "
+            "original error)")
     if params is None:  # non-main ranks contribute the template structure
         params = template_fn()
     return multihost_utils.broadcast_one_to_all(

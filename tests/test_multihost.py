@@ -114,8 +114,8 @@ def test_two_process_job_matches_single_process(tmp_path, monkeypatch):
     def _drain(i, p):
         try:
             drained[i] = p.communicate(timeout=600)
-        except subprocess.TimeoutExpired:
-            drained[i] = ("", "timeout")
+        except Exception as e:  # timeout, decode error, ...
+            drained[i] = ("", f"drain failed: {type(e).__name__}: {e}")
 
     threads = [threading.Thread(target=_drain, args=(i, p))
                for i, p in enumerate(procs)]
@@ -127,8 +127,10 @@ def test_two_process_job_matches_single_process(tmp_path, monkeypatch):
         if p.poll() is None:
             p.kill()
     results = {}
-    for p, (out, err) in zip(procs, drained):
-        assert p.returncode == 0, f"worker failed:\nstdout:{out}\nstderr:{err}"
+    for p, res in zip(procs, drained):
+        out, err = res if res is not None else ("", "worker never drained")
+        assert p.returncode == 0 and res is not None, (
+            f"worker failed:\nstdout:{out}\nstderr:{err}")
         rec = json.loads(out.strip().splitlines()[-1])
         results[rec["pid"]] = rec
 

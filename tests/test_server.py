@@ -156,3 +156,54 @@ def test_bucketing_pads_and_slices(server, rng_np):
         feats = rng_np.standard_normal((n, CFG.input_dim)).astype(np.float32)
         got = _post(srv, {"features": feats.tolist()})["captions"]
         assert got == cap.caption(feats)
+
+
+def test_wrong_feature_dim_rejected_before_batching(server):
+    """A request whose feature width mismatches the model is rejected
+    with 400 at the door — it must never reach the batcher, where a
+    mixed-width concatenate would kill the serving thread."""
+    srv, _ = server
+    req = urllib.request.Request(
+        f"http://{srv.host}:{srv.port}/caption",
+        data=json.dumps({"features": [[1.0, 2.0]]}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=10)
+    assert ei.value.code == 400
+    # server still alive and serving
+    feats = np.zeros((1, CFG.input_dim), np.float32)
+    assert len(_post(srv, {"features": feats.tolist()})["captions"]) == 1
+
+
+def test_oversized_request_splits_into_buckets(rng_np):
+    """A single request larger than max_batch dispatches in bucket-sized
+    chunks (no unbucketed shapes), returning all rows in order."""
+    params = a2c.init(jax.random.PRNGKey(1), CFG)
+    idx_to_word = {i: f"w{i}" for i in range(CFG.vocab_size)}
+    cap = Captioner(params, CFG, idx_to_word)
+    srv = CaptionServer(cap, port=0, max_batch=4, min_bucket=2, max_wait_ms=1)
+    srv.start()
+    try:
+        feats = rng_np.standard_normal((10, CFG.input_dim)).astype(np.float32)
+        got = _post(srv, {"features": feats.tolist()})["captions"]
+        assert got == cap.caption(feats)
+    finally:
+        srv.stop()
+
+
+def test_stop_fails_queued_requests():
+    """stop() must not strand handler threads: queued work resolves with
+    an error instead of waiting forever."""
+    from image_captioning_through_rl_tpu.server import _Pending
+
+    params = a2c.init(jax.random.PRNGKey(2), CFG)
+    cap = Captioner(params, CFG, {i: f"w{i}" for i in range(CFG.vocab_size)})
+    srv = CaptionServer(cap, port=0)
+    # never started: enqueue directly, then stop
+    p = _Pending(np.zeros((1, CFG.input_dim), np.float32), 0)
+    srv._queue.put(p)
+    srv.start()
+    srv.stop()
+    assert p.event.wait(timeout=10)
+    assert p.result is not None or p.error is not None

@@ -55,9 +55,21 @@ class CocoData:
 
 
 def caption_lengths(captions: np.ndarray) -> np.ndarray:
-    """Length = first index of the END token + 1 (utilities.py:98-103)."""
+    """Length = first index of the END token + 1 (utilities.py:98-103).
+
+    Rows without an END token are a malformed bundle: ``argmax`` of
+    all-False would silently report length 1, making the XE loss mask
+    out the whole caption with no diagnostic — validate instead.
+    """
     is_end = captions == END_ID
-    # argmax finds the first True; captions are guaranteed to contain END.
+    missing = ~is_end.any(axis=1)
+    if missing.any():
+        bad = np.flatnonzero(missing)
+        raise ValueError(
+            f"{bad.size} caption row(s) contain no <END> token "
+            f"(first bad rows: {bad[:5].tolist()}); the COCO bundle is "
+            "malformed or truncated"
+        )
     return np.argmax(is_end, axis=1) + 1
 
 
@@ -166,6 +178,27 @@ def get_coco_batch(
     return caps[mask], feats[image_idxs], urls[image_idxs]
 
 
+def epoch_minibatch_indices(
+    n: int,
+    batch_size: int,
+    rng: Optional[np.random.Generator] = None,
+    drop_remainder: bool = False,
+) -> Iterator[np.ndarray]:
+    """THE epoch index stream: one permutation, sliced in order.
+
+    The single definition shared by :func:`get_coco_minibatches` and
+    :class:`..data.device._MinibatchMixin` — host-table, device-table
+    and multi-host loops must consume IDENTICAL index streams (the
+    mesh-vs-plain equivalence tests depend on it)."""
+    rng = rng or np.random.default_rng()
+    perm = rng.permutation(n)
+    for i in range(0, n, batch_size):
+        mask = perm[i : i + batch_size]
+        if drop_remainder and mask.shape[0] < batch_size:
+            return
+        yield mask
+
+
 def get_coco_minibatches(
     data: CocoData,
     batch_size: int = 100,
@@ -175,11 +208,8 @@ def get_coco_minibatches(
     """Epoch iterator: one random permutation, sliced into minibatches
     (reference utilities.py:160-178). Multiple captions share an image,
     hence the per-caption feature gather through ``image_idxs``."""
-    rng = rng or np.random.default_rng()
     caps, idxs, feats, urls = data.split(split)
-    perm = rng.permutation(caps.shape[0])
-    for i in range(0, caps.shape[0], batch_size):
-        mask = perm[i : i + batch_size]
+    for mask in epoch_minibatch_indices(caps.shape[0], batch_size, rng):
         image_idxs = idxs[mask]
         yield caps[mask], feats[image_idxs], urls[image_idxs]
 

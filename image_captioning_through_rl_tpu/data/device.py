@@ -42,12 +42,11 @@ class _MinibatchMixin:
         self, batch_size: int, rng: Optional[np.random.Generator] = None,
         drop_remainder: bool = False,
     ):
-        rng = rng or np.random.default_rng()
-        perm = rng.permutation(self.num_captions)
-        for i in range(0, self.num_captions, batch_size):
-            mask = perm[i : i + batch_size]
-            if drop_remainder and mask.shape[0] < batch_size:
-                return
+        from .coco import epoch_minibatch_indices
+
+        for mask in epoch_minibatch_indices(
+            self.num_captions, batch_size, rng, drop_remainder
+        ):
             yield self.gather(mask)
 
 

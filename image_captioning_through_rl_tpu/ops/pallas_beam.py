@@ -57,7 +57,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_decode import VMEM_LIMIT, _round_up
+from .pallas_decode import VMEM_LIMIT, _lstm_gate_split, _round_up
 
 _NEG = -1e30
 
@@ -69,10 +69,7 @@ def _lstm_step(x, h, c, wi, wh, b, hidden):
         + jnp.dot(h.astype(wi.dtype), wh, preferred_element_type=f32)
         + b
     )
-    i = jax.nn.sigmoid(gates[:, :hidden])
-    f = jax.nn.sigmoid(gates[:, hidden : 2 * hidden])
-    g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
-    o = jax.nn.sigmoid(gates[:, 3 * hidden :])
+    i, f, g, o = _lstm_gate_split(gates, hidden)
     c_new = f * c + i * g
     return o * jnp.tanh(c_new), c_new
 

@@ -43,6 +43,35 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _lstm_gate_split(gates, hidden: int):
+    """``(i, f, g, o)`` activations from pre-activation ``gates
+    [N, 4H]`` — the ONE definition of the gate slicing + nonlinearity
+    block, shared by every kernel module (the slice arithmetic is the
+    error-prone part; the gate MATMUL layouts legitimately differ per
+    kernel and stay local)."""
+    i = jax.nn.sigmoid(gates[:, :hidden])
+    f = jax.nn.sigmoid(gates[:, hidden : 2 * hidden])
+    g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
+    o = jax.nn.sigmoid(gates[:, 3 * hidden :])
+    return i, f, g, o
+
+
+def _pad_rows(x, n_pad: int):
+    """Pad the batch axis to ``n_pad`` by replicating the last row.
+
+    Replicate (not zero) so padded rows follow real compute paths; the
+    public wrappers slice padding off, and under autodiff the pad's
+    transpose (a slice) zeroes the padded cotangents. Shared by every
+    kernel module (one definition — the padding strategy is a measured
+    decision)."""
+    n = x.shape[0]
+    if n_pad == n:
+        return x
+    return jnp.concatenate(
+        [x, jnp.broadcast_to(x[-1:], (n_pad - n,) + x.shape[1:])], axis=0
+    )
+
+
 def _kernel(feats_ref, start_ref, wc_ref, bc_ref, emb_ref, wi_ref, wh_ref,
             b_ref, wo_ref, bo_ref, out_ref, *, steps: int):
     f32 = jnp.float32
@@ -66,10 +95,7 @@ def _kernel(feats_ref, start_ref, wc_ref, bc_ref, emb_ref, wi_ref, wh_ref,
             + jnp.dot(h.astype(wdtype), wh_ref[:], preferred_element_type=f32)
             + b_ref[:]
         )
-        i = jax.nn.sigmoid(gates[:, :hidden])
-        f = jax.nn.sigmoid(gates[:, hidden : 2 * hidden])
-        g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
-        o = jax.nn.sigmoid(gates[:, 3 * hidden :])
+        i, f, g, o = _lstm_gate_split(gates, hidden)
         c = f * c + i * g
         h = o * jnp.tanh(c)
         logits = jnp.dot(h.astype(wdtype), wo_ref[:], preferred_element_type=f32) + bo_ref[:]

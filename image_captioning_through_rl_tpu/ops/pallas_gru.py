@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_decode import VMEM_LIMIT, _round_up
+from .pallas_decode import VMEM_LIMIT, _pad_rows, _round_up
 from .pallas_lstm import _specs
 
 
@@ -246,12 +246,7 @@ def fused_gru_chain(
     n_pad = _round_up(n, block_n)
     f32 = jnp.float32
 
-    def pad_rows(x):
-        if n_pad == n:
-            return x
-        return jnp.concatenate(
-            [x, jnp.broadcast_to(x[-1:], (n_pad - n,) + x.shape[1:])], axis=0
-        )
+    pad_rows = lambda x: _pad_rows(x, n_pad)  # noqa: E731
 
     tok_sm = jnp.swapaxes(pad_rows(tokens.astype(jnp.int32)), 0, 1).reshape(t * n_pad, 1)
     emb_pad = jnp.pad(embedding.astype(f32), ((0, vp - vocab), (0, 0)))

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_decode import VMEM_LIMIT, _round_up
+from .pallas_decode import VMEM_LIMIT, _lstm_gate_split, _pad_rows, _round_up
 
 
 def _fwd_kernel(
@@ -60,10 +60,7 @@ def _fwd_kernel(
     x = jnp.dot((col_v == tok_ref[:]).astype(wd), emb_ref[:], preferred_element_type=f32)
     xh = jnp.concatenate([x, h], axis=1)
     gates = jnp.dot(xh.astype(wd), w_ref[:], preferred_element_type=f32) + b_ref[:]
-    i = jax.nn.sigmoid(gates[:, :hidden])
-    f = jax.nn.sigmoid(gates[:, hidden : 2 * hidden])
-    g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
-    o = jax.nn.sigmoid(gates[:, 3 * hidden :])
+    i, f, g, o = _lstm_gate_split(gates, hidden)
     g_ref[:, :] = jnp.concatenate([i, f, g, o], axis=1)
     c_new = f * c + i * g
     h_new = o * jnp.tanh(c_new)
@@ -266,12 +263,7 @@ def fused_lstm_chain(
     n_pad = _round_up(n, block_n)
     f32 = jnp.float32
 
-    def pad_rows(x):
-        if n_pad == n:
-            return x
-        return jnp.concatenate(
-            [x, jnp.broadcast_to(x[-1:], (n_pad - n,) + x.shape[1:])], axis=0
-        )
+    pad_rows = lambda x: _pad_rows(x, n_pad)  # noqa: E731
 
     tok_sm = jnp.swapaxes(pad_rows(tokens.astype(jnp.int32)), 0, 1).reshape(t * n_pad, 1)
     emb_pad = jnp.pad(embedding.astype(f32), ((0, vp - vocab), (0, 0)))

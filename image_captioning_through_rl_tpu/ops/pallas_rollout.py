@@ -54,7 +54,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_decode import VMEM_LIMIT as _VMEM_LIMIT
-from .pallas_decode import _round_up
+from .pallas_decode import _lstm_gate_split, _pad_rows, _round_up
+from .pallas_lstm import _specs
 
 _NEG = -1e30
 
@@ -63,11 +64,7 @@ def _lstm_gates(xh, w, b, hidden):
     """Concat-form LSTM gates ([x;h] @ [wi;wh] — ops/rnn.lstm_cell)."""
     f32 = jnp.float32
     gates = jnp.dot(xh.astype(w.dtype), w, preferred_element_type=f32) + b
-    i = jax.nn.sigmoid(gates[:, :hidden])
-    f = jax.nn.sigmoid(gates[:, hidden : 2 * hidden])
-    g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
-    o = jax.nn.sigmoid(gates[:, 3 * hidden :])
-    return i, f, g, o
+    return _lstm_gate_split(gates, hidden)
 
 
 def _gru_step(tok, h, col_v, r_emb_ref, r_wi_ref, r_wh_ref, r_bi_ref,
@@ -187,6 +184,7 @@ def _rollout_fwd_kernel(
     # 5b) frozen reward stream (fused variant): lookahead on the sampled
     # action scores the prefix (trainers.py:459), the placed token
     # advances the carried GRU — identical math to fused_reward_stream
+    last = pl.num_programs(1) - 1
     if fuse_reward:
         h_r = srh[:]
         after = _gru_step(action, h_r, col_v, r_emb_ref, r_wi_ref, r_wh_ref,
@@ -196,31 +194,46 @@ def _rollout_fwd_kernel(
         sn = jnp.sqrt(jnp.sum(se * se, axis=-1, keepdims=True))
         rew_ref[:, :] = (jnp.sum(vn_ref[:] * se, axis=-1, keepdims=True)
                          / jnp.maximum(sn, 1e-12))
-        srh[:] = _gru_step(token, h_r, col_v, r_emb_ref, r_wi_ref, r_wh_ref,
-                           r_bi_ref, r_bh_ref, hidden)
 
-    # 6) advance policy
-    hot_t = (col_v == token).astype(wd)
-    x_p = jnp.dot(hot_t, p_emb_ref[:], preferred_element_type=f32)
-    i, f, g, o = _lstm_gates(
-        jnp.concatenate([x_p, h_p], axis=1), p_w_ref[:], p_b_ref[:], hidden
-    )
-    if tape_gates:
-        gp_ref[:, :] = jnp.concatenate([i, f, g, o], axis=1).astype(td)
-    c_new = f * c_p + i * g
-    sph[:] = o * jnp.tanh(c_new)
-    spc[:] = c_new
+        @pl.when(s < last)  # the final advance's output is never read
+        def _advance_reward():
+            srh[:] = _gru_step(token, h_r, col_v, r_emb_ref, r_wi_ref,
+                               r_wh_ref, r_bi_ref, r_bh_ref, hidden)
 
-    # 7) advance value
-    x_v = jnp.dot(hot_t, v_emb_ref[:], preferred_element_type=f32)
-    i, f, g, o = _lstm_gates(
-        jnp.concatenate([x_v, h_v], axis=1), v_w_ref[:], v_b_ref[:], hidden
-    )
+    # 6/7) advance policy + value encoders with the placed token. The
+    # FINAL step's advances are dead work — no step consumes the updated
+    # states, and the backward's matching reverse step sees zero
+    # cotangents — so they are skipped (same dead-work cut as the beam
+    # kernels, ~1/S of the cell compute). The last gate-tape rows still
+    # need DEFINED values (0 * garbage = NaN in the backward): zeros.
     if tape_gates:
-        gv_ref[:, :] = jnp.concatenate([i, f, g, o], axis=1).astype(td)
-    c_new = f * c_v + i * g
-    svh[:] = o * jnp.tanh(c_new)
-    svc[:] = c_new
+        @pl.when(s == last)
+        def _defined_tape_tail():
+            gp_ref[:, :] = jnp.zeros_like(gp_ref)
+            gv_ref[:, :] = jnp.zeros_like(gv_ref)
+
+    @pl.when(s < last)
+    def _advance_encoders():
+        hot_t = (col_v == token).astype(wd)
+        x_p = jnp.dot(hot_t, p_emb_ref[:], preferred_element_type=f32)
+        i, f, g, o = _lstm_gates(
+            jnp.concatenate([x_p, h_p], axis=1), p_w_ref[:], p_b_ref[:], hidden
+        )
+        if tape_gates:
+            gp_ref[:, :] = jnp.concatenate([i, f, g, o], axis=1).astype(td)
+        c_new = f * c_p + i * g
+        sph[:] = o * jnp.tanh(c_new)
+        spc[:] = c_new
+
+        x_v = jnp.dot(hot_t, v_emb_ref[:], preferred_element_type=f32)
+        i, f, g, o = _lstm_gates(
+            jnp.concatenate([x_v, h_v], axis=1), v_w_ref[:], v_b_ref[:], hidden
+        )
+        if tape_gates:
+            gv_ref[:, :] = jnp.concatenate([i, f, g, o], axis=1).astype(td)
+        c_new = f * c_v + i * g
+        svh[:] = o * jnp.tanh(c_new)
+        svc[:] = c_new
 
 
 def _fwd_pallas(
@@ -237,10 +250,7 @@ def _fwd_pallas(
     grid = (tiles, steps)
     fuse_reward = reward_operands is not None
 
-    vm = lambda shape, index_map: pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)  # noqa: E731
-    tile = lambda i, s: (i, 0)  # noqa: E731
-    whole = lambda i, s: (0, 0)  # noqa: E731
-    stream = lambda i, s: (s * tiles + i, 0)  # noqa: E731 — step-major row blocks
+    vm, tile, whole, stream, _ = _specs(bn, tiles, steps)
 
     f32 = jnp.float32
     td = tape_dtype  # f32 default (bf16 measured slower; see fused_rollout)
@@ -539,11 +549,8 @@ def _policy_bwd_pallas(
     f32 = jnp.float32
     tape_gates = gp is not None
 
-    vm = lambda shape, index_map: pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)  # noqa: E731
-    tile = lambda i, s: (i, 0)  # noqa: E731
-    whole = lambda i, s: (0, 0)  # noqa: E731
     # reverse-time streams: grid step s touches real step steps-1-s
-    rev = lambda i, s: ((steps - 1 - s) * tiles + i, 0)  # noqa: E731
+    vm, tile, whole, _, rev = _specs(bn, tiles, steps)
 
     in_specs = [
         vm((bn, 1), rev),             # dlogp
@@ -607,10 +614,7 @@ def _value_bwd_pallas(
     f32 = jnp.float32
     tape_gates = gv is not None
 
-    vm = lambda shape, index_map: pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)  # noqa: E731
-    tile = lambda i, s: (i, 0)  # noqa: E731
-    whole = lambda i, s: (0, 0)  # noqa: E731
-    rev = lambda i, s: ((steps - 1 - s) * tiles + i, 0)  # noqa: E731
+    vm, tile, whole, _, rev = _specs(bn, tiles, steps)
 
     in_specs = [
         vm((bn, 1), rev),             # dvalue
@@ -838,6 +842,32 @@ def fused_rollout(
     from ..ops.rnn import gru_cell, lstm_cell
 
     pparams, vparams = a2c_params["policy"], a2c_params["value"]
+    if "lstm" not in pparams or "lstm" not in vparams:
+        raise ValueError("fused rollout requires unidirectional networks")
+    if (vparams["embedding"].shape != pparams["embedding"].shape
+            or vparams["lstm"]["wh"].shape != pparams["lstm"]["wh"].shape):
+        # the BlockSpecs below size the value (and reward) blocks from
+        # the policy's dims; mismatched nets (e.g. a pretrained 300-d
+        # policy embedding with a 512-d value net) must fail fast with a
+        # readable error, not crash inside pallas_call
+        raise ValueError(
+            "fused rollout requires policy and value networks with "
+            "matching embedding/hidden dims "
+            f"(policy {pparams['embedding'].shape}/"
+            f"{pparams['lstm']['wh'].shape}, "
+            f"value {vparams['embedding'].shape}/"
+            f"{vparams['lstm']['wh'].shape})"
+        )
+    if reward_params is not None and (
+            reward_params["embedding"].shape != pparams["embedding"].shape
+            or reward_params["gru"]["wh"].shape[0]
+            != pparams["lstm"]["wh"].shape[0]):
+        raise ValueError(
+            "in-kernel reward stream requires a reward net matching the "
+            "policy's embedding/hidden dims "
+            f"(policy {pparams['embedding'].shape}, "
+            f"reward {reward_params['embedding'].shape})"
+        )
     n, t_max = captions.shape
     steps = t_max - 1
     hidden = cfg.hidden_dim
@@ -863,12 +893,7 @@ def fused_rollout(
     step_keys = jax.random.split(rng, steps)
     gumbel = jax.vmap(lambda k: jax.random.gumbel(k, (n, vocab), f32))(step_keys)
 
-    def pad_rows(x):
-        if n_pad == n:
-            return x
-        return jnp.concatenate(
-            [x, jnp.broadcast_to(x[-1:], (n_pad - n,) + x.shape[1:])], axis=0
-        )
+    pad_rows = lambda x: _pad_rows(x, n_pad)  # noqa: E731
 
     feats_p = pad_rows(features.astype(f32))
     ph1, pc1, vh1, vc1 = (pad_rows(x) for x in (ph1, pc1, vh1, vc1))
@@ -1021,12 +1046,7 @@ def fused_reward_stream(
     f32 = jnp.float32
     wd = weight_dtype
 
-    def pad_rows(x):
-        if n_pad == n:
-            return x
-        return jnp.concatenate(
-            [x, jnp.broadcast_to(x[-1:], (n_pad - n,) + x.shape[1:])], axis=0
-        )
+    pad_rows = lambda x: _pad_rows(x, n_pad)  # noqa: E731
 
     # XLA-side pre-computation: the start-token cell and the normalized
     # visual embedding are per-episode constants
@@ -1041,10 +1061,7 @@ def fused_reward_stream(
         s_steps * n_pad, 1)
     act_sm, tok_sm = sm(actions), sm(tokens)
 
-    vm = lambda shape, index_map: pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)  # noqa: E731
-    tile = lambda i, s: (i, 0)  # noqa: E731
-    whole = lambda i, s: (0, 0)  # noqa: E731
-    stream = lambda i, s: (s * tiles + i, 0)  # noqa: E731
+    vm, tile, whole, stream, _ = _specs(block_n, tiles, s_steps)
 
     gp = reward_params["gru"]
     emb_pad = jnp.pad(reward_params["embedding"].astype(wd), ((0, vp - vocab), (0, 0)))

@@ -74,3 +74,15 @@ def test_decode_captions(coco_dir):
     # generation continuing past <END> is trimmed
     caps2 = np.array([[START_ID, 5, END_ID, 9, 9, 9]])
     assert decode_captions(caps2, data.idx_to_word) == ["<START> word1 <END>"]
+
+
+def test_caption_without_end_token_is_rejected():
+    """argmax-of-all-False would silently report length 1 (the sample
+    then trains as nothing); malformed bundles must fail loudly."""
+    from image_captioning_through_rl_tpu.data.coco import caption_lengths
+
+    good = np.array([[1, 5, 6, 2, 0], [1, 4, 2, 0, 0]], np.int32)
+    np.testing.assert_array_equal(caption_lengths(good), [4, 3])
+    bad = np.array([[1, 5, 6, 7, 8]], np.int32)  # no END_ID (=2)
+    with pytest.raises(ValueError, match="no <END>"):
+        caption_lengths(bad)

@@ -36,6 +36,7 @@ VARIANTS = {
     "fusedrew+tape": dict(fuse_reward=True, tape_gates=True),
     "separate+recomp": dict(fuse_reward=False, tape_gates=False),
     "fusedrew+recomp": dict(fuse_reward=True, tape_gates=False),
+    "xla-control": None,  # unfused chunk step: in-process drift anchor
 }
 
 
@@ -62,13 +63,17 @@ def main():
 
     runners = {}
     for name, kw in VARIANTS.items():
-        steps.a2c_rollout_loss_fused = functools.partial(orig, **kw)
-        chunk = steps.make_a2c_chunk_step(cfg, tx, fused=True)
-        lf, _ = steps.a2c_rollout_loss_fused(
-            params, cfg, rparams, feats[0], caps[0], jnp.int32(1), jnp.int32(T),
-            keys[0])
-        ok = abs(float(lf) - lx) <= 1e-2 * max(1.0, abs(lx))
-        print(f"{name}: loss={float(lf):.6f} (xla {lx:.6f}) ok={ok}", flush=True)
+        if kw is None:
+            chunk = steps.make_a2c_chunk_step(cfg, tx, fused=False)
+            print(f"{name}: (unfused XLA rollout)", flush=True)
+        else:
+            steps.a2c_rollout_loss_fused = functools.partial(orig, **kw)
+            chunk = steps.make_a2c_chunk_step(cfg, tx, fused=True)
+            lf, _ = steps.a2c_rollout_loss_fused(
+                params, cfg, rparams, feats[0], caps[0], jnp.int32(1), jnp.int32(T),
+                keys[0])
+            ok = abs(float(lf) - lx) <= 1e-2 * max(1.0, abs(lx))
+            print(f"{name}: loss={float(lf):.6f} (xla {lx:.6f}) ok={ok}", flush=True)
 
         def make_run(chunk):
             state = {"p": jax.tree.map(jnp.array, params), "o": None}

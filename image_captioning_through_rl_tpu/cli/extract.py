@@ -53,7 +53,10 @@ def load_image_batch(paths: List[str], resize: int = 256, crop: int = 224) -> np
             w, h = im.size
             scale = resize / min(w, h)
             nw, nh = max(crop, round(w * scale)), max(crop, round(h * scale))
-            im = im.resize((nw, nh))
+            # pin the filter: torchvision's pretrained-VGG eval pipeline
+            # resizes BILINEAR; Pillow's default is BICUBIC and varies
+            # across versions, which would drift the fc7 features
+            im = im.resize((nw, nh), resample=Image.BILINEAR)
             left, top = (nw - crop) // 2, (nh - crop) // 2
             out[i] = np.asarray(
                 im.crop((left, top, left + crop, top + crop)), np.uint8

@@ -73,7 +73,18 @@ def _mine_pairs(
     return np.asarray(pairs, dtype=np.int32)
 
 
-def _make_sgns_step(num_negatives: int, use_subwords: bool):
+def _make_sgns_step(num_negatives: int, use_subwords: bool, dense: bool = False):
+    """SGNS optimization step.
+
+    The default is a SPARSE update: the SGNS gradient is nonzero only on
+    the rows the batch touched, but ``jax.grad`` of an embedding gather
+    materializes a full dense table gradient and ``params - lr*grads``
+    a full dense update — ~157 MB per step for the 131072x300 fastText
+    bucket table alone. The closed-form per-row gradients
+    (``sigmoid(score)-label`` times the paired vectors) scatter-add onto
+    only the gathered rows instead. ``dense=True`` keeps the autodiff
+    form as the parity oracle (tests assert the two steps match).
+    """
     def loss_fn(params, word_ngrams, ngram_wts, centers, contexts, neg_keys, noise_logits):
         if use_subwords:
             # center vec = mean of word vector and its n-gram bucket
@@ -100,14 +111,58 @@ def _make_sgns_step(num_negatives: int, use_subwords: bool):
         return loss
 
     @jax.jit
-    def step(params, word_ngrams, ngram_wts, lr, centers, contexts, key, noise_logits):
+    def dense_step(params, word_ngrams, ngram_wts, lr, centers, contexts, key, noise_logits):
         loss, grads = jax.value_and_grad(loss_fn)(
             params, word_ngrams, ngram_wts, centers, contexts, key, noise_logits
         )
         new = {k: params[k] - lr * grads[k] for k in params}
         return new, loss
 
-    return step
+    @jax.jit
+    def sparse_step(params, word_ngrams, ngram_wts, lr, centers, contexts, key, noise_logits):
+        b = centers.shape[0]
+        if use_subwords:
+            gram_ids = word_ngrams[centers]          # [B, G]
+            gram_wts = ngram_wts[centers]            # [B, G]
+            sub = jnp.sum(params["buckets"][gram_ids] * gram_wts[:, :, None], axis=1)
+            v_c = (params["in"][centers] + sub) / 2.0
+        else:
+            v_c = params["in"][centers]
+        u_pos = params["out"][contexts]
+        negs = jax.random.categorical(
+            key, noise_logits, shape=(b, num_negatives)
+        )
+        u_neg = params["out"][negs]
+        pos_score = jnp.sum(v_c * u_pos, axis=-1)
+        neg_score = jnp.einsum("bd,bkd->bk", v_c, u_neg)
+        loss = -jnp.mean(
+            jax.nn.log_sigmoid(pos_score) + jnp.sum(jax.nn.log_sigmoid(-neg_score), axis=-1)
+        )
+        # closed-form SGNS gradients, mean over the batch: d/dscore of
+        # -log_sigmoid(pos) = sigmoid(pos)-1; of -log_sigmoid(-neg) =
+        # sigmoid(neg). Duplicate ids accumulate via scatter-add, exactly
+        # like the dense autodiff gradient.
+        g_pos = (jax.nn.sigmoid(pos_score) - 1.0) / b              # [B]
+        g_neg = jax.nn.sigmoid(neg_score) / b                       # [B, K]
+        d_vc = g_pos[:, None] * u_pos + jnp.einsum("bk,bkd->bd", g_neg, u_neg)
+        out = params["out"].at[contexts].add(-lr * g_pos[:, None] * v_c)
+        out = out.at[negs.reshape(-1)].add(
+            -lr * (g_neg[:, :, None] * v_c[:, None, :]).reshape(-1, v_c.shape[1])
+        )
+        new = {"out": out}
+        if use_subwords:
+            new["in"] = params["in"].at[centers].add(-lr * d_vc / 2.0)
+            d_rows = (d_vc[:, None, :] / 2.0 * gram_wts[:, :, None]).reshape(
+                -1, v_c.shape[1]
+            )
+            new["buckets"] = params["buckets"].at[gram_ids.reshape(-1)].add(
+                -lr * d_rows
+            )
+        else:
+            new["in"] = params["in"].at[centers].add(-lr * d_vc)
+        return new, loss
+
+    return dense_step if dense else sparse_step
 
 
 def train_sgns(

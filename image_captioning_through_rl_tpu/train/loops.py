@@ -263,6 +263,8 @@ def train_reward_network(
     tx = adam(lr, params, cfg.freeze_embeddings)
     opt_state = tx.init(params)
     if compat_batch_as_time or cfg.bidirectional or mesh is not None:
+        _forced_fused_conflict(fused_chain, "fused_chain",
+                               "with compat/bidirectional/mesh")
         fused_chain = False
     elif fused_chain is None:
         fused_chain = _probe_fused_pair(
@@ -327,6 +329,8 @@ def train_policy_network(
     tx = adam(lr, params, cfg.freeze_embeddings)
     opt_state = tx.init(params)
     if cfg.bidirectional or mesh is not None:
+        _forced_fused_conflict(fused_chain, "fused_chain",
+                               "with bidirectional/mesh")
         fused_chain = False
     elif fused_chain is None:
         fused_chain = _probe_fused_policy(cfg, params)
@@ -393,7 +397,7 @@ def train_value_network(
     if compat_batch_as_time or cfg.bidirectional or mesh is not None:
         fused_chain = False
     else:  # auto: probe the REAL fused value step (chain + fused rollout)
-        fused_chain = _probe_fused_value(cfg, tx, params, pparams, rparams)
+        fused_chain = _probe_fused_value(cfg, params, pparams, rparams)
         print_green(f"[Training] fused value-step kernels "
                     f"{'verified — Pallas value step' if fused_chain else 'unavailable — XLA value step'}")
     step = steps.make_value_step(cfg, tx, compat=compat_batch_as_time, fused=fused_chain)
@@ -607,6 +611,18 @@ def train_a2c_network(
 
 
 
+def _forced_fused_conflict(flag, what: str, why: str):
+    """Explicitly forced fused kernels must not silently degrade: raise,
+    matching the serving path's use_fused_kernel=True contract
+    (api.Captioner errors rather than serving a different program)."""
+    if flag:
+        raise ValueError(
+            f"{what} was explicitly forced but cannot be honored {why} — "
+            "the fused Pallas kernels are single-chip, unidirectional, "
+            "non-compat; drop the force flag or the conflicting mode"
+        )
+
+
 def _probe_batch(cfg: NetConfig):
     """Tiny synthetic (features, captions) batch shared by the four
     fused-kernel auto-probes: <START> column, <END> in the last slot."""
@@ -664,7 +680,7 @@ def _probe_fused_pair(fused_loss, xla_loss, cfg: NetConfig, params,
         return False
 
 
-def _probe_fused_value(cfg: NetConfig, tx, vparams, pparams, rparams,
+def _probe_fused_value(cfg: NetConfig, vparams, pparams, rparams,
                        interpret: bool = False) -> bool:
     """Probe the actual fused value loss (fused LSTM chain + fused greedy
     rollout) against the XLA loss — value and gradients — on a tiny
@@ -737,6 +753,98 @@ def _probe_fused_rollout(cfg: NetConfig, a2c_params, reward_params,
     except Exception:
         return False
 
+def _drive_a2c_epoch(
+    *, epoch, desc, level, tables, train_data, batch_size, chunk_steps,
+    use_chunks, chunk_fn, step, a2c_params, opt_state, reward_params,
+    rng, key, resolve, keeper, state,
+):
+    """One epoch of (curriculum) A2C minibatch updates — the single
+    definition of the chunked/non-chunked walk shared by
+    :func:`a2c_training` (``level=None``: ``curr_seq_len = 1``) and
+    :func:`a2c_curriculum_training` (``level`` set: on-device
+    ``curr_seq_len = caplen - level`` with the skip rule). Returns
+    ``(a2c_params, opt_state, key)``."""
+    if use_chunks:
+        num = tables.num_captions
+        perm = rng.permutation(num)
+        total = math.ceil(num / batch_size)
+        bar = tqdm(total=total, desc=desc)
+        state["bar"] = bar
+        i = 0
+        minibatch_id = 0
+        while i < num:
+            k = min(chunk_steps, (num - i) // batch_size)
+            if k >= 1:
+                # per-minibatch keys with the single-step loop's own
+                # split discipline: chunked and chunk_steps=1 runs
+                # consume the same PRNG stream (same artifacts);
+                # curriculum draws for skipped minibatches too
+                subs = []
+                for _ in range(k):
+                    key, sub = jax.random.split(key)
+                    subs.append(sub)
+                caps_b, feats_b = tables.gather(perm[i : i + k * batch_size])
+                a2c_params, opt_state, stats, valid = chunk_fn(
+                    a2c_params, opt_state, reward_params,
+                    feats_b.reshape(k, batch_size, -1),
+                    caps_b.reshape(k, batch_size, -1),
+                    jnp.int32(1 if level is None else level), jnp.stack(subs),
+                )
+                host_stats = jax.device_get(stats)
+                host_valid = np.asarray(valid)
+                for j in range(k):
+                    # curriculum skip rule: invalid minibatches log nothing
+                    if level is None or host_valid[j]:
+                        resolve(jax.tree.map(lambda x, j=j: x[j], host_stats),
+                                epoch, minibatch_id)
+                    minibatch_id += 1
+                i += k * batch_size
+                bar.update(k)
+            else:  # ragged tail: one single-step call
+                key, sub = jax.random.split(key)
+                caps_b, feats_b = tables.gather(perm[i:])
+                if level is None:
+                    curr = 1
+                else:
+                    caplen = int(np.max(
+                        np.argmax(np.asarray(caps_b) == END_ID, axis=1)) + 1)
+                    curr = caplen - level
+                if curr >= 1:
+                    a2c_params, opt_state, stats = step(
+                        a2c_params, opt_state, reward_params,
+                        feats_b, caps_b, jnp.int32(curr), sub,
+                    )
+                    resolve(stats, epoch, minibatch_id)
+                minibatch_id += 1
+                i = num
+                bar.update(1)
+        bar.close()
+    else:
+        batches, total = _epoch_batches(train_data, batch_size, rng, tables)
+        bar = tqdm(batches, total=total, desc=desc)
+        state["bar"] = bar
+        for minibatch_id, (captions, features, _) in enumerate(bar):
+            # draw BEFORE the skip rule: skipped minibatches consume a
+            # key in the chunked path too (identical PRNG streams)
+            key, sub = jax.random.split(key)
+            if level is None:
+                curr = 1  # rollout from <START>
+            else:
+                caplen = int(np.max(
+                    np.argmax(np.asarray(captions) == END_ID, axis=1)) + 1)
+                curr = caplen - level
+                if curr < 1:  # trainers.py:550
+                    continue
+            a2c_params, opt_state, stats = step(
+                a2c_params, opt_state, reward_params,
+                jnp.asarray(features), jnp.asarray(captions),
+                jnp.int32(curr), sub,
+            )
+            keeper.push(stats, epoch, minibatch_id)
+        keeper.flush()
+    return a2c_params, opt_state, key
+
+
 def a2c_training(
     train_data: CocoData,
     a2c_params,
@@ -773,6 +881,8 @@ def a2c_training(
     rng = np.random.default_rng(seed + 3)
     key = jax.random.PRNGKey(seed + 3)
     if compat_batch_as_time or cfg.bidirectional or mesh is not None:
+        _forced_fused_conflict(fused_rollout, "--fused_rollout",
+                               "with compat/bidirectional/--spmd")
         fused_rollout = False
     elif fused_rollout is None:  # auto: fused kernels when they verify
         fused_rollout = _probe_fused_rollout(cfg, a2c_params, reward_params)
@@ -816,65 +926,17 @@ def a2c_training(
     keeper = _DeferredBookkeeper(resolve)
     print_green("[Training] Training Advantage Actor-Critic Network")
     for epoch in range(epochs):
-        if use_chunks:
-            num = tables.num_captions
-            perm = rng.permutation(num)
-            total = math.ceil(num / batch_size)
-            bar = tqdm(total=total,
-                       desc=f"Training A2C Network ({epoch + 1}/{epochs}): Best Loss {state['best']}")
-            state["bar"] = bar
-            i = 0
-            minibatch_id = 0
-            while i < num:
-                k = min(chunk_steps, (num - i) // batch_size)
-                if k >= 1:
-                    # per-minibatch keys with the single-step loop's own
-                    # split discipline: chunked and chunk_steps=1 runs
-                    # consume the same PRNG stream (same artifacts)
-                    subs = []
-                    for _ in range(k):
-                        key, sub = jax.random.split(key)
-                        subs.append(sub)
-                    caps_b, feats_b = tables.gather(perm[i : i + k * batch_size])
-                    a2c_params, opt_state, stats, _ = chunk_fn(
-                        a2c_params, opt_state, reward_params,
-                        feats_b.reshape(k, batch_size, -1),
-                        caps_b.reshape(k, batch_size, -1),
-                        jnp.int32(1), jnp.stack(subs),
-                    )
-                    host_stats = jax.device_get(stats)
-                    for j in range(k):
-                        resolve(jax.tree.map(lambda x, j=j: x[j], host_stats),
-                                epoch, minibatch_id)
-                        minibatch_id += 1
-                    i += k * batch_size
-                    bar.update(k)
-                else:  # ragged tail: one single-step call
-                    key, sub = jax.random.split(key)
-                    caps_b, feats_b = tables.gather(perm[i:])
-                    a2c_params, opt_state, stats = step(
-                        a2c_params, opt_state, reward_params,
-                        feats_b, caps_b, jnp.int32(1), sub,
-                    )
-                    resolve(stats, epoch, minibatch_id)
-                    minibatch_id += 1
-                    i = num
-                    bar.update(1)
-            bar.close()
-        else:
-            batches, total = _epoch_batches(train_data, batch_size, rng, tables)
-            bar = tqdm(batches, total=total,
-                       desc=f"Training A2C Network ({epoch + 1}/{epochs}): Best Loss {state['best']}")
-            state["bar"] = bar
-            for minibatch_id, (captions, features, _) in enumerate(bar):
-                key, sub = jax.random.split(key)
-                a2c_params, opt_state, stats = step(
-                    a2c_params, opt_state, reward_params,
-                    jnp.asarray(features), jnp.asarray(captions),
-                    jnp.int32(1), sub,  # curr_seq_len=1: rollout from <START>
-                )
-                keeper.push(stats, epoch, minibatch_id)
-            keeper.flush()
+        a2c_params, opt_state, key = _drive_a2c_epoch(
+            epoch=epoch,
+            desc=f"Training A2C Network ({epoch + 1}/{epochs}): Best Loss {state['best']}",
+            level=None, tables=tables, train_data=train_data,
+            batch_size=batch_size, chunk_steps=chunk_steps,
+            use_chunks=use_chunks,
+            chunk_fn=chunk_fn if use_chunks else None, step=step,
+            a2c_params=a2c_params, opt_state=opt_state,
+            reward_params=reward_params, rng=rng, key=key,
+            resolve=resolve, keeper=keeper, state=state,
+        )
         if is_main_process():
             ckpt.save_to_paths(a2c_params, save_paths)  # every epoch (trainers.py:498)
     writer.close()
@@ -916,6 +978,8 @@ def a2c_curriculum_training(
     rng = np.random.default_rng(seed + 4)
     key = jax.random.PRNGKey(seed + 4)
     if compat_batch_as_time or cfg.bidirectional or mesh is not None:
+        _forced_fused_conflict(fused_rollout, "--fused_rollout",
+                               "with compat/bidirectional/--spmd")
         fused_rollout = False
     elif fused_rollout is None:  # auto: fused kernels when they verify
         fused_rollout = _probe_fused_rollout(
@@ -965,75 +1029,18 @@ def a2c_curriculum_training(
 
         keeper = _DeferredBookkeeper(resolve)
         for epoch in range(epochs):
-            if use_chunks:
-                num = tables.num_captions
-                perm = rng.permutation(num)
-                total = math.ceil(num / batch_size)
-                bar = tqdm(total=total,
-                           desc=f"Training A2C Curriculum Level {level} ({epoch}/{epochs}): Best Loss: {state['best']}")
-                state["bar"] = bar
-                i = 0
-                minibatch_id = 0
-                while i < num:
-                    k = min(chunk_steps, (num - i) // batch_size)
-                    if k >= 1:
-                        # one key per minibatch, skipped or not — the
-                        # non-chunked loop draws with the same discipline
-                        subs = []
-                        for _ in range(k):
-                            key, sub = jax.random.split(key)
-                            subs.append(sub)
-                        caps_b, feats_b = tables.gather(perm[i : i + k * batch_size])
-                        a2c_params, opt_state, stats, valid = chunk_fn(
-                            a2c_params, opt_state, reward_params,
-                            feats_b.reshape(k, batch_size, -1),
-                            caps_b.reshape(k, batch_size, -1),
-                            jnp.int32(level), jnp.stack(subs),
-                        )
-                        host_stats = jax.device_get(stats)
-                        host_valid = np.asarray(valid)
-                        for j in range(k):
-                            if host_valid[j]:  # skipped minibatches log nothing
-                                resolve(jax.tree.map(lambda x, j=j: x[j], host_stats),
-                                        epoch, minibatch_id)
-                            minibatch_id += 1
-                        i += k * batch_size
-                        bar.update(k)
-                    else:  # ragged tail: one single-step call
-                        key, sub = jax.random.split(key)
-                        caps_b, feats_b = tables.gather(perm[i:])
-                        caplen = int(np.max(np.argmax(np.asarray(caps_b) == END_ID, axis=1)) + 1)
-                        if caplen - level >= 1:
-                            a2c_params, opt_state, stats = step(
-                                a2c_params, opt_state, reward_params,
-                                feats_b, caps_b, jnp.int32(caplen - level), sub,
-                            )
-                            resolve(stats, epoch, minibatch_id)
-                        minibatch_id += 1
-                        i = num
-                        bar.update(1)
-                bar.close()
-            else:
-                batches, total = _epoch_batches(train_data, batch_size, rng, tables)
-                bar = tqdm(batches, total=total,
-                           desc=f"Training A2C Curriculum Level {level} ({epoch}/{epochs}): Best Loss: {state['best']}")
-                state["bar"] = bar
-                for minibatch_id, (captions, features, _) in enumerate(bar):
-                    # draw BEFORE the skip rule: skipped minibatches
-                    # consume a key in the chunked path too, keeping the
-                    # two paths' PRNG streams identical
-                    key, sub = jax.random.split(key)
-                    caplen = int(np.max(np.argmax(captions == END_ID, axis=1)) + 1)
-                    curr_seq_len = caplen - level
-                    if curr_seq_len < 1:  # trainers.py:550
-                        continue
-                    a2c_params, opt_state, stats = step(
-                        a2c_params, opt_state, reward_params,
-                        jnp.asarray(features), jnp.asarray(captions),
-                        jnp.int32(curr_seq_len), sub,
-                    )
-                    keeper.push(stats, epoch, minibatch_id)
-                keeper.flush()
+            a2c_params, opt_state, key = _drive_a2c_epoch(
+                epoch=epoch,
+                desc=(f"Training A2C Curriculum Level {level} "
+                      f"({epoch}/{epochs}): Best Loss: {state['best']}"),
+                level=level, tables=tables, train_data=train_data,
+                batch_size=batch_size, chunk_steps=chunk_steps,
+                use_chunks=use_chunks,
+                chunk_fn=chunk_fn if use_chunks else None, step=step,
+                a2c_params=a2c_params, opt_state=opt_state,
+                reward_params=reward_params, rng=rng, key=key,
+                resolve=resolve, keeper=keeper, state=state,
+            )
             if is_main_process():
                 ckpt.save_to_paths(a2c_params, save_paths)
     writer.close()

@@ -36,7 +36,7 @@ from ..models import value as value_mod
 from ..ops.linalg import dense
 from ..ops.losses import a2c_losses, visual_semantic_embedding_loss, weighted_caption_xe_loss
 from ..ops.reward_ops import cosine_embedding_reward
-from ..ops.rnn import gru_cell, lstm_cell, lstm_scan
+from ..ops.rnn import lstm_cell, lstm_scan
 
 
 def batch_caption_lens(captions: jax.Array) -> jax.Array:

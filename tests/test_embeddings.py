@@ -163,3 +163,44 @@ def test_named_model_resolves_from_local_cache(tmp_path, monkeypatch):
     import pytest as _pytest
     with _pytest.raises(ImportError, match="ICRL_EMBEDDINGS_DIR"):
         get_embeddings("word2vec")
+
+
+def test_sgns_sparse_step_matches_dense_autodiff():
+    """The sparse scatter-update SGNS step (the default — dense autodiff
+    materializes a full-table gradient, ~157 MB/step for the fastText
+    bucket table) must produce the same parameters as the dense step,
+    with and without subwords."""
+    import jax
+    import jax.numpy as jnp
+
+    from image_captioning_through_rl_tpu.embeddings.word2vec import _make_sgns_step
+
+    rng = np.random.default_rng(0)
+    vocab, size, buckets, G, B, K = 12, 6, 16, 4, 32, 3
+    noise_logits = jnp.asarray(rng.standard_normal(vocab).astype(np.float32))
+    centers = jnp.asarray(rng.integers(0, vocab, B).astype(np.int32))
+    contexts = jnp.asarray(rng.integers(0, vocab, B).astype(np.int32))
+    key = jax.random.PRNGKey(3)
+    word_ngrams = jnp.asarray(rng.integers(0, buckets, (vocab, G)).astype(np.int32))
+    wts = rng.random((vocab, G)).astype(np.float32)
+    wts[:, G // 2 :] = 0.0  # padding slots
+    ngram_wts = jnp.asarray(wts)
+
+    for subwords in (False, True):
+        params = {
+            "in": jnp.asarray(rng.standard_normal((vocab, size)).astype(np.float32)),
+            "out": jnp.asarray(rng.standard_normal((vocab, size)).astype(np.float32)),
+        }
+        if subwords:
+            params["buckets"] = jnp.asarray(
+                rng.standard_normal((buckets, size)).astype(np.float32))
+        dense = _make_sgns_step(K, subwords, dense=True)
+        sparse = _make_sgns_step(K, subwords)
+        pd, ld = dense(params, word_ngrams, ngram_wts, jnp.float32(0.1),
+                       centers, contexts, key, noise_logits)
+        ps, ls = sparse(params, word_ngrams, ngram_wts, jnp.float32(0.1),
+                        centers, contexts, key, noise_logits)
+        np.testing.assert_allclose(float(ld), float(ls), rtol=1e-6)
+        for k in pd:
+            np.testing.assert_allclose(np.asarray(pd[k]), np.asarray(ps[k]),
+                                       rtol=1e-5, atol=1e-6, err_msg=k)

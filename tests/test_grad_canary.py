@@ -103,7 +103,6 @@ def test_value_probe_rejects_value_preserving_vjp_corruption(monkeypatch):
     vparams = value.init(jax.random.PRNGKey(4), CFG)
     pparams = policy.init(jax.random.PRNGKey(5), CFG)
     rparams = reward.init(jax.random.PRNGKey(6), CFG)
-    tx = None  # unused by the probe
 
     orig = steps.value_episode_loss
 
@@ -113,7 +112,7 @@ def test_value_probe_rejects_value_preserving_vjp_corruption(monkeypatch):
 
     monkeypatch.setattr(steps, "value_episode_loss", honest)
     assert loops._probe_fused_value(
-        CFG, tx, vparams, pparams, rparams, interpret=True) is True
+        CFG, vparams, pparams, rparams, interpret=True) is True
 
     def corrupted(vp, cfg, pp, rp, f, c, pl, fused=False, interpret=False):
         if not fused:
@@ -124,7 +123,7 @@ def test_value_probe_rejects_value_preserving_vjp_corruption(monkeypatch):
 
     monkeypatch.setattr(steps, "value_episode_loss", corrupted)
     assert loops._probe_fused_value(
-        CFG, tx, vparams, pparams, rparams, interpret=True) is False
+        CFG, vparams, pparams, rparams, interpret=True) is False
 
 
 @pytest.mark.slow

@@ -172,3 +172,37 @@ def test_captioner_mesh_serving_matches_single_device(rng_np):
     np.testing.assert_array_equal(
         meshy.caption_tokens(feats, beam_size=3),
         plain.caption_tokens(feats, beam_size=3, use_fused_kernel=False))
+
+
+def test_forced_fused_flags_error_on_incompatible_modes(tmp_path):
+    """Explicitly forced fused kernels must ERROR on compat/bidi/mesh
+    instead of silently serving a different program (the serving path's
+    use_fused_kernel=True contract, review round 4)."""
+    import pytest
+
+    from image_captioning_through_rl_tpu.data import load_data, make_synthetic_coco
+    from image_captioning_through_rl_tpu.models import a2c, reward
+    from image_captioning_through_rl_tpu.parallel import make_mesh
+    from image_captioning_through_rl_tpu.train import loops
+    from image_captioning_through_rl_tpu.train.optim import adam
+
+    cfg = NetConfig(vocab_size=30, input_dim=16, wordvec_dim=8, hidden_dim=8)
+    fixture = make_synthetic_coco(str(tmp_path / "coco"), num_train_images=4,
+                                  num_val_images=2, vocab_size=30,
+                                  feature_dim=16, seed=1)
+    data = load_data(fixture)
+    params = a2c.init(jax.random.PRNGKey(0), cfg)
+    rparams = reward.init(jax.random.PRNGKey(1), cfg)
+    tx = adam(1e-4, params, cfg.freeze_embeddings)
+    with pytest.raises(ValueError, match="cannot be honored"):
+        loops.a2c_training(
+            data, params, rparams, tx, tx.init(params), cfg, None,
+            [str(tmp_path / "m.ckpt")], batch_size=8, epochs=1,
+            fused_rollout=True, mesh=make_mesh((8,), ("data",)),
+        )
+    with pytest.raises(ValueError, match="cannot be honored"):
+        loops.train_policy_network(
+            data, {"policy_network": str(tmp_path / "p.ckpt")}, None, False,
+            epochs=1, batch_size=8, fused_chain=True,
+            mesh=make_mesh((8,), ("data",)),
+        )

@@ -25,7 +25,9 @@ Reproduced reference behaviors:
 from __future__ import annotations
 
 import math
+import os as _os
 import random as pyrandom
+import time as _time
 from typing import Dict, Optional, Sequence
 
 import jax
@@ -129,6 +131,15 @@ class _DeferredBookkeeper:
             self._pending = None
 
 
+def _epoch_throughput(writer, tag: str, steps_done: int, dt_s: float, epoch: int):
+    """Opt-in per-epoch throughput scalar (ICRL_STEP_TIMING=1): wires the
+    observability layer's timing meter into every trainer without
+    touching the default metric-log artifact (extra tags only when asked
+    — the JSONL/TB logs otherwise carry exactly the reference's tags)."""
+    if _os.environ.get("ICRL_STEP_TIMING") and dt_s > 0 and steps_done:
+        writer.add_scalar(f"{tag}-steps_per_sec", steps_done / dt_s, epoch)
+
+
 def _drive_best_loss_training(
     desc: str,
     tag: str,
@@ -173,6 +184,8 @@ def _drive_best_loss_training(
     keeper = _DeferredBookkeeper(resolve)
     use_chunks = chunk_step is not None and chunk_steps > 1 and tables is not None
     for epoch in range(epochs):
+        _t_epoch = _time.perf_counter()
+        _steps_before = None
         if use_chunks:
             num = tables.num_captions
             perm = rng.permutation(num)
@@ -216,17 +229,22 @@ def _drive_best_loss_training(
                     i = num
                     bar.update(1)
             bar.close()
+            _epoch_throughput(writer, tag, minibatch_id,
+                              _time.perf_counter() - _t_epoch, epoch)
         else:
             batches, total = _epoch_batches(train_data, batch_size, rng, tables)
             bar = tqdm(batches, total=total,
                        desc=f"{desc} ({epoch + 1}/{epochs}): Best Loss {state['best']}")
             state["bar"] = bar
+            minibatch_id = -1
             for minibatch_id, (captions, features, _) in enumerate(bar):
                 prev = params
                 params, opt_state, loss = single_step(
                     params, opt_state, jnp.asarray(features), jnp.asarray(captions))
                 keeper.push(prev, loss, epoch, minibatch_id)
             keeper.flush()
+            _epoch_throughput(writer, tag, minibatch_id + 1,
+                              _time.perf_counter() - _t_epoch, epoch)
     return params
 
 
@@ -926,6 +944,7 @@ def a2c_training(
     keeper = _DeferredBookkeeper(resolve)
     print_green("[Training] Training Advantage Actor-Critic Network")
     for epoch in range(epochs):
+        _t_epoch = _time.perf_counter()
         a2c_params, opt_state, key = _drive_a2c_epoch(
             epoch=epoch,
             desc=f"Training A2C Network ({epoch + 1}/{epochs}): Best Loss {state['best']}",
@@ -937,6 +956,11 @@ def a2c_training(
             reward_params=reward_params, rng=rng, key=key,
             resolve=resolve, keeper=keeper, state=state,
         )
+        _epoch_throughput(writer, "A2C Network",
+                          math.ceil(tables.num_captions / batch_size)
+                          if tables is not None
+                          else math.ceil(train_data.train_captions.shape[0] / batch_size),
+                          _time.perf_counter() - _t_epoch, epoch)
         if is_main_process():
             ckpt.save_to_paths(a2c_params, save_paths)  # every epoch (trainers.py:498)
     writer.close()

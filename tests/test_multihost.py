@@ -391,3 +391,51 @@ def test_mesh_value_trainer_single_process_matches_plain(tmp_path, monkeypatch):
     for a, b in zip(jax.tree.leaves(p_plain), jax.tree.leaves(p_mesh)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_worker_failure_fails_fast_without_hang(tmp_path):
+    """Failure injection: one rank dies before joining the job. The
+    launcher must surface a clean error within the drain window and
+    leave no orphan process (the concurrent-drain + kill path)."""
+    import subprocess
+    import threading
+    import time
+
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "JAX_COORDINATOR_ADDRESS",
+                        "JAX_NUM_PROCESSES", "JAX_PROCESS_ID")}
+    # rank 0 = genuine worker (will block waiting for its peer);
+    # rank 1 = immediate crasher
+    good = subprocess.Popen(
+        [sys.executable, os.path.join(_HERE, "multihost_worker.py"),
+         "0", "2", str(port), str(tmp_path)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True)
+    bad = subprocess.Popen(
+        [sys.executable, "-c", "import sys; sys.exit(3)"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True)
+
+    procs = [good, bad]
+    drained = [None, None]
+
+    def _drain(i, p, timeout):
+        try:
+            drained[i] = p.communicate(timeout=timeout)
+        except Exception as e:
+            drained[i] = ("", f"drain failed: {type(e).__name__}")
+
+    t0 = time.time()
+    threads = [threading.Thread(target=_drain, args=(i, p, 30))
+               for i, p in enumerate(procs)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=40)
+    for p in procs:
+        if p.poll() is None:
+            p.kill()  # the launcher's survivor-cleanup step
+    for p in procs:
+        p.wait(timeout=10)
+    assert time.time() - t0 < 90, "failure handling hung"
+    assert bad.returncode == 3
+    assert good.poll() is not None, "orphan rank survived the cleanup"

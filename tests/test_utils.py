@@ -42,3 +42,45 @@ def test_live_array_report():
     report = live_array_report()
     assert "live device arrays" in report
     del x
+
+
+def test_step_timing_meter_opt_in(tmp_path, monkeypatch):
+    """ICRL_STEP_TIMING=1 adds per-epoch throughput scalars; the default
+    metric log carries only the reference's tags."""
+    import json
+
+    import jax
+
+    import image_captioning_through_rl_tpu.train.loops as loops
+    from image_captioning_through_rl_tpu.config import NetConfig as NC
+    from image_captioning_through_rl_tpu.data import load_data, make_synthetic_coco
+
+    monkeypatch.setattr(
+        loops, "_cfg_for",
+        lambda d, b: NC.for_vocab(d.word_to_idx, d.embeddings, bidirectional=b,
+                                  input_dim=16, wordvec_dim=8, hidden_dim=8),
+    )
+    fixture = make_synthetic_coco(str(tmp_path / "coco"), num_train_images=4,
+                                  num_val_images=2, vocab_size=30,
+                                  feature_dim=16, seed=2)
+    data = load_data(fixture)
+
+    def tags_of(sub, timing):
+        if timing:
+            monkeypatch.setenv("ICRL_STEP_TIMING", "1")
+        else:
+            monkeypatch.delenv("ICRL_STEP_TIMING", raising=False)
+        plot = tmp_path / sub
+        plot.mkdir()
+        loops.train_policy_network(
+            data, {"policy_network": str(tmp_path / f"{sub}.ckpt")},
+            str(plot), False, epochs=1, batch_size=8, seed=0, chunk_steps=2)
+        log = next(plot.glob("**/*.jsonl"), None)
+        if log is None:
+            return set()
+        return {json.loads(l)["tag"] for l in open(log) if l.strip()}
+
+    plain = tags_of("plain", False)
+    timed = tags_of("timed", True)
+    assert not any("steps_per_sec" in t for t in plain)
+    assert any("steps_per_sec" in t for t in timed)

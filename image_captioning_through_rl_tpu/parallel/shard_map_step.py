@@ -44,9 +44,9 @@ def make_shard_map_a2c_step(
     """A2C update as a shard_map program: batch sharded over ``data``,
     params/opt-state replicated, gradients psum-reduced explicitly.
 
-    The per-device rng key folds in the device index so rollout
-    sampling matches the single-device program run on the same global
-    batch (each shard consumes its own slice of fold-in space).
+    The per-device rng key folds in the device index so shards draw
+    INDEPENDENT sampling streams (not the single-device program's
+    stream — see the module docstring's interchangeability caveat).
 
     ``fused=True`` runs each shard's rollout through the Pallas kernels
     (ops/pallas_rollout.py) — data-parallel training of the custom

@@ -27,10 +27,12 @@ TORCH_BATCH = 128
 
 def bench_jax():
     """Best of the XLA-scan path and the fused Pallas kernel, plus the
-    compiled-kernel health checks (greedy f32 kernel token-equal to the
-    XLA scan; beam kernel compiles and runs) so Mosaic regressions
-    surface in the driver's bench artifact instead of silently falling
-    back. Returns ``(captions_per_sec, fused_ok)``."""
+    compiled-kernel health checks (the production bf16 greedy kernel
+    token-equal to the XLA scan on trained weights; beam kernel runs;
+    fused training losses AND gradients agree with XLA) so Mosaic
+    regressions surface in the driver's bench artifact instead of
+    silently falling back. Returns
+    ``(captions_per_sec, fused_ok, grads_ok)``."""
     import sys
 
     import jax
@@ -69,11 +71,13 @@ def bench_jax():
     fused_ok = False
     try:
         best = max(best, rate(fused_fn))
-        # Health check 1: token-exact greedy agreement, fused kernel vs
-        # XLA scan, on briefly-trained weights. Trained (peaked) logits
-        # are the operating regime; random weights are near-tie noise
-        # where XLA's own default-vs-highest precision flips ~12% of
-        # captions, so exactness is only defined for trained weights.
+        # Health check 1: token-exact greedy agreement on briefly-
+        # trained weights between the PRODUCTION-DEFAULT fused kernel
+        # (bf16-resident weights — the path serving actually runs) and
+        # the XLA scan. Trained (peaked) logits are the operating
+        # regime; random weights are near-tie noise where XLA's own
+        # default-vs-highest precision flips ~12% of captions, so
+        # exactness is only defined for trained weights.
         from image_captioning_through_rl_tpu.train import steps as train_steps
         from image_captioning_through_rl_tpu.train.optim import adam
 

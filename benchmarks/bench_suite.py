@@ -77,6 +77,8 @@ def main(quick: bool = False) -> None:
     rparams = reward.init(jax.random.PRNGKey(3), cfg)
     a2c_params = {"policy": pparams, "value": vparams}
 
+    on_tpu = jax.devices()[0].platform != "cpu"
+
     # --- decode ---
     for n in ((1024,) if quick else (1024, 8192)):
         feats, caps = batch(n)
@@ -84,8 +86,9 @@ def main(quick: bool = False) -> None:
         g = jax.jit(lambda p, f, s: greedy_decode(p, cfg, f, s))
         ms, rate = timed(lambda: g(pparams, feats, start), n, iters)
         record("greedy decode (XLA scan)", n, ms, rate, "captions/s")
-        ms, rate = timed(lambda: fused_greedy_decode(pparams, feats, start), n, iters)
-        record("greedy decode (fused Pallas, bf16)", n, ms, rate, "captions/s")
+        if on_tpu:  # Mosaic kernels need the real backend
+            ms, rate = timed(lambda: fused_greedy_decode(pparams, feats, start), n, iters)
+            record("greedy decode (fused Pallas, bf16)", n, ms, rate, "captions/s")
 
     n = 127  # the eval slice width (quirk Q9)
     feats, caps = batch(n)
@@ -93,18 +96,18 @@ def main(quick: bool = False) -> None:
     bs = jax.jit(lambda pp, vp, f, s: beam_search(pp, vp, cfg, dcfg, f, s))
     ms, rate = timed(lambda: bs(pparams, vparams, feats, caps[:, 0]), n, iters)
     record("beam-5 value-guided decode (XLA)", n, ms, rate, "captions/s")
-    from image_captioning_through_rl_tpu.ops.pallas_beam import fused_beam_search
+    if on_tpu:
+        from image_captioning_through_rl_tpu.ops.pallas_beam import fused_beam_search
 
-    ms, rate = timed(
-        lambda: fused_beam_search(pparams, vparams, feats, caps[:, 0],
-                                  max_len=T, beam=5, block_n=16)[0], n, iters)
-    record("beam-5 fused Pallas kernel (block 16)", n, ms, rate, "captions/s")
+        ms, rate = timed(
+            lambda: fused_beam_search(pparams, vparams, feats, caps[:, 0],
+                                      max_len=T, beam=5, block_n=16)[0], n, iters)
+        record("beam-5 fused Pallas kernel (block 16)", n, ms, rate, "captions/s")
 
     # --- training steps ---
     n = 512  # reference batch ("episodes", image_captioner.py:164)
     feats, caps = batch(n)
 
-    on_tpu = jax.devices()[0].platform != "cpu"
     tx = optim.adam(1e-3)
     popt = tx.init(pparams)
     for fused in (False, True) if on_tpu else (False,):
@@ -179,9 +182,11 @@ def main(quick: bool = False) -> None:
                 lambda p, o: vchunk(p, o, inf, pparams, rparams,
                                     feats_k, caps_k, plens)[:3])
     achunk = steps.make_a2c_chunk_step(cfg, tx, fused=fused)
+    chunk_keys = jax.random.split(key, k)  # hoisted: splitting inside the
+    # timed lambda adds a host dispatch per measured iteration
     timed_chunk(f"A2C chunked k=8 ({sfx} rollout)", a2c_params,
                 lambda p, o: achunk(p, o, rparams, feats_k, caps_k,
-                                    jnp.int32(1), jax.random.split(key, k))[:3])
+                                    jnp.int32(1), chunk_keys)[:3])
 
     # write the raw table (BENCHMARKS.md is the curated record)
     out = os.path.join(os.path.dirname(__file__), "MEASURED.md")

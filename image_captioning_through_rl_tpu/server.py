@@ -94,7 +94,7 @@ class CaptionServer:
         import collections
 
         self.stats = {
-            "requests": 0, "captions": 0, "batches": 0,
+            "requests": 0, "captions": 0, "batches": 0, "errors": 0,
             "max_batch_rows": 0,
             # bounded: a long-running server must not grow per-request
             "latency_ms": collections.deque(maxlen=10_000),
@@ -147,10 +147,23 @@ class CaptionServer:
                 except Exception as e:  # malformed request
                     self._reply(400, {"error": f"{type(e).__name__}: {e}"})
                     return
+                if server._stop.is_set():
+                    self._reply(503, {"error": "server stopping"})
+                    return
                 pending = _Pending(feats, beam)
                 server._queue.put(pending)
-                pending.event.wait()
+                # rescue loop: if stop() drained the queue between our
+                # _stop check and the put, nobody will ever set the
+                # event. Batcher dead + stop set + event unset is exact
+                # proof of that (a live batcher may still deliver).
+                while not pending.event.wait(0.25):
+                    if server._stop.is_set() and not server._threads[0].is_alive():
+                        pending.error = pending.error or "server stopped"
+                        break
                 if pending.error is not None:
+                    with server._stats_lock:
+                        server.stats["requests"] += 1
+                        server.stats["errors"] += 1
                     self._reply(500, {"error": pending.error})
                 else:
                     with server._stats_lock:
@@ -256,7 +269,9 @@ class CaptionServer:
         # canary compares fused-vs-XLA tokens on this batch, and all-zero
         # features make every logit a tie (ill-conditioned verdict)
         if buckets is None:
-            buckets = sorted({self._buckets[0], self._buckets[-1]})
+            buckets = list(self._buckets)  # EVERY dispatchable shape: an
+            # unwarmed middle bucket would stall the single batcher
+            # thread for the remote-compile duration mid-traffic
         for b in buckets:
             feats = rng.standard_normal((b, feature_dim)).astype(np.float32)
             for beam in beam_sizes:
@@ -290,6 +305,9 @@ class CaptionServer:
         for p in leftovers:
             p.error = "server stopped"
             p.event.set()
+        # A handler that raced past its _stop check may still enqueue
+        # AFTER this drain — its rescue loop in do_POST detects the dead
+        # batcher and resolves itself, so no second pass is needed here.
 
 
 def main(argv=None, block: bool = True):

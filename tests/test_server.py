@@ -192,6 +192,47 @@ def test_oversized_request_splits_into_buckets(rng_np):
         srv.stop()
 
 
+def test_batcher_error_counts_and_stop_rejects(rng_np):
+    """A decode failure resolves the request with 500 and bumps the
+    errors counter; once stop() begins, new requests get 503 instead of
+    enqueueing into a dead batcher."""
+    params = a2c.init(jax.random.PRNGKey(3), CFG)
+    cap = Captioner(params, CFG, {i: f"w{i}" for i in range(CFG.vocab_size)})
+    srv = CaptionServer(cap, port=0, max_wait_ms=1)
+    srv.start()
+    try:
+        feats = rng_np.standard_normal((2, CFG.input_dim)).astype(np.float32)
+        real_caption = cap.caption
+
+        def boom(*a, **k):
+            raise RuntimeError("injected decode failure")
+
+        cap.caption = boom
+        req = urllib.request.Request(
+            f"http://{srv.host}:{srv.port}/caption",
+            data=json.dumps({"features": feats.tolist()}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 500
+        assert "injected decode failure" in json.loads(ei.value.read())["error"]
+        stats = srv.snapshot_stats()
+        assert stats["errors"] == 1 and stats["requests"] == 1
+
+        # server recovered: the next request succeeds
+        cap.caption = real_caption
+        assert len(_post(srv, {"features": feats.tolist()})["captions"]) == 2
+
+        # stopping flag up -> requests bounce with 503 at the door
+        srv._stop.set()
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 503
+    finally:
+        srv.stop()
+
+
 def test_stop_fails_queued_requests():
     """stop() must not strand handler threads: queued work resolves with
     an error instead of waiting forever."""

@@ -5,10 +5,11 @@ Native Python implementations of the scorers the reference gets from
 corpus BLEU 1-4, ROUGE-L, CIDEr, and METEOR. BLEU/ROUGE-L/CIDEr follow
 the pycocoevalcap algorithms exactly (same smoothing constants, brevity
 penalty, tf-idf weighting and length penalty); METEOR is a native
-exact+stem implementation with delta weighting (the original shells out
-to a Java jar whose synonym/paraphrase modules are absent here, so
-native METEOR is a LOWER BOUND on the Java tool's number) — see
-:mod:`.meteor`.
+implementation of all four METEOR-1.5 match modules (exact, stem,
+synonym, paraphrase) with delta weighting — the synonym/paraphrase
+modules activate when the user supplies WordNet / paraphrase-table
+files (:mod:`.synonyms`); without them native METEOR is a LOWER BOUND
+on the Java tool's number — see :mod:`.meteor`.
 
 The file-level API mirrors the reference: :func:`load_textfiles` /
 :func:`score` / :func:`get_singleton_score` (metrics.py:26-91) and the
@@ -26,6 +27,7 @@ from .bleu import corpus_bleu
 from .rouge import rouge_l
 from .cider import cider
 from .meteor import meteor
+from .synonyms import MeteorResources, ParaphraseTable, SynonymLookup
 
 __all__ = [
     "score",
@@ -37,4 +39,7 @@ __all__ = [
     "rouge_l",
     "cider",
     "meteor",
+    "MeteorResources",
+    "ParaphraseTable",
+    "SynonymLookup",
 ]

@@ -208,10 +208,94 @@ class Captioner:
         """Caption strings for a feature batch."""
         return decode_captions(self.caption_tokens(features, **kw), self._idx_to_word)
 
+    def caption_images(self, images, extractor: "FeatureExtractor",
+                       batch_size: int = 64, **kw) -> List[str]:
+        """Caption raw images end-to-end: pixels -> VGG16 fc7
+        (-> PCA) -> decode. ``images`` is a list of file paths or an
+        ``[N, H, W, 3]`` uint8 array; ``extractor`` bundles the visual
+        front end (:func:`load_feature_extractor`). The reference
+        never closes this loop (it consumes pre-extracted h5 features,
+        utilities.py:61-73); here it is one call."""
+        feats = extractor(images, batch_size=batch_size)
+        if feats.shape[1] != self._cfg.input_dim:
+            raise ValueError(
+                f"extractor produces {feats.shape[1]}-d features but the "
+                f"model was trained on {self._cfg.input_dim}-d input — "
+                "pass the matching PCA projection (or none, for raw fc7 "
+                "models) to load_feature_extractor"
+            )
+        return self.caption(feats, **kw)
+
     def _get(self, key, make):
         if key not in self._jitted:
             self._jitted[key] = make()
         return self._jitted[key]
+
+
+class FeatureExtractor:
+    """The visual front end: VGG16 fc7 features, optionally PCA-reduced
+    to the bundle's compact dimension (reference consumes the
+    pre-extracted ``*_vgg16_fc7_pca.h5`` tables, utilities.py:61-73;
+    this is the live equivalent).
+
+    ``images``: file paths (decoded on host with the canonical
+    resize-256/center-crop-224 geometry) or an ``[N, H, W, 3]`` array.
+    """
+
+    def __init__(self, vgg_params: dict, projection=None):
+        self.vgg_params = vgg_params
+        self.projection = projection
+
+    @property
+    def dim(self) -> int:
+        """Output feature dimension (PCA components, or raw fc7)."""
+        if self.projection is not None:
+            return int(self.projection.components.shape[1])
+        return 4096
+
+    def __call__(self, images, batch_size: int = 64, progress=None) -> np.ndarray:
+        from .models import vgg
+
+        loader = None
+        if len(images) and isinstance(images[0], str):
+            from .cli.extract import load_image_batch
+
+            loader = load_image_batch
+        feats = vgg.extract_features(
+            self.vgg_params, images, batch_size=batch_size,
+            projection=self.projection, loader=loader, progress=progress,
+        )
+        return np.asarray(feats, np.float32)
+
+
+def load_feature_extractor(weights: str = "", pca: str = "") -> FeatureExtractor:
+    """Build a :class:`FeatureExtractor` from files: VGG16 weights (a
+    torchvision-layout ``.pt`` state dict or a native ``.ckpt``; empty
+    -> random weights, pipeline testing only) and an optional fitted
+    PCA projection ``.npz`` (cli/extract.py writes one)."""
+    from .models import vgg
+
+    if weights.endswith(".pt"):
+        from .models import vgg_from_torch
+        from .models.convert import load_torch_state_dict
+
+        params = vgg_from_torch(load_torch_state_dict(weights))
+    elif weights:
+        from .train.checkpoint import load_pytree
+
+        params = load_pytree(vgg.init(jax.random.PRNGKey(0)), weights)
+    else:
+        import sys
+
+        print("[FeatureExtractor] WARNING: random VGG16 weights "
+              "(pipeline testing only)", file=sys.stderr)
+        params = vgg.init(jax.random.PRNGKey(0))
+    projection = None
+    if pca:
+        from .data.pca import PCAProjection
+
+        projection = PCAProjection.load(pca)
+    return FeatureExtractor(params, projection)
 
 
 def evaluate_captions(real: List[str], generated: List[str]) -> dict:

@@ -69,7 +69,10 @@ def main(argv=None) -> None:
 
     from ..data.pca import PCAProjection, fit_pca
     from ..models import vgg, vgg_from_torch
+    from ..utils.io import enable_persistent_compile_cache
     from ..utils.logging import print_green
+
+    enable_persistent_compile_cache()
 
     ap = argparse.ArgumentParser(description="Extract VGG16 fc7 features")
     ap.add_argument("--images_dir", required=True)

@@ -52,14 +52,9 @@ def setup(args):
     (reference image_captioner.py:38-90)."""
     import jax
 
-    # persistent compilation cache: repeated CLI runs skip recompiles
-    if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
-        cache = os.path.join(
-            os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
-            "icrl_tpu_jax_cache",
-        )
-        os.makedirs(cache, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache)
+    from ..utils.io import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
 
     # multi-host SPMD: join the job when launch env vars announce one
     # (single-host runs, like this environment, are a no-op)

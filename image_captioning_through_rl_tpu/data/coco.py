@@ -73,6 +73,20 @@ def caption_lengths(captions: np.ndarray) -> np.ndarray:
     return np.argmax(is_end, axis=1) + 1
 
 
+def load_vocab(path: str) -> Tuple[Dict[str, int], Dict[int, str]]:
+    """Parse ``coco2014_vocab.json`` -> ``(word_to_idx, idx_to_word)``
+    (the vocab half of reference utilities.py:75-80; ``idx_to_word``
+    ships as a list or a str-keyed dict depending on the bundle)."""
+    with open(path) as f:
+        vocab = json.load(f)
+    word_to_idx = vocab["word_to_idx"]
+    # JSON keys are strings; normalize to int -> word
+    idx_to_word = {int(k): v for k, v in enumerate(vocab["idx_to_word"])} if isinstance(
+        vocab["idx_to_word"], list
+    ) else {int(k): v for k, v in vocab["idx_to_word"].items()}
+    return word_to_idx, idx_to_word
+
+
 def load_data(
     base_dir: str,
     max_train: Optional[int] = None,
@@ -97,13 +111,8 @@ def load_data(
         with h5py.File(os.path.join(base_dir, f"{split}2014_vgg16_fc7{variant}.h5"), "r") as f:
             raw[f"{split}_features"] = np.asarray(f["features"])
 
-    with open(os.path.join(base_dir, "coco2014_vocab.json")) as f:
-        vocab = json.load(f)
-    word_to_idx = vocab["word_to_idx"]
-    # JSON keys are strings; normalize to int -> word
-    idx_to_word = {int(k): v for k, v in enumerate(vocab["idx_to_word"])} if isinstance(
-        vocab["idx_to_word"], list
-    ) else {int(k): v for k, v in vocab["idx_to_word"].items()}
+    word_to_idx, idx_to_word = load_vocab(
+        os.path.join(base_dir, "coco2014_vocab.json"))
 
     urls = {}
     for split in ("train", "val"):

@@ -6,6 +6,23 @@ import os
 from typing import Optional
 
 
+def enable_persistent_compile_cache() -> None:
+    """Point JAX at a persistent compilation cache so repeated CLI runs
+    skip recompiles (a VGG16 conv compile costs minutes on a
+    remote-compile TPU backend). Honors an explicit
+    ``JAX_COMPILATION_CACHE_DIR``; otherwise uses
+    ``$XDG_CACHE_HOME/icrl_tpu_jax_cache``."""
+    import jax
+
+    if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        cache = os.path.join(
+            os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+            "icrl_tpu_jax_cache",
+        )
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+
+
 def get_filename(base_name: str, bidirectional: bool, curriculum: Optional[bool] = None) -> str:
     """Checkpoint/result naming scheme: ``_bidirectional`` and/or
     ``_curriculum`` suffixes before the extension (reference

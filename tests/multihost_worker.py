@@ -137,6 +137,26 @@ def main() -> None:
     sync_sum = float(sum(np.asarray(x, np.float64).sum()
                          for x in jax.tree.leaves(jax.device_get(synced))))
 
+    # --- Part 5: the flagship A2C training loop over the 2-process mesh
+    # (chunked fused/XLA rollout dispatch, GlobalBatcher shard uploads,
+    # rank-gated per-epoch checkpoint saves) ---
+    from image_captioning_through_rl_tpu.models import reward
+    from image_captioning_through_rl_tpu.train.optim import adam
+
+    a2c_cfg = NC(vocab_size=30, input_dim=16, wordvec_dim=8, hidden_dim=8)
+    a2c_params = a2c.init(jax.random.PRNGKey(0), a2c_cfg)
+    a2c_rparams = reward.init(jax.random.PRNGKey(1), a2c_cfg)
+    a2c_tx = adam(1e-4, a2c_params, a2c_cfg.freeze_embeddings)
+    a2c_paths = [os.path.join(rank_dir, "model.ckpt"),
+                 os.path.join(rank_dir, "a2cNetwork.ckpt")]
+    a2c_out = loops.a2c_training(
+        data, a2c_params, a2c_rparams, a2c_tx, a2c_tx.init(a2c_params),
+        a2c_cfg, None, a2c_paths, batch_size=8, epochs=1, seed=0,
+        chunk_steps=2, mesh=mesh,
+    )
+    a2c_leafsums = [float(np.asarray(x, np.float64).sum())
+                    for x in jax.tree.leaves(jax.device_get(a2c_out))]
+
     print(json.dumps({
         "pid": pid,
         "is_main": bool(is_main_process()),
@@ -145,6 +165,8 @@ def main() -> None:
         "ckpt_written": os.path.exists(paths["policy_network"]),
         "gen_captions": gen_text,
         "sync_load_sum": sync_sum,
+        "a2c_leafsums": a2c_leafsums,
+        "a2c_ckpt_written": os.path.exists(a2c_paths[1]),
     }))
 
 

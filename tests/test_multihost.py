@@ -89,6 +89,34 @@ def _single_process_trainer(tmp_path, monkeypatch):
             for x in jax.tree.leaves(jax.device_get(params))]
 
 
+def _single_process_a2c(tmp_path):
+    """The exact Part-5 A2C run of multihost_worker.py, single-process
+    (plain path: no mesh, device tables + chunked dispatch)."""
+    import image_captioning_through_rl_tpu.train.loops as loops
+    from image_captioning_through_rl_tpu.config import NetConfig as NC
+    from image_captioning_through_rl_tpu.data import load_data, make_synthetic_coco
+    from image_captioning_through_rl_tpu.models import a2c, reward
+    from image_captioning_through_rl_tpu.train.optim import adam
+
+    cfg = NC(vocab_size=30, input_dim=16, wordvec_dim=8, hidden_dim=8)
+    fixture = make_synthetic_coco(str(tmp_path / "coco_a2c_ref"),
+                                  num_train_images=8, num_val_images=4,
+                                  vocab_size=30, feature_dim=16, seed=5)
+    data = load_data(fixture)
+    params = a2c.init(jax.random.PRNGKey(0), cfg)
+    rparams = reward.init(jax.random.PRNGKey(1), cfg)
+    tx = adam(1e-4, params, cfg.freeze_embeddings)
+    out_dir = tmp_path / "a2c_ref"
+    out_dir.mkdir()
+    sp = [str(out_dir / "model.ckpt"), str(out_dir / "a2cNetwork.ckpt")]
+    out = loops.a2c_training(
+        data, params, rparams, tx, tx.init(params), cfg, None, sp,
+        batch_size=8, epochs=1, seed=0, chunk_steps=2,
+    )
+    return [float(np.asarray(x, np.float64).sum())
+            for x in jax.tree.leaves(jax.device_get(out))]
+
+
 @pytest.mark.slow
 def test_two_process_job_matches_single_process(tmp_path, monkeypatch):
     port = _free_port()
@@ -162,6 +190,15 @@ def test_two_process_job_matches_single_process(tmp_path, monkeypatch):
     # to rank 0's weights (no divergent load-or-train branches)
     assert results[0]["sync_load_sum"] == pytest.approx(
         results[1]["sync_load_sum"], rel=1e-6)
+
+    # flagship A2C training loop: both ranks agree, match the
+    # single-process plain run, and only rank 0 saved the checkpoint
+    assert results[0]["a2c_leafsums"] == pytest.approx(
+        results[1]["a2c_leafsums"], rel=1e-6)
+    ref_a2c = _single_process_a2c(tmp_path)
+    assert results[0]["a2c_leafsums"] == pytest.approx(ref_a2c, rel=1e-4)
+    assert results[0]["a2c_ckpt_written"] is True
+    assert results[1]["a2c_ckpt_written"] is False
 
 
 def _single_process_eval(tmp_path):

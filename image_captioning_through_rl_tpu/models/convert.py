@@ -166,3 +166,107 @@ def a2c_from_torch(sd: Mapping[str, np.ndarray], bidirectional: bool = False) ->
         "value": value_from_torch(_strip_prefix(sd, "value_network."), bidirectional),
         "policy": policy_from_torch(_strip_prefix(sd, "policy_network."), bidirectional),
     }
+
+
+# --- the inverse direction: native pytrees -> reference state dicts ---
+#
+# Exports TPU-trained weights as the exact ``state_dict()`` layouts the
+# reference's modules load (``load_a2c_models``, utilities.py:299-323,
+# with ``strict=False`` — but these exports satisfy strict=True), so a
+# reference user can round-trip: train here, ``torch.load`` there.
+# Re-importing an export through the ``*_from_torch`` converters is
+# bit-exact (the only non-unique mapping is the fused LSTM bias, which
+# exports as ``(b_ih=b, b_hh=0)`` — torch sums the two into the same
+# pre-activation, so the forward is identical and the re-import sum
+# restores ``b`` exactly).
+
+
+def _host(x) -> np.ndarray:
+    return np.asarray(x, dtype=np.float32)
+
+
+def _linear_to_torch(p: Mapping[str, np.ndarray], prefix: str, out: dict) -> None:
+    out[f"{prefix}.weight"] = np.ascontiguousarray(_host(p["w"]).T)
+    out[f"{prefix}.bias"] = _host(p["b"])
+
+
+def _lstm_to_torch(p, prefix: str, out: dict, reverse: bool = False) -> None:
+    sfx = "_reverse" if reverse else ""
+    out[f"{prefix}.weight_ih_l0{sfx}"] = np.ascontiguousarray(_host(p["wi"]).T)
+    out[f"{prefix}.weight_hh_l0{sfx}"] = np.ascontiguousarray(_host(p["wh"]).T)
+    out[f"{prefix}.bias_ih_l0{sfx}"] = _host(p["b"])
+    out[f"{prefix}.bias_hh_l0{sfx}"] = np.zeros_like(_host(p["b"]))
+
+
+def _gru_to_torch(p, prefix: str, out: dict, reverse: bool = False) -> None:
+    sfx = "_reverse" if reverse else ""
+    out[f"{prefix}.weight_ih_l0{sfx}"] = np.ascontiguousarray(_host(p["wi"]).T)
+    out[f"{prefix}.weight_hh_l0{sfx}"] = np.ascontiguousarray(_host(p["wh"]).T)
+    out[f"{prefix}.bias_ih_l0{sfx}"] = _host(p["bi"])
+    out[f"{prefix}.bias_hh_l0{sfx}"] = _host(p["bh"])
+
+
+def policy_to_torch(params: Mapping, bidirectional: bool = False) -> dict:
+    sd = {"caption_embedding.weight": _host(params["embedding"])}
+    _linear_to_torch(params["cnn2linear"], "cnn2linear", sd)
+    _linear_to_torch(params["head"], "linear2vocab", sd)
+    if bidirectional:
+        _lstm_to_torch(params["lstm_fwd"], "lstm", sd)
+        _lstm_to_torch(params["lstm_bwd"], "lstm", sd, reverse=True)
+    else:
+        _lstm_to_torch(params["lstm"], "lstm", sd)
+    return sd
+
+
+def value_to_torch(params: Mapping, bidirectional: bool = False) -> dict:
+    sd = {"valrnn.caption_embedding.weight": _host(params["embedding"])}
+    _linear_to_torch(params["linear1"], "linear1", sd)
+    _linear_to_torch(params["linear2"], "linear2", sd)
+    if bidirectional:
+        _lstm_to_torch(params["lstm_fwd"], "valrnn.lstm", sd)
+        _lstm_to_torch(params["lstm_bwd"], "valrnn.lstm", sd, reverse=True)
+        _linear_to_torch(params["rnn_linear"], "rnn_linear", sd)
+    else:
+        _lstm_to_torch(params["lstm"], "valrnn.lstm", sd)
+    return sd
+
+
+def reward_to_torch(params: Mapping, bidirectional: bool = False) -> dict:
+    sd = {"rewrnn.caption_embedding.weight": _host(params["embedding"])}
+    _linear_to_torch(params["visual_embed"], "visual_embed", sd)
+    _linear_to_torch(params["semantic_embed"], "semantic_embed", sd)
+    if bidirectional:
+        _gru_to_torch(params["gru_fwd"], "rewrnn.gru", sd)
+        _gru_to_torch(params["gru_bwd"], "rewrnn.gru", sd, reverse=True)
+    else:
+        _gru_to_torch(params["gru"], "rewrnn.gru", sd)
+    return sd
+
+
+def a2c_to_torch(params: Mapping, bidirectional: bool = False) -> dict:
+    sd = {}
+    for k, v in value_to_torch(params["value"], bidirectional).items():
+        sd[f"value_network.{k}"] = v
+    for k, v in policy_to_torch(params["policy"], bidirectional).items():
+        sd[f"policy_network.{k}"] = v
+    return sd
+
+
+_TO_TORCH = {
+    "policy": policy_to_torch,
+    "value": value_to_torch,
+    "reward": reward_to_torch,
+    "a2c": a2c_to_torch,
+}
+
+
+def to_torch_state_dict(kind: str, params: Mapping,
+                        bidirectional: bool = False) -> dict:
+    """``{name: np.ndarray}`` in the reference layout for ``kind`` in
+    ``policy | value | reward | a2c``."""
+    try:
+        fn = _TO_TORCH[kind]
+    except KeyError:
+        raise ValueError(f"unknown network kind {kind!r} "
+                         f"(expected one of {sorted(_TO_TORCH)})") from None
+    return fn(params, bidirectional)

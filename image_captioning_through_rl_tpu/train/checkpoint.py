@@ -88,6 +88,39 @@ def load_network(kind: str, path: str, template=None, bidirectional: bool = Fals
     return load_pytree(template, path)
 
 
+def save_network_pt(kind: str, params, path: str,
+                    bidirectional: bool = False) -> None:
+    """Export ``params`` as a genuine ``torch.save``d state dict in the
+    reference's layout — the inverse of the ``.pt`` branch of
+    :func:`load_network`, so TPU-trained weights load back into the
+    eager-torch reference stack (``load_a2c_models``,
+    utilities.py:299-323; the exports satisfy ``strict=True``).
+    Atomic like :func:`save_pytree`."""
+    import torch
+
+    from ..models.convert import to_torch_state_dict
+
+    # np.array copies: jax-backed buffers are non-writable views, which
+    # torch.from_numpy rejects (undefined-behavior warning)
+    sd = {k: torch.from_numpy(np.array(v))
+          for k, v in to_torch_state_dict(kind, params, bidirectional).items()}
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(path) or ".", prefix=os.path.basename(path) + ".tmp."
+    )
+    try:
+        with os.fdopen(fd, "wb") as f:
+            torch.save(sd, f)
+        os.chmod(tmp, 0o666 & ~_UMASK)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
 def save_orbax(params, directory: str) -> None:
     """Save via Orbax (directory-based, async-capable, multi-host-safe).
 

@@ -185,7 +185,6 @@ def _drive_best_loss_training(
     use_chunks = chunk_step is not None and chunk_steps > 1 and tables is not None
     for epoch in range(epochs):
         _t_epoch = _time.perf_counter()
-        _steps_before = None
         if use_chunks:
             num = tables.num_captions
             perm = rng.permutation(num)

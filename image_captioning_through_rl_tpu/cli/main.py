@@ -124,7 +124,8 @@ def main(args):
 
         print_green(f"[Info] Training Word Embeddings {args.train_word2vec}")
         corpus = get_preprocessed_corpus(data)
-        data.embeddings = train_word_embeddings(args.train_word2vec, data, corpus)
+        data.embeddings = train_word_embeddings(
+            args.train_word2vec, data, corpus, save_path=args.save_word2vec)
         print_green("[Info] Done Training Word Embeddings")
     elif args.pretrained_word2vec != "none":
         from ..embeddings import get_embeddings, get_vectors_by_vocab
@@ -237,6 +238,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--train_word2vec", type=str, default="none",
                    choices=["none", "word2vec", "fasttext"],
                    help="Fit word embeddings on the caption corpus before training")
+    p.add_argument("--save_word2vec", type=str, default="",
+                   help="Also write the trained word vectors to this path in the "
+                        "word2vec interchange format (.bin for binary, .gz ok)")
     # TPU-framework additions
     p.add_argument("--data_dir", type=str, default=BASE_DIR, help="Dataset directory")
     p.add_argument("--seed", type=int, default=0, help="Global RNG seed")

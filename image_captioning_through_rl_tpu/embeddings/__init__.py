@@ -11,7 +11,12 @@ gensim availability.
 from .corpus import get_preprocessed_corpus, simple_preprocess
 from .word2vec import train_word_embeddings
 from .vocab_align import get_vectors_by_vocab
-from .pretrained import get_embedding_model, get_embeddings
+from .pretrained import (
+    get_embedding_model,
+    get_embeddings,
+    load_word2vec_format,
+    save_word2vec_format,
+)
 
 __all__ = [
     "get_preprocessed_corpus",
@@ -20,4 +25,6 @@ __all__ = [
     "get_vectors_by_vocab",
     "get_embeddings",
     "get_embedding_model",
+    "load_word2vec_format",
+    "save_word2vec_format",
 ]

@@ -107,6 +107,62 @@ def _chunk_looks_binary(chunk: bytes, encoding: str = "utf-8") -> bool:
     return True
 
 
+def save_word2vec_format(vectors, path: str, binary: bool = False,
+                         encoding: str = "utf-8") -> None:
+    """Write ``{word: float32[dim]}`` in the word2vec interchange format
+    — the inverse of :func:`load_word2vec_format`, byte-layout-compatible
+    with gensim's ``save_word2vec_format`` (text: ``repr`` floats, so the
+    round trip is value-exact; binary: word bytes + space + raw
+    little-endian float32s, no separator — gensim's own layout). ``.gz``
+    paths compress transparently. Atomic (temp file + rename), so a
+    crashed export never leaves a truncated file behind.
+
+    Lets natively trained SGNS/fastText vectors (``train_sgns``) flow
+    back into gensim/reference tooling, mirroring how ``cli/export``
+    returns trained networks to torch.
+    """
+    import gzip
+    import tempfile
+
+    vecs = {w: np.asarray(v, dtype=np.float32).reshape(-1) for w, v in vectors.items()}
+    if not vecs:
+        raise ValueError("refusing to write an empty embedding file")
+    dims = {v.shape[0] for v in vecs.values()}
+    if len(dims) != 1:
+        raise ValueError(f"inconsistent vector dimensions: {sorted(dims)}")
+    dim = dims.pop()
+
+    d = os.path.dirname(path) or "."
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, prefix=os.path.basename(path) + ".tmp.")
+    try:
+        opener = gzip.GzipFile if path.endswith(".gz") else None
+        with os.fdopen(fd, "wb") as raw:
+            f = opener(fileobj=raw, mode="wb") if opener else raw
+            f.write(f"{len(vecs)} {dim}\n".encode(encoding))
+            for word, vec in vecs.items():
+                if binary:
+                    f.write(word.encode(encoding) + b" " + vec.astype("<f4").tobytes())
+                else:
+                    row = " ".join(repr(float(x)) for x in vec)
+                    f.write(f"{word} {row}\n".encode(encoding))
+            if opener:
+                f.close()
+        # mkstemp creates 0600; restore the umask-governed mode so the
+        # exported vectors stay readable in shared dirs (same rule as
+        # train/checkpoint.py)
+        from ..utils.io import UMASK
+
+        os.chmod(tmp, 0o666 & ~UMASK)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
 def load_word2vec_format(path: str, binary=None, encoding: str = "utf-8"):
     """Native word-vector file reader -> ``{word: np.float32[dim]}``.
 

@@ -260,10 +260,13 @@ def train_word_embeddings(
     size: int = 300,
     epochs: int = 30,
     seed: int = 0,
+    save_path: str = "",
 ) -> Optional[np.ndarray]:
     """Reference-compatible entry point (utilities.py:444-468): train
     ``word2vec`` or ``fasttext`` vectors on the caption corpus and align
-    them to the dataset vocabulary."""
+    them to the dataset vocabulary. ``save_path`` additionally writes the
+    raw (pre-alignment) model in the word2vec interchange format, so the
+    trained vectors flow back into gensim/reference tooling."""
     if embedding_type == "none":
         return None
     print_green("[Info] Training Word Embeddings (JAX SGNS)")
@@ -272,5 +275,10 @@ def train_word_embeddings(
         subwords=(embedding_type == "fasttext"), seed=seed,
     )
     print_green("[Info] Finished Training Word Embeddings")
+    if save_path:
+        from .pretrained import save_word2vec_format
+
+        save_word2vec_format(model, save_path, binary=save_path.endswith(".bin"))
+        print_green(f"[Info] Saved word embeddings to {save_path}")
     word_to_idx = target_data.word_to_idx if hasattr(target_data, "word_to_idx") else target_data["word_to_idx"]
     return get_vectors_by_vocab(model, word_to_idx)

@@ -37,11 +37,8 @@ _CONVERTERS = {
     "a2c": a2c_from_torch,
 }
 
-# process umask, captured once at import: os.umask can only be READ by
-# setting it, and doing that per save would race concurrent savers /
-# writer threads (briefly zeroing the process umask)
-_UMASK = os.umask(0)
-os.umask(_UMASK)
+# process umask, captured once at import (see utils.io.UMASK for why)
+from ..utils.io import UMASK as _UMASK
 
 
 def save_pytree(params, path: str) -> None:

@@ -5,6 +5,14 @@ from __future__ import annotations
 import os
 from typing import Optional
 
+# process umask, captured once at import: os.umask can only be READ by
+# setting it, and doing that per write would race concurrent writer
+# threads (briefly zeroing the process umask). Shared by every atomic
+# mkstemp+replace writer in the package (checkpoints, embedding
+# exports) to restore the umask-governed mode mkstemp suppresses.
+UMASK = os.umask(0)
+os.umask(UMASK)
+
 
 def enable_persistent_compile_cache() -> None:
     """Point JAX at a persistent compilation cache so repeated CLI runs

@@ -204,3 +204,66 @@ def test_sgns_sparse_step_matches_dense_autodiff():
         for k in pd:
             np.testing.assert_allclose(np.asarray(pd[k]), np.asarray(ps[k]),
                                        rtol=1e-5, atol=1e-6, err_msg=k)
+
+
+def test_save_word2vec_format_roundtrip(tmp_path):
+    """Writer -> native reader is value-exact in every layout (text,
+    binary, gz), and the binary layout matches gensim's (word + space +
+    raw little-endian f32s, no separator)."""
+    from image_captioning_through_rl_tpu.embeddings import (
+        load_word2vec_format,
+        save_word2vec_format,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = {w: rng.normal(size=7).astype(np.float32)
+            for w in ["héllo", "world", "añio", "x"]}
+    for name, binary in [("t.vec", False), ("b.bin", True),
+                         ("t.vec.gz", False), ("b.bin.gz", True)]:
+        p = str(tmp_path / name)
+        save_word2vec_format(vecs, p, binary=binary)
+        back = load_word2vec_format(p)
+        assert sorted(back) == sorted(vecs)
+        for w in vecs:
+            np.testing.assert_array_equal(back[w], vecs[w])
+
+    # gensim binary byte layout: header line, then word<space><payload>
+    raw = open(str(tmp_path / "b.bin"), "rb").read()
+    header, rest = raw.split(b"\n", 1)
+    n, d = header.split()
+    assert (int(n), int(d)) == (4, 7)
+    first_word = list(vecs)[0].encode("utf-8")
+    assert rest.startswith(first_word + b" ")
+    payload = rest[len(first_word) + 1: len(first_word) + 1 + 28]
+    np.testing.assert_array_equal(
+        np.frombuffer(payload, dtype="<f4"), vecs[list(vecs)[0]])
+
+
+def test_save_word2vec_format_validation(tmp_path):
+    from image_captioning_through_rl_tpu.embeddings import save_word2vec_format
+
+    with np.testing.assert_raises(ValueError):
+        save_word2vec_format({}, str(tmp_path / "e.vec"))
+    with np.testing.assert_raises(ValueError):
+        save_word2vec_format(
+            {"a": np.zeros(3, np.float32), "b": np.zeros(4, np.float32)},
+            str(tmp_path / "m.vec"))
+    assert not list(tmp_path.iterdir())  # atomic: no partial files left
+
+
+def test_train_word_embeddings_save_path(tmp_path):
+    """The save_path hook writes the raw pre-alignment model; its vectors
+    match what alignment consumed."""
+    from image_captioning_through_rl_tpu.embeddings import load_word2vec_format
+    from image_captioning_through_rl_tpu.embeddings.word2vec import (
+        train_word_embeddings,
+    )
+
+    corpus = [["cat", "dog", "cat"], ["dog", "bird", "cat"]] * 4
+    data = {"word_to_idx": {"<NULL>": 0, "cat": 1, "dog": 2, "bird": 3}}
+    p = str(tmp_path / "w.vec")
+    aligned = train_word_embeddings("word2vec", data, corpus, size=8,
+                                    epochs=1, save_path=p)
+    model = load_word2vec_format(p)
+    assert set(model) == {"cat", "dog", "bird"}
+    np.testing.assert_allclose(model["cat"], aligned[1], rtol=1e-6)

@@ -317,5 +317,15 @@ def meteor(
     refs: Dict[int, List[str]], hypos: Dict[int, List[str]],
     resources: Optional[MeteorResources] = None,
 ) -> float:
-    scores = [meteor_sentence(hypos[i][0], refs[i], resources) for i in hypos]
+    res = default_resources() if resources is None else resources
+    if res.synonyms is None and (res.paraphrases is None
+                                 or not res.paraphrases.max_len):
+        # the default (resource-free) configuration has a native C++
+        # aligner — a faithful port of _align, identical scores
+        from .native import meteor_scores_native
+
+        native = meteor_scores_native(refs, hypos)  # None -> toolchain absent
+        if native is not None:
+            return sum(native) / len(native) if native else 0.0
+    scores = [meteor_sentence(hypos[i][0], refs[i], res) for i in hypos]
     return sum(scores) / len(scores) if scores else 0.0

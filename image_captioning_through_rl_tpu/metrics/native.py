@@ -99,6 +99,103 @@ def corpus_bleu_native(
     return bleus
 
 
+def _flatten_words(refs: Dict[int, List[str]], hypos: Dict[int, List[str]],
+                   require_refs: bool, with_meteor_tables: bool):
+    """Intern raw caption words (exact strings, no 16-bit packing limit —
+    ROUGE/METEOR never pack n-gram keys). Optionally also builds the
+    per-word-id Porter-stem-id and delta-mass tables METEOR's stem and
+    content/function-word modules need."""
+    vocab: Dict[str, int] = {}
+    stem_vocab: Dict[str, int] = {}
+    stem_ids: List[int] = []
+    deltas: List[float] = []
+    if with_meteor_tables:
+        from .function_words import is_function_word
+        from .meteor import _DELTA
+        from .porter import porter_stem
+
+    def wid(w: str) -> int:
+        i = vocab.get(w)
+        if i is None:
+            i = vocab[w] = len(vocab)
+            if with_meteor_tables:
+                s = porter_stem(w)
+                stem_ids.append(stem_vocab.setdefault(s, len(stem_vocab)))
+                deltas.append(_DELTA if not is_function_word(w) else 1.0 - _DELTA)
+        return i
+
+    order = list(hypos.keys())
+    hyp_tok: List[int] = []
+    hyp_off = [0]
+    ref_tok: List[int] = []
+    ref_off = [0]
+    group_off = [0]
+    for i in order:
+        if require_refs and not refs.get(i):
+            # the pure-Python ROUGE raises here (max() of an empty list)
+            raise ValueError(f"empty reference group for id {i!r}")
+        hyp_tok.extend(wid(w) for w in hypos[i][0].split())
+        hyp_off.append(len(hyp_tok))
+        for r in refs[i]:
+            ref_tok.extend(wid(w) for w in r.split())
+            ref_off.append(len(ref_tok))
+        group_off.append(group_off[-1] + len(refs[i]))
+    c = lambda a, t: np.ascontiguousarray(np.asarray(a, dtype=t))  # noqa: E731
+    return (
+        c(hyp_tok, np.int32), c(hyp_off, np.int64),
+        c(ref_tok, np.int32), c(ref_off, np.int64), c(group_off, np.int64),
+        len(order), c(stem_ids, np.int32), c(deltas, np.float64),
+    )
+
+
+def rouge_scores_native(
+    refs: Dict[int, List[str]], hypos: Dict[int, List[str]]
+) -> Optional[List[float]]:
+    """Per-sentence native ROUGE-L; None when the library is
+    unavailable (caller falls back to the pure-Python scorer)."""
+    lib = load_fastmetrics()
+    if lib is None:
+        return None
+    if not hypos:
+        return []
+    hyp_tok, hyp_off, ref_tok, ref_off, group_off, num, _, _ = _flatten_words(
+        refs, hypos, require_refs=True, with_meteor_tables=False)
+    scores = np.zeros(num, np.float64)
+    lib.rouge_scores(
+        _ptr(hyp_tok, ctypes.c_int32), _ptr(hyp_off, ctypes.c_int64), num,
+        _ptr(ref_tok, ctypes.c_int32), _ptr(ref_off, ctypes.c_int64),
+        _ptr(group_off, ctypes.c_int64),
+        _ptr(scores, ctypes.c_double),
+    )
+    return scores.tolist()
+
+
+def meteor_scores_native(
+    refs: Dict[int, List[str]], hypos: Dict[int, List[str]]
+) -> Optional[List[float]]:
+    """Per-sentence native METEOR (exact + stem modules with delta
+    weighting — the default, resource-free configuration); None when the
+    library is unavailable. The caller must ensure the synonym and
+    paraphrase modules are inactive — those need the Python aligner."""
+    lib = load_fastmetrics()
+    if lib is None:
+        return None
+    if not hypos:
+        return []
+    (hyp_tok, hyp_off, ref_tok, ref_off, group_off, num,
+     stem_ids, deltas) = _flatten_words(
+        refs, hypos, require_refs=False, with_meteor_tables=True)
+    scores = np.zeros(num, np.float64)
+    lib.meteor_scores(
+        _ptr(hyp_tok, ctypes.c_int32), _ptr(hyp_off, ctypes.c_int64), num,
+        _ptr(ref_tok, ctypes.c_int32), _ptr(ref_off, ctypes.c_int64),
+        _ptr(group_off, ctypes.c_int64),
+        _ptr(stem_ids, ctypes.c_int32), _ptr(deltas, ctypes.c_double),
+        _ptr(scores, ctypes.c_double),
+    )
+    return scores.tolist()
+
+
 def cider_native(
     refs: Dict[int, List[str]], hypos: Dict[int, List[str]]
 ) -> Optional[float]:

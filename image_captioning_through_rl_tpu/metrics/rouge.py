@@ -39,5 +39,10 @@ def rouge_l_sentence(hypo: str, refs: List[str]) -> float:
 
 
 def rouge_l(refs: Dict[int, List[str]], hypos: Dict[int, List[str]]) -> float:
+    from .native import rouge_scores_native
+
+    native = rouge_scores_native(refs, hypos)  # None -> toolchain absent
+    if native is not None:
+        return sum(native) / len(native) if native else 0.0
     scores = [rouge_l_sentence(hypos[i][0], refs[i]) for i in hypos]
     return sum(scores) / len(scores) if scores else 0.0

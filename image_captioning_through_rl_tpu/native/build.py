@@ -73,6 +73,19 @@ def load_fastmetrics() -> Optional[ctypes.CDLL]:
         f64p,
     ]
     lib.cider_scores.restype = None
+    lib.rouge_scores.argtypes = [
+        i32p, i64p, ctypes.c_int64,
+        i32p, i64p, i64p,
+        f64p,
+    ]
+    lib.rouge_scores.restype = None
+    lib.meteor_scores.argtypes = [
+        i32p, i64p, ctypes.c_int64,
+        i32p, i64p, i64p,
+        i32p, f64p,              # per-word-id stem ids + delta weights
+        f64p,
+    ]
+    lib.meteor_scores.restype = None
     _LIB = lib
     return _LIB
 

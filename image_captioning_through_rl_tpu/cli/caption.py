@@ -27,15 +27,11 @@ import sys
 
 
 def _resolve_sibling(model_path: str, fname: str) -> str:
-    """A network file next to the model, preferring native ``.ckpt``
-    and falling back to the reference's ``.pt`` stem (the same rule the
-    training CLI applies to --pretrained_path, cli/main.py)."""
-    path = os.path.join(os.path.dirname(model_path) or ".", fname)
-    if not os.path.exists(path):
-        pt = os.path.splitext(path)[0] + ".pt"
-        if os.path.exists(pt):
-            return pt
-    return path
+    """A network file next to the model (the shared .ckpt-preferred /
+    reference-.pt-fallback rule, utils.io.resolve_checkpoint)."""
+    from ..utils.io import resolve_checkpoint
+
+    return resolve_checkpoint(os.path.dirname(model_path), fname)
 
 
 def main(argv=None) -> None:

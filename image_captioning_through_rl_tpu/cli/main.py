@@ -27,7 +27,7 @@ from ..train.loops import (
     test_a2c_network,
     train_a2c_network,
 )
-from ..utils.io import get_filename
+from ..utils.io import get_filename, resolve_checkpoint
 from ..utils.logging import print_green
 
 BASE_DIR = os.path.join("datasets", "coco_captioning")
@@ -91,15 +91,7 @@ def setup(args):
         "best_score_images_path": os.path.join(log_dir, BEST_SCORE_IMAGES_PATH),
     }
     def resolve(fname: str) -> str:
-        # native .ckpt preferred; fall back to the reference's .pt file
-        # of the same stem so --pretrained_path can point straight at a
-        # reference models_pretrained/ dir (the .pt converter loads it)
-        path = os.path.join(args.pretrained_path, fname)
-        if not os.path.exists(path):
-            pt = os.path.splitext(path)[0] + ".pt"
-            if os.path.exists(pt):
-                return pt
-        return path
+        return resolve_checkpoint(args.pretrained_path, fname)
 
     network_paths = {
         "a2c_network": resolve(a2c_file),

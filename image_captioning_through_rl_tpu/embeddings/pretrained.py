@@ -122,7 +122,8 @@ def save_word2vec_format(vectors, path: str, binary: bool = False,
     returns trained networks to torch.
     """
     import gzip
-    import tempfile
+
+    from ..utils.io import atomic_write
 
     vecs = {w: np.asarray(v, dtype=np.float32).reshape(-1) for w, v in vectors.items()}
     if not vecs:
@@ -132,35 +133,18 @@ def save_word2vec_format(vectors, path: str, binary: bool = False,
         raise ValueError(f"inconsistent vector dimensions: {sorted(dims)}")
     dim = dims.pop()
 
-    d = os.path.dirname(path) or "."
-    os.makedirs(d, exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=d, prefix=os.path.basename(path) + ".tmp.")
-    try:
+    with atomic_write(path) as raw:
         opener = gzip.GzipFile if path.endswith(".gz") else None
-        with os.fdopen(fd, "wb") as raw:
-            f = opener(fileobj=raw, mode="wb") if opener else raw
-            f.write(f"{len(vecs)} {dim}\n".encode(encoding))
-            for word, vec in vecs.items():
-                if binary:
-                    f.write(word.encode(encoding) + b" " + vec.astype("<f4").tobytes())
-                else:
-                    row = " ".join(repr(float(x)) for x in vec)
-                    f.write(f"{word} {row}\n".encode(encoding))
-            if opener:
-                f.close()
-        # mkstemp creates 0600; restore the umask-governed mode so the
-        # exported vectors stay readable in shared dirs (same rule as
-        # train/checkpoint.py)
-        from ..utils.io import UMASK
-
-        os.chmod(tmp, 0o666 & ~UMASK)
-        os.replace(tmp, path)
-    except BaseException:
-        try:
-            os.unlink(tmp)
-        except OSError:
-            pass
-        raise
+        f = opener(fileobj=raw, mode="wb") if opener else raw
+        f.write(f"{len(vecs)} {dim}\n".encode(encoding))
+        for word, vec in vecs.items():
+            if binary:
+                f.write(word.encode(encoding) + b" " + vec.astype("<f4").tobytes())
+            else:
+                row = " ".join(repr(float(x)) for x in vec)
+                f.write(f"{word} {row}\n".encode(encoding))
+        if opener:
+            f.close()
 
 
 def load_word2vec_format(path: str, binary=None, encoding: str = "utf-8"):

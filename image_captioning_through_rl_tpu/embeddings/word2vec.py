@@ -278,7 +278,8 @@ def train_word_embeddings(
     if save_path:
         from .pretrained import save_word2vec_format
 
-        save_word2vec_format(model, save_path, binary=save_path.endswith(".bin"))
+        save_word2vec_format(
+            model, save_path, binary=save_path.endswith((".bin", ".bin.gz")))
         print_green(f"[Info] Saved word embeddings to {save_path}")
     word_to_idx = target_data.word_to_idx if hasattr(target_data, "word_to_idx") else target_data["word_to_idx"]
     return get_vectors_by_vocab(model, word_to_idx)

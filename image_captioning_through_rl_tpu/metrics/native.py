@@ -22,42 +22,18 @@ _SMALL = 1e-9
 
 
 def _intern(refs: Dict[int, List[str]], hypos: Dict[int, List[str]]):
-    """Flatten corpora into (tokens, offsets) id arrays + ref grouping."""
-    vocab: Dict[str, int] = {}
-
-    def ids(sent: str) -> List[int]:
-        out = []
-        for w in sent.split():
-            out.append(vocab.setdefault(w, len(vocab)))
-        return out
-
-    order = list(hypos.keys())
-    for i in order:
-        # match the pure-Python scorers, which raise on an empty ref
-        # group — the C++ kernels would otherwise divide by nrefs=0
-        # (CIDEr -> NaN) or feed best_len=-1 into BLEU's brevity penalty
-        if not refs.get(i):
-            raise ValueError(f"empty reference group for id {i!r}")
-    hyp_tok: List[int] = []
-    hyp_off = [0]
-    ref_tok: List[int] = []
-    ref_off = [0]
-    group_off = [0]
-    for i in order:
-        hyp_tok.extend(ids(hypos[i][0]))
-        hyp_off.append(len(hyp_tok))
-        for r in refs[i]:
-            ref_tok.extend(ids(r))
-            ref_off.append(len(ref_tok))
-        group_off.append(group_off[-1] + len(refs[i]))
-    if len(vocab) >= 1 << 16:
-        return None  # fall back to Python (keys pack 16 bits per token)
-    c = lambda a, t: np.ascontiguousarray(np.asarray(a, dtype=t))  # noqa: E731
-    return (
-        c(hyp_tok, np.int32), c(hyp_off, np.int64),
-        c(ref_tok, np.int32), c(ref_off, np.int64), c(group_off, np.int64),
-        len(order),
-    )
+    """Flatten corpora into (tokens, offsets) id arrays + ref grouping
+    for the n-gram kernels (BLEU/CIDEr). Those kernels pack 16 bits per
+    token into 64-bit n-gram keys, so a vocab >= 2^16 returns None (the
+    caller falls back to Python). An empty reference group raises like
+    the pure-Python scorers — the C++ kernels would otherwise divide by
+    nrefs=0 (CIDEr NaN) or feed best_len=-1 into BLEU's brevity penalty."""
+    (hyp_tok, hyp_off, ref_tok, ref_off, group_off, num, _, _) = _flatten_words(
+        refs, hypos, require_refs=True, with_meteor_tables=False)
+    n_vocab = int(max(hyp_tok.max(initial=-1), ref_tok.max(initial=-1))) + 1
+    if n_vocab >= 1 << 16:
+        return None
+    return hyp_tok, hyp_off, ref_tok, ref_off, group_off, num
 
 
 def _ptr(a: np.ndarray, t):
@@ -101,10 +77,14 @@ def corpus_bleu_native(
 
 def _flatten_words(refs: Dict[int, List[str]], hypos: Dict[int, List[str]],
                    require_refs: bool, with_meteor_tables: bool):
-    """Intern raw caption words (exact strings, no 16-bit packing limit —
-    ROUGE/METEOR never pack n-gram keys). Optionally also builds the
-    per-word-id Porter-stem-id and delta-mass tables METEOR's stem and
-    content/function-word modules need."""
+    """The single corpus-flattening walk every native kernel shares —
+    interning, ordering, offsets and empty-group semantics live here so
+    BLEU/CIDEr (via :func:`_intern`) and ROUGE/METEOR can never
+    desynchronize. Words intern as exact strings; ``require_refs``
+    raises on an empty reference group (the scorers that divide by it);
+    ``with_meteor_tables`` also builds the per-word-id Porter-stem-id
+    and delta-mass tables METEOR's stem and content/function-word
+    modules need."""
     vocab: Dict[str, int] = {}
     stem_vocab: Dict[str, int] = {}
     stem_ids: List[int] = []

@@ -68,11 +68,15 @@ class SynonymLookup:
 
     @staticmethod
     def from_synsets_file(path: str) -> "SynonymLookup":
-        """One synset per line (whitespace-separated members)."""
+        """One synset per line (whitespace-separated members); full-line
+        ``#`` comments only (a ``#`` can be a legitimate token, so
+        inline stripping would corrupt members)."""
         acc: Dict[str, Set[str]] = {}
         with _open_text(path) as f:
             for lineno, line in enumerate(f):
-                line = line.split("#", 1)[0].strip()
+                line = line.strip()
+                if line.startswith("#"):
+                    continue
                 words = line.lower().split()
                 if len(words) < 2:  # singleton synsets can never match
                     continue
@@ -148,14 +152,16 @@ class ParaphraseTable:
     @staticmethod
     def from_file(path: str, max_phrase_len: int = 6) -> "ParaphraseTable":
         """TAB- or ``" ||| "``-separated pairs, optional leading numeric
-        weight column, ``#`` comments; phrases longer than
+        weight column, full-line ``#`` comments; phrases longer than
         ``max_phrase_len`` words are dropped (caption decoding never
-        needs them and the table stays small)."""
+        needs them and the table stays small). ``#`` is only a comment
+        at line start — real paraphrase tables contain it mid-phrase
+        (``number #1``), so inline stripping would corrupt entries."""
         acc: Dict[Tuple[str, ...], Set[Tuple[str, ...]]] = {}
         with _open_text(path) as f:
             for line in f:
-                line = line.split("#", 1)[0].strip()
-                if not line:
+                line = line.strip()
+                if not line or line.startswith("#"):
                     continue
                 fields = ([p.strip() for p in line.split("|||")]
                           if "|||" in line else line.split("\t"))

@@ -16,7 +16,6 @@ with ``.ckpt`` for the native format: ``rewardNetwork.ckpt`` etc.; the
 from __future__ import annotations
 
 import os
-import tempfile
 
 import jax
 import jax.numpy as jnp
@@ -37,31 +36,13 @@ _CONVERTERS = {
     "a2c": a2c_from_torch,
 }
 
-# process umask, captured once at import (see utils.io.UMASK for why)
-from ..utils.io import UMASK as _UMASK
+from ..utils.io import atomic_write
 
 
 def save_pytree(params, path: str) -> None:
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     host = jax.tree.map(np.asarray, params)
-    # unique temp name: concurrent savers to the same path each publish
-    # a complete file via os.replace instead of interleaving writes
-    fd, tmp = tempfile.mkstemp(
-        dir=os.path.dirname(path) or ".", prefix=os.path.basename(path) + ".tmp."
-    )
-    try:
-        with os.fdopen(fd, "wb") as f:
-            f.write(serialization.to_bytes(host))
-        # mkstemp creates 0600; restore the umask-governed mode so shared
-        # log dirs keep readable checkpoints (as a plain open() would)
-        os.chmod(tmp, 0o666 & ~_UMASK)
-        os.replace(tmp, path)  # atomic: no torn checkpoints on interruption
-    except BaseException:
-        try:
-            os.unlink(tmp)
-        except OSError:
-            pass
-        raise
+    with atomic_write(path) as f:
+        f.write(serialization.to_bytes(host))
 
 
 def load_pytree(template, path: str):
@@ -101,21 +82,8 @@ def save_network_pt(kind: str, params, path: str,
     # torch.from_numpy rejects (undefined-behavior warning)
     sd = {k: torch.from_numpy(np.array(v))
           for k, v in to_torch_state_dict(kind, params, bidirectional).items()}
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    fd, tmp = tempfile.mkstemp(
-        dir=os.path.dirname(path) or ".", prefix=os.path.basename(path) + ".tmp."
-    )
-    try:
-        with os.fdopen(fd, "wb") as f:
-            torch.save(sd, f)
-        os.chmod(tmp, 0o666 & ~_UMASK)
-        os.replace(tmp, path)
-    except BaseException:
-        try:
-            os.unlink(tmp)
-        except OSError:
-            pass
-        raise
+    with atomic_write(path) as f:
+        torch.save(sd, f)
 
 
 def save_orbax(params, directory: str) -> None:

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import contextlib as _contextlib
 import os
 from typing import Optional
 
@@ -12,6 +13,36 @@ from typing import Optional
 # exports) to restore the umask-governed mode mkstemp suppresses.
 UMASK = os.umask(0)
 os.umask(UMASK)
+
+
+@_contextlib.contextmanager
+def atomic_write(path: str):
+    """Yield a binary file handle that publishes to ``path`` atomically.
+
+    Writes go to a uniquely-named temp file in the target directory
+    (concurrent savers each publish a complete file instead of
+    interleaving), the umask-governed mode replaces mkstemp's 0600 (so
+    shared log dirs keep readable artifacts, as a plain ``open()``
+    would), and ``os.replace`` makes the publish atomic — no torn
+    checkpoints/exports on interruption. On error the temp file is
+    removed and nothing is published.
+    """
+    import tempfile
+
+    d = os.path.dirname(path) or "."
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, prefix=os.path.basename(path) + ".tmp.")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            yield f
+        os.chmod(tmp, 0o666 & ~UMASK)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 
 def enable_persistent_compile_cache() -> None:
@@ -29,6 +60,21 @@ def enable_persistent_compile_cache() -> None:
         )
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
+
+
+def resolve_checkpoint(directory: str, fname: str) -> str:
+    """Resolve a network file in ``directory``: the native ``.ckpt``
+    name is preferred; when absent, fall back to the reference's ``.pt``
+    file of the same stem (the torch converter loads it), so a path can
+    point straight at a reference ``models_pretrained/`` dir. Shared by
+    the training and captioning CLIs — the two must resolve the same
+    file for the same layout."""
+    path = os.path.join(directory or ".", fname)
+    if not os.path.exists(path):
+        pt = os.path.splitext(path)[0] + ".pt"
+        if os.path.exists(pt):
+            return pt
+    return path
 
 
 def get_filename(base_name: str, bidirectional: bool, curriculum: Optional[bool] = None) -> str:

@@ -267,3 +267,27 @@ def test_train_word_embeddings_save_path(tmp_path):
     model = load_word2vec_format(p)
     assert set(model) == {"cat", "dog", "bird"}
     np.testing.assert_allclose(model["cat"], aligned[1], rtol=1e-6)
+
+
+def test_train_word_embeddings_save_path_bin_gz(tmp_path):
+    """.bin.gz save paths write the BINARY layout (compressed), not text
+    with a binary-looking name."""
+    from image_captioning_through_rl_tpu.embeddings import load_word2vec_format
+    from image_captioning_through_rl_tpu.embeddings.word2vec import (
+        train_word_embeddings,
+    )
+    import gzip
+
+    corpus = [["cat", "dog"], ["dog", "cat"]] * 4
+    data = {"word_to_idx": {"<NULL>": 0, "cat": 1, "dog": 2}}
+    p = str(tmp_path / "w.bin.gz")
+    aligned = train_word_embeddings("word2vec", data, corpus, size=8,
+                                    epochs=1, save_path=p)
+    raw = gzip.open(p, "rb").read()
+    header, rest = raw.split(b"\n", 1)
+    n, d = (int(x) for x in header.split())
+    # binary layout: word + space + 4*d raw bytes, no newline separator
+    first = rest.split(b" ", 1)
+    assert len(first[1]) >= 4 * d
+    model = load_word2vec_format(p)  # autodetects binary
+    np.testing.assert_allclose(model["cat"], aligned[1], rtol=1e-6)

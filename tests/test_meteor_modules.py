@@ -33,7 +33,8 @@ NO_RES = MeteorResources()
 def syn(tmp_path):
     p = tmp_path / "synsets.txt"
     p.write_text(
-        "dog canine hound  # one synset per line\n"
+        "# one synset per line\n"
+        "dog canine hound\n"
         "quick fast rapid\n"
         "singleton\n"  # ignored: can never match
         "\n"
@@ -45,8 +46,9 @@ def syn(tmp_path):
 def para(tmp_path):
     p = tmp_path / "paraphrases.txt"
     p.write_text(
+        "# weight column skipped when present\n"
         "in front of\tbefore\n"
-        "0.73 ||| a large number of ||| many   # weight column skipped\n"
+        "0.73 ||| a large number of ||| many\n"
         "couch\tsofa\n"
     )
     return ParaphraseTable.from_file(str(p))
@@ -214,3 +216,22 @@ def test_env_resolution(tmp_path, monkeypatch):
     monkeypatch.delenv("ICRL_METEOR_PARAPHRASES")
     empty = default_resources()
     assert empty.synonyms is None and empty.paraphrases is None
+
+
+def test_paraphrase_table_hash_handling(tmp_path):
+    """'#' is a comment only at line start — real paraphrase tables have
+    no inline comment syntax and phrases like 'number #1' contain it."""
+    p = tmp_path / "para.tsv"
+    p.write_text("# full-line comment\nnumber #1\tnumber one\n")
+    t = ParaphraseTable.from_file(str(p))
+    assert t.matches(("number", "#1"), ("number", "one"))
+    assert len(t) == 1
+
+
+def test_synsets_file_hash_handling(tmp_path):
+    """Only full lines starting with '#' are comments; a mid-line '#'
+    is a legitimate token (no inline stripping)."""
+    f = tmp_path / "s.txt"
+    f.write_text("# comment line\none #1\n")
+    lk = SynonymLookup.from_synsets_file(str(f))
+    assert lk.are_synonyms("one", "#1")

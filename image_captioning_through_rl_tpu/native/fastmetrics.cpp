@@ -56,13 +56,52 @@ inline Key pack(const int32_t* toks, int n) {
   return k;
 }
 
-void count_ngrams(const int32_t* toks, int len, CountMap out[kMaxN]) {
-  for (int n = 1; n <= kMaxN; ++n) {
-    CountMap& m = out[n - 1];
-    for (int i = 0; i + n <= len; ++i) {
-      ++m[pack(toks + i, n)];
+// ---------------------------------------------------------------------------
+// Small-vector n-gram counting. Captions are <= ~20 tokens, so a
+// per-sentence hash map costs more in allocation and cache misses than
+// sorting a handful of keys; key-sorted vectors also turn every
+// intersection/union below into a linear two-pointer merge. Buffers are
+// reused across sentences (clear() keeps capacity), so the steady state
+// allocates nothing.
+
+using KeyCount = std::pair<Key, int32_t>;
+using KeyVec = std::vector<KeyCount>;
+
+inline bool key_less(const KeyCount& a, const KeyCount& b) {
+  return a.first < b.first;
+}
+
+// Order-n n-gram counts as a key-sorted, deduplicated (key, count) vector.
+void count_ngrams_vec(const int32_t* toks, int len, int n, KeyVec& out) {
+  out.clear();
+  for (int i = 0; i + n <= len; ++i) out.emplace_back(pack(toks + i, n), 1);
+  std::sort(out.begin(), out.end(), key_less);
+  size_t w = 0;
+  for (size_t r = 0; r < out.size(); ++r) {
+    if (w > 0 && out[w - 1].first == out[r].first) ++out[w - 1].second;
+    else out[w++] = out[r];
+  }
+  out.resize(w);
+}
+
+// dst = per-key elementwise max of dst and src (both key-sorted).
+void max_merge(KeyVec& dst, const KeyVec& src, KeyVec& scratch) {
+  scratch.clear();
+  size_t a = 0, b = 0;
+  while (a < dst.size() && b < src.size()) {
+    if (dst[a].first < src[b].first) scratch.push_back(dst[a++]);
+    else if (src[b].first < dst[a].first) scratch.push_back(src[b++]);
+    else {
+      scratch.emplace_back(dst[a].first,
+                           dst[a].second > src[b].second ? dst[a].second
+                                                         : src[b].second);
+      ++a;
+      ++b;
     }
   }
+  for (; a < dst.size(); ++a) scratch.push_back(dst[a]);
+  for (; b < src.size(); ++b) scratch.push_back(src[b]);
+  dst.swap(scratch);
 }
 
 struct Corpus {
@@ -246,14 +285,16 @@ void bleu_stats(const int32_t* hyp_tokens, const int64_t* hyp_offsets, int64_t n
   std::memset(correct, 0, kMaxN * sizeof(int64_t));
   std::memset(guess, 0, kMaxN * sizeof(int64_t));
 
-  CountMap hyp_counts[kMaxN], max_ref[kMaxN];
+  KeyVec hyp_v[kMaxN], max_ref[kMaxN], rv, scratch;
   for (int64_t i = 0; i < num; ++i) {
     int hlen;
     const int32_t* h = hyps.sent(i, &hlen);
     testlen += hlen;
 
-    for (int n = 0; n < kMaxN; ++n) { hyp_counts[n].clear(); max_ref[n].clear(); }
-    count_ngrams(h, hlen, hyp_counts);
+    for (int n = 0; n < kMaxN; ++n) {
+      count_ngrams_vec(h, hlen, n + 1, hyp_v[n]);
+      max_ref[n].clear();
+    }
 
     // closest reference length (ties -> shorter)
     int best_len = -1;
@@ -266,15 +307,9 @@ void bleu_stats(const int32_t* hyp_tokens, const int64_t* hyp_offsets, int64_t n
         best_diff = diff;
         best_len = rlen;
       }
-      CountMap rc[kMaxN];
-      count_ngrams(rt, rlen, rc);
       for (int n = 0; n < kMaxN; ++n) {
-        for (const auto& kv : rc[n]) {
-          auto it = max_ref[n].find(kv.first);
-          if (it == max_ref[n].end() || it->second < kv.second) {
-            max_ref[n][kv.first] = kv.second;
-          }
-        }
+        count_ngrams_vec(rt, rlen, n + 1, rv);
+        max_merge(max_ref[n], rv, scratch);  // per-key max over the group
       }
     }
     reflen += best_len;
@@ -282,10 +317,17 @@ void bleu_stats(const int32_t* hyp_tokens, const int64_t* hyp_offsets, int64_t n
     for (int n = 0; n < kMaxN; ++n) {
       int64_t g = hlen - n;  // hlen - (n+1) + 1
       if (g > 0) guess[n] += g;
-      for (const auto& kv : hyp_counts[n]) {
-        auto it = max_ref[n].find(kv.first);
-        if (it != max_ref[n].end()) {
-          correct[n] += kv.second < it->second ? kv.second : it->second;
+      // clipped matches: two-pointer intersection of the sorted vectors
+      size_t a = 0, b = 0;
+      const KeyVec& hv = hyp_v[n];
+      const KeyVec& mv = max_ref[n];
+      while (a < hv.size() && b < mv.size()) {
+        if (hv[a].first < mv[b].first) ++a;
+        else if (mv[b].first < hv[a].first) ++b;
+        else {
+          correct[n] += hv[a].second < mv[b].second ? hv[a].second : mv[b].second;
+          ++a;
+          ++b;
         }
       }
     }
@@ -307,16 +349,21 @@ void cider_scores(const int32_t* hyp_tokens, const int64_t* hyp_offsets, int64_t
   const double sigma = 6.0;
   const double log_num = std::log(static_cast<double>(num));
 
-  // document frequency: each unique ngram once per image's ref group
+  // document frequency: each unique ngram once per image's ref group.
+  // The df table is the one corpus-global structure, so it stays a hash
+  // map; per-sentence counting below uses sorted small vectors.
   WeightMap df[kMaxN];
   {
-    CountMap seen[kMaxN];
+    KeyVec seen[kMaxN], rv, scratch;
     for (int64_t i = 0; i < num; ++i) {
       for (int n = 0; n < kMaxN; ++n) seen[n].clear();
       for (int64_t r = ref_group_offsets[i]; r < ref_group_offsets[i + 1]; ++r) {
         int rlen;
         const int32_t* rt = refs.sent(r, &rlen);
-        count_ngrams(rt, rlen, seen);
+        for (int n = 0; n < kMaxN; ++n) {
+          count_ngrams_vec(rt, rlen, n + 1, rv);
+          max_merge(seen[n], rv, scratch);  // union of the group's keys
+        }
       }
       for (int n = 0; n < kMaxN; ++n) {
         for (const auto& kv : seen[n]) df[n][kv.first] += 1.0;
@@ -330,19 +377,21 @@ void cider_scores(const int32_t* hyp_tokens, const int64_t* hyp_offsets, int64_t
     return static_cast<double>(tf) * (log_num - std::log(d));
   };
 
-  CountMap hc[kMaxN], rc[kMaxN];
+  // (key, tf*idf weight) rows, key-sorted — dot products become merges
+  struct WKey { Key k; double w; };
+  std::vector<WKey> hw[kMaxN], rw;
+  KeyVec cv;
   for (int64_t i = 0; i < num; ++i) {
     int hlen;
     const int32_t* h = hyps.sent(i, &hlen);
-    for (int n = 0; n < kMaxN; ++n) hc[n].clear();
-    count_ngrams(h, hlen, hc);
 
     double h_norm[kMaxN] = {0, 0, 0, 0};
-    WeightMap hw[kMaxN];
     for (int n = 0; n < kMaxN; ++n) {
-      for (const auto& kv : hc[n]) {
+      count_ngrams_vec(h, hlen, n + 1, cv);
+      hw[n].clear();
+      for (const auto& kv : cv) {
         double w = weight(n, kv.first, kv.second);
-        hw[n][kv.first] = w;
+        hw[n].push_back({kv.first, w});
         h_norm[n] += w * w;
       }
       h_norm[n] = std::sqrt(h_norm[n]);
@@ -353,24 +402,28 @@ void cider_scores(const int32_t* hyp_tokens, const int64_t* hyp_offsets, int64_t
     for (int64_t r = ref_group_offsets[i]; r < ref_group_offsets[i + 1]; ++r) {
       int rlen;
       const int32_t* rt = refs.sent(r, &rlen);
-      for (int n = 0; n < kMaxN; ++n) rc[n].clear();
-      count_ngrams(rt, rlen, rc);
       double delta = static_cast<double>(hlen - rlen);
       double penalty = std::exp(-(delta * delta) / (2.0 * sigma * sigma));
       for (int n = 0; n < kMaxN; ++n) {
-        double r_norm = 0.0, dot = 0.0;
-        WeightMap rw;
-        for (const auto& kv : rc[n]) {
+        count_ngrams_vec(rt, rlen, n + 1, cv);
+        double r_norm = 0.0;
+        rw.clear();
+        for (const auto& kv : cv) {
           double w = weight(n, kv.first, kv.second);
-          rw[kv.first] = w;
+          rw.push_back({kv.first, w});
           r_norm += w * w;
         }
         r_norm = std::sqrt(r_norm);
-        for (const auto& kv : hw[n]) {
-          auto it = rw.find(kv.first);
-          if (it != rw.end()) {
-            double wh = kv.second, wr = it->second;
-            dot += (wh < wr ? wh : wr) * wr;
+        double dot = 0.0;
+        size_t a = 0, b = 0;
+        while (a < hw[n].size() && b < rw.size()) {
+          if (hw[n][a].k < rw[b].k) ++a;
+          else if (rw[b].k < hw[n][a].k) ++b;
+          else {
+            double wh = hw[n][a].w, wr = rw[b].w;
+            dot += (wh < wr ? wh : wr) * wr;  // clipped cosine numerator
+            ++a;
+            ++b;
           }
         }
         double val = 0.0;

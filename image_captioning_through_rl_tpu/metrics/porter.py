@@ -8,6 +8,8 @@ NLTK dependency — used by :mod:`.meteor`'s stem module.
 
 from __future__ import annotations
 
+import functools
+
 
 def _is_cons(word: str, i: int) -> bool:
     ch = word[i]
@@ -54,6 +56,8 @@ def _cvc(word: str) -> bool:
     )
 
 
+@functools.lru_cache(maxsize=1 << 16)  # pure; corpora re-stem the same
+# vocabulary per sentence pair, so memoization pays across the board
 def porter_stem(word: str) -> str:
     w = word.lower()
     if len(w) <= 2:

@@ -39,13 +39,25 @@ def load_textfiles(reference_file: str, hypothesis_file: str) -> Tuple[Dict, Dic
     return refs, hypo
 
 
+_HAVE_PYCOCO: bool | None = None  # probed once: failed imports are not
+# cached by Python, and postprocess calls score() per caption line
+
+
 def score(ref: Dict[int, List[str]], hypo: Dict[int, List[str]]) -> Dict[str, float]:
     """BLEU_1..4 + METEOR + ROUGE_L + CIDEr (reference metrics.py:57-85).
 
     Uses pycocoevalcap itself when importable (bit-identical numbers);
     otherwise the native scorers in this package.
     """
-    try:  # pragma: no cover - not available in this environment
+    global _HAVE_PYCOCO
+    if _HAVE_PYCOCO is None:
+        try:
+            import pycocoevalcap.bleu.bleu  # noqa: F401
+
+            _HAVE_PYCOCO = True
+        except ImportError:
+            _HAVE_PYCOCO = False
+    if _HAVE_PYCOCO:  # pragma: no cover - not available in this environment
         from pycocoevalcap.bleu.bleu import Bleu
         from pycocoevalcap.cider.cider import Cider
         from pycocoevalcap.meteor.meteor import Meteor
@@ -64,8 +76,6 @@ def score(ref: Dict[int, List[str]], hypo: Dict[int, List[str]]) -> Dict[str, fl
             else:
                 final[method] = s
         return final
-    except ImportError:
-        pass
 
     # native C++ n-gram kernels when the toolchain is available;
     # pure-Python otherwise (identical numerics, tested)

@@ -84,3 +84,31 @@ def test_step_timing_meter_opt_in(tmp_path, monkeypatch):
     timed = tags_of("timed", True)
     assert not any("steps_per_sec" in t for t in plain)
     assert any("steps_per_sec" in t for t in timed)
+
+
+def test_atomic_write_contract(tmp_path):
+    """The shared writer (utils.io.atomic_write) publishes complete
+    files with umask-governed permissions (not mkstemp's 0600 — the
+    ADVICE-r2 regression) and leaves nothing behind on error."""
+    import os
+    import stat
+
+    from image_captioning_through_rl_tpu.utils.io import UMASK, atomic_write
+
+    p = tmp_path / "sub" / "out.bin"
+    with atomic_write(str(p)) as f:
+        f.write(b"payload")
+    assert p.read_bytes() == b"payload"
+    assert stat.S_IMODE(os.stat(p).st_mode) == 0o666 & ~UMASK
+
+    class Boom(Exception):
+        pass
+
+    try:
+        with atomic_write(str(tmp_path / "sub" / "bad.bin")) as f:
+            f.write(b"partial")
+            raise Boom()
+    except Boom:
+        pass
+    # no temp or partial file published
+    assert sorted(x.name for x in (tmp_path / "sub").iterdir()) == ["out.bin"]

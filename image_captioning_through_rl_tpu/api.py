@@ -58,6 +58,7 @@ class Captioner:
         self._cfg = cfg
         self._idx_to_word = idx_to_word
         self._mesh = mesh
+        self._mesh_params = None  # params committed to the mesh, once
         self._jitted = {}
         self._fused_verdict = {}  # decode key -> VerifiedDispatch
 
@@ -114,9 +115,9 @@ class Captioner:
                     )
                 from .parallel.serve import sharded_beam_tokens
 
+                pp, vp = self._mesh_committed()
                 toks, _ = sharded_beam_tokens(
-                    self._mesh, self._policy, self._value, cfg, dcfg,
-                    features, start,
+                    self._mesh, pp, vp, cfg, dcfg, features, start,
                 )
                 return np.asarray(toks[:, 0])
 
@@ -151,8 +152,9 @@ class Captioner:
                 )
             from .parallel.serve import sharded_greedy_tokens
 
+            pp, _ = self._mesh_committed()
             return np.asarray(
-                sharded_greedy_tokens(self._mesh, self._policy, cfg, features, start)
+                sharded_greedy_tokens(self._mesh, pp, cfg, features, start)
             )
 
         xla_fn = self._get("greedy", lambda: jax.jit(
@@ -180,6 +182,21 @@ class Captioner:
                 features, start,
             )
         return np.asarray(xla_fn(self._policy, features, start))
+
+    def _mesh_committed(self):
+        """Parameters committed to the mesh's replicated layout ONCE —
+        re-uploading the ~40 MB pytrees per request would dominate the
+        sharded serving hot path (serve.py's replicate() then passes the
+        committed tree through untouched)."""
+        if self._mesh_params is None:
+            from .parallel.sharding import replicate
+
+            self._mesh_params = (
+                replicate(self._mesh, self._policy),
+                (replicate(self._mesh, self._value)
+                 if self._value is not None else None),
+            )
+        return self._mesh_params
 
     def _dispatch_verified(self, key, fused_fn, xla_fn, features, start):
         """Auto dispatch through the shared :class:`VerifiedDispatch`

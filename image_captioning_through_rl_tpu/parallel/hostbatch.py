@@ -43,8 +43,13 @@ class GlobalBatcher:
     def __init__(self, mesh: Mesh, axis: str = "data"):
         self.mesh = mesh
         self.axis = axis
-        self._data_size = int(mesh.shape[axis])
         self._replicated = NamedSharding(mesh, P())
+
+    @property
+    def _data_size(self) -> int:
+        # lazy: replicate() is axis-agnostic and must work on meshes
+        # that don't carry the data axis at all
+        return int(self.mesh.shape[self.axis])
 
     def _row_sharding(self, ndim: int) -> NamedSharding:
         return NamedSharding(self.mesh, P(self.axis, *([None] * (ndim - 1))))
@@ -59,16 +64,20 @@ class GlobalBatcher:
         block; assert that rather than assume it.
         """
         idx_map = sharding.addressable_devices_indices_map(tuple(global_shape))
-        starts, stops, total = [], [], 0
+        # dedupe: on a 2-D (data, model) mesh, devices along the model
+        # axis hold the SAME row slice — counting each device would
+        # double the total and fail the contiguity check below
+        spans = set()
         for idx in idx_map.values():
             sl = idx[axis]
             lo = sl.start or 0
             hi = sl.stop if sl.stop is not None else global_shape[axis]
-            starts.append(lo)
-            stops.append(hi)
-            total += hi - lo
-        lo, hi = min(starts), max(stops)
-        if hi - lo != total:
+            spans.add((lo, hi))
+        starts = sorted(lo for lo, _ in spans)
+        stops = sorted(hi for _, hi in spans)
+        total = sum(hi - lo for lo, hi in spans)
+        lo, hi = starts[0], stops[-1]
+        if hi - lo != total or any(a != b for a, b in zip(stops[:-1], starts[1:])):
             raise ValueError(
                 "process-local shards are not contiguous under this mesh; "
                 "build the mesh over jax.devices() in default order"

@@ -30,12 +30,25 @@ def maybe_init_distributed() -> bool:
     already = getattr(jax.distributed, "is_initialized", None)
     if callable(already) and already():
         return jax.process_count() > 1
-    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
-    n = os.environ.get("JAX_NUM_PROCESSES")
-    pid = os.environ.get("JAX_PROCESS_ID")
-    if addr and n and pid:
+    env = {
+        k: os.environ.get(k)
+        for k in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES", "JAX_PROCESS_ID")
+    }
+    present = [k for k, v in env.items() if v]
+    if present and len(present) < len(env):
+        # a partially-announced job must fail loudly HERE: silently
+        # falling back to single-host would leave the peer processes
+        # blocked at the coordinator forever, with no diagnostic
+        missing = sorted(set(env) - set(present))
+        raise RuntimeError(
+            f"multi-host launch env is incomplete: {sorted(present)} set "
+            f"but {missing} missing — export all three or none"
+        )
+    if present:
         jax.distributed.initialize(
-            coordinator_address=addr, num_processes=int(n), process_id=int(pid)
+            coordinator_address=env["JAX_COORDINATOR_ADDRESS"],
+            num_processes=int(env["JAX_NUM_PROCESSES"]),
+            process_id=int(env["JAX_PROCESS_ID"]),
         )
         return jax.process_count() > 1
     if os.environ.get("JAX_AUTO_DISTRIBUTED") == "1":

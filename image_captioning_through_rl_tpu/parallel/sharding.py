@@ -45,10 +45,21 @@ def shard_batch(mesh: Mesh, *arrays, axis: str = "data"):
     return out if len(out) > 1 else out[0]
 
 
+def _is_replicated_on(mesh: Mesh, x) -> bool:
+    s = getattr(x, "sharding", None)
+    return (isinstance(s, NamedSharding) and s.mesh == mesh
+            and s.spec == P())
+
+
 def replicate(mesh: Mesh, tree):
     """Commit a pytree to fully-replicated layout on ``mesh`` (every
     process contributes its identical local copy on multi-process
-    meshes)."""
+    meshes). Trees already committed to this mesh's replicated layout
+    pass through untouched — serving calls replicate the same parameter
+    pytree per request, and re-uploading ~40 MB per request would
+    dominate the hot path."""
+    if all(_is_replicated_on(mesh, x) for x in jax.tree.leaves(tree)):
+        return tree
     if _spans_processes(mesh):
         from .hostbatch import GlobalBatcher
 

@@ -160,7 +160,12 @@ class CaptionServer:
                     if server._stop.is_set() and not server._threads[0].is_alive():
                         pending.error = pending.error or "server stopped"
                         break
-                if pending.error is not None:
+                if pending.error == "server stopped":
+                    # rescued stop/enqueue race: same condition as the
+                    # pre-enqueue _stop gate, so same retryable answer
+                    # (and no error-stat skew between the two paths)
+                    self._reply(503, {"error": pending.error})
+                elif pending.error is not None:
                     with server._stats_lock:
                         server.stats["requests"] += 1
                         server.stats["errors"] += 1
@@ -272,10 +277,22 @@ class CaptionServer:
             buckets = list(self._buckets)  # EVERY dispatchable shape: an
             # unwarmed middle bucket would stall the single batcher
             # thread for the remote-compile duration mid-traffic
+        started = bool(self._threads) and self._threads[0].is_alive()
         for b in buckets:
             feats = rng.standard_normal((b, feature_dim)).astype(np.float32)
             for beam in beam_sizes:
-                self._cap.caption(feats, beam_size=beam)
+                if started:
+                    # route through the batcher queue: the one batcher
+                    # thread owns ALL device work once traffic is live
+                    # (a direct call here would race it — and race the
+                    # verified-dispatch canary)
+                    p = _Pending(feats, beam)
+                    self._queue.put(p)
+                    p.event.wait()
+                    if p.error is not None:
+                        raise RuntimeError(f"warmup failed: {p.error}")
+                else:
+                    self._cap.caption(feats, beam_size=beam)
         return self
 
     def start(self):
@@ -289,7 +306,11 @@ class CaptionServer:
 
     def stop(self):
         self._stop.set()
-        self._httpd.shutdown()
+        if self._threads:
+            # only after start(): BaseServer.shutdown() blocks on an
+            # event that serve_forever() alone sets — calling it on a
+            # never-started server deadlocks forever
+            self._httpd.shutdown()
         self._httpd.server_close()
         for t in self._threads:
             t.join(timeout=5)

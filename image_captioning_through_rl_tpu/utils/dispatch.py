@@ -15,6 +15,7 @@ drift between the serving and eval surfaces.
 
 from __future__ import annotations
 
+import threading
 from typing import Callable, Optional
 
 
@@ -24,7 +25,10 @@ class VerifiedDispatch:
     ``equal(fast_out, ref_out)`` decides the verdict on the first call;
     ``on_verdict(ok, exc)`` (optional) observes it — ``exc`` carries the
     exception when the fast path failed outright, else ``None``.
-    ``verdict`` stays ``None`` until the canary has run.
+    ``verdict`` stays ``None`` until the canary has run. Thread-safe:
+    concurrent first calls (e.g. a server warmup racing live traffic)
+    serialize on the canary, so exactly one verdict is latched and
+    ``on_verdict`` fires once.
     """
 
     def __init__(
@@ -38,18 +42,21 @@ class VerifiedDispatch:
         self._ref = ref_fn
         self._equal = equal
         self._on_verdict = on_verdict
+        self._lock = threading.Lock()
         self.verdict: Optional[bool] = None
 
     def __call__(self, *args):
         if self.verdict is None:
-            try:
-                fast_out = self._fast(*args)
-            except Exception as e:  # kernel unavailable: latch the ref path
-                self._resolve(False, e)
-                return self._ref(*args)
-            ref_out = self._ref(*args)
-            self._resolve(bool(self._equal(fast_out, ref_out)), None)
-            return fast_out if self.verdict else ref_out
+            with self._lock:
+                if self.verdict is None:  # double-checked: one canary
+                    try:
+                        fast_out = self._fast(*args)
+                    except Exception as e:  # kernel unavailable: latch ref
+                        self._resolve(False, e)
+                        return self._ref(*args)
+                    ref_out = self._ref(*args)
+                    self._resolve(bool(self._equal(fast_out, ref_out)), None)
+                    return fast_out if self.verdict else ref_out
         return self._fast(*args) if self.verdict else self._ref(*args)
 
     def _resolve(self, ok: bool, exc) -> None:

@@ -55,3 +55,46 @@ def test_fast_exception_latches_ref_and_reports():
 def test_verdict_none_until_first_call():
     d = VerifiedDispatch(lambda: 1, lambda: 1, equal=lambda a, b: a == b)
     assert d.verdict is None
+
+
+def test_verified_dispatch_concurrent_first_calls():
+    """Concurrent first calls (server warmup racing live traffic) must
+    run exactly ONE canary: a single on_verdict fire, one latched
+    verdict, and the slow double-execution happens once."""
+    import threading
+    import time
+
+    from image_captioning_through_rl_tpu.utils.dispatch import VerifiedDispatch
+
+    calls = {"fast": 0, "ref": 0, "verdicts": []}
+    lock = threading.Lock()
+
+    def fast(x):
+        with lock:
+            calls["fast"] += 1
+        time.sleep(0.05)  # widen the race window
+        return x
+
+    def ref(x):
+        with lock:
+            calls["ref"] += 1
+        return x
+
+    disp = VerifiedDispatch(fast, ref, equal=lambda a, b: a == b,
+                            on_verdict=lambda ok, exc: calls["verdicts"].append(ok))
+    barrier = threading.Barrier(4)
+    results = []
+
+    def worker():
+        barrier.wait()
+        results.append(disp(7))
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results == [7, 7, 7, 7]
+    assert calls["verdicts"] == [True]   # one canary, one fire
+    assert calls["ref"] == 1             # ref ran only for the canary
+    assert disp.verdict is True

@@ -213,3 +213,64 @@ def test_maybe_init_distributed_auto_env(monkeypatch):
     monkeypatch.setenv("JAX_AUTO_DISTRIBUTED", "1")
     maybe_init_distributed()
     assert calls == [((), {})]
+
+
+def test_global_batcher_2d_mesh():
+    """GlobalBatcher on a (data, model) mesh: devices along the model
+    axis hold IDENTICAL row slices — local_rows must dedupe them, not
+    double-count (review round-3 regression)."""
+    import numpy as np
+
+    from image_captioning_through_rl_tpu.parallel import GlobalBatcher, make_mesh
+
+    mesh = make_mesh((4, 2), ("data", "model"))
+    gb = GlobalBatcher(mesh)
+    x = np.arange(8 * 3, dtype=np.float32).reshape(8, 3)
+    arr = gb.shard(x)
+    np.testing.assert_array_equal(np.asarray(arr), x)
+    s = np.arange(2 * 8 * 3, dtype=np.float32).reshape(2, 8, 3)
+    arr2 = gb.shard_stacked(s)
+    np.testing.assert_array_equal(np.asarray(arr2), s)
+
+
+def test_global_batcher_replicate_without_data_axis():
+    """replicate() is axis-agnostic: it must work on meshes that don't
+    carry a 'data' axis at all (review round-3 regression)."""
+    import numpy as np
+
+    from image_captioning_through_rl_tpu.parallel import GlobalBatcher, make_mesh
+
+    mesh = make_mesh((8,), ("model",))
+    tree = {"w": np.ones((4, 4), np.float32)}
+    rep = GlobalBatcher(mesh).replicate(tree)
+    np.testing.assert_array_equal(np.asarray(rep["w"]), tree["w"])
+
+
+def test_replicate_passthrough_when_committed():
+    """Serving calls replicate the same parameter pytree per request;
+    an already-committed tree must pass through untouched (no ~40 MB
+    re-upload per request)."""
+    import numpy as np
+
+    from image_captioning_through_rl_tpu.parallel import make_mesh
+    from image_captioning_through_rl_tpu.parallel.sharding import replicate
+
+    mesh = make_mesh()
+    tree = {"w": np.ones((4, 4), np.float32)}
+    once = replicate(mesh, tree)
+    again = replicate(mesh, once)
+    assert again["w"] is once["w"]
+
+
+def test_maybe_init_distributed_partial_env_raises(monkeypatch):
+    """A partially-announced multi-host job must fail loudly — silently
+    running single-host leaves the peers blocked at the coordinator."""
+    import pytest
+
+    from image_captioning_through_rl_tpu.parallel.mesh import maybe_init_distributed
+
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "127.0.0.1:1234")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "2")
+    monkeypatch.delenv("JAX_PROCESS_ID", raising=False)
+    with pytest.raises(RuntimeError, match="incomplete"):
+        maybe_init_distributed()

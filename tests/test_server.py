@@ -248,3 +248,39 @@ def test_stop_fails_queued_requests():
     srv.stop()
     assert p.event.wait(timeout=10)
     assert p.result is not None or p.error is not None
+
+
+def test_stop_before_start_returns():
+    """stop() on a never-started server must not deadlock in
+    BaseServer.shutdown() (its event is only set by serve_forever)."""
+    params = a2c.init(jax.random.PRNGKey(2), CFG)
+    cap = Captioner(params, CFG, {i: f"w{i}" for i in range(CFG.vocab_size)})
+    srv = CaptionServer(cap, port=0)
+    done = threading.Event()
+
+    def run():
+        srv.stop()
+        done.set()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    assert done.wait(10), "stop() deadlocked on a never-started server"
+
+
+def test_warmup_after_start_routes_through_batcher(rng_np):
+    """warmup() on a live server must not race the batcher thread for
+    the device: it enqueues like any request (batches stat moves, and
+    concurrent traffic still answers)."""
+    params = a2c.init(jax.random.PRNGKey(3), CFG)
+    cap = Captioner(params, CFG, {i: f"w{i}" for i in range(CFG.vocab_size)})
+    srv = CaptionServer(cap, port=0, max_wait_ms=5).start()
+    try:
+        before = srv.snapshot_stats().get("batches", 0)
+        srv.warmup(CFG.input_dim, buckets=[2])
+        after = srv.snapshot_stats().get("batches", 0)
+        assert after > before  # dispatched via the batcher, not directly
+        out = _post(srv, {"features": rng_np.standard_normal(
+            (1, CFG.input_dim)).tolist()})
+        assert len(out["captions"]) == 1
+    finally:
+        srv.stop()

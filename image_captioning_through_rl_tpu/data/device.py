@@ -84,8 +84,11 @@ class DeviceCocoTables(_MinibatchMixin):
         if self._mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            data = self._mesh.shape[self._data_axis]
-            spec = P(self._data_axis) if caps_b.shape[0] % data == 0 else P()
+            # a mesh without the data axis (e.g. model-only) still
+            # works: fall back to the replicated layout it would get
+            # from the ragged-tail branch anyway
+            data = self._mesh.shape.get(self._data_axis, 0)
+            spec = P(self._data_axis) if data and caps_b.shape[0] % data == 0 else P()
             batch_sharding = NamedSharding(self._mesh, spec)
             caps_b = jax.device_put(caps_b, batch_sharding)
             feats_b = jax.device_put(feats_b, batch_sharding)

@@ -25,10 +25,25 @@ class PCAProjection:
         return (feats - self.mean) @ self.components
 
     def save(self, path: str) -> None:
-        np.savez(path, mean=np.asarray(self.mean), components=np.asarray(self.components))
+        # np.savez would append '.npz' itself for bare paths; make that
+        # explicit so save/load stay symmetric, and publish atomically
+        # (a crash mid-save must not leave a truncated npz behind)
+        from ..utils.io import atomic_write
+
+        if not path.endswith(".npz"):
+            path += ".npz"
+        with atomic_write(path) as f:
+            np.savez(f, mean=np.asarray(self.mean),
+                     components=np.asarray(self.components))
 
     @staticmethod
     def load(path: str) -> "PCAProjection":
+        import os
+
+        if not path.endswith(".npz") and not os.path.exists(path):
+            # mirror save()'s (and np.savez's) extension appending so the
+            # documented save(p) -> load(p) round trip holds for bare paths
+            path += ".npz"
         z = np.load(path)
         return PCAProjection(jnp.asarray(z["mean"]), jnp.asarray(z["components"]))
 

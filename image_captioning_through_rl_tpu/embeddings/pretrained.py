@@ -35,7 +35,8 @@ def _local_model_file(name: str, short: str):
         os.path.join(os.path.expanduser("~"), ".cache", "icrl_embeddings"),
     )
     for stem in (short, name):
-        for ext in ("", ".txt", ".vec", ".bin", ".gz", ".txt.gz", ".vec.gz"):
+        for ext in ("", ".txt", ".vec", ".bin", ".gz",
+                    ".txt.gz", ".vec.gz", ".bin.gz"):
             p = os.path.join(root, stem + ext)
             if os.path.isfile(p):
                 return p
@@ -170,6 +171,10 @@ def load_word2vec_format(path: str, binary=None, encoding: str = "utf-8"):
     with opener(path, "rb") as f:
         first = f.readline()
         parts = first.split()
+        if not parts:
+            raise ValueError(
+                f"empty or headerless embedding file {path}: no first line"
+            )
         has_header = len(parts) == 2 and all(p.isdigit() for p in parts)
         vectors: dict = {}
         if has_header:
@@ -198,6 +203,14 @@ def load_word2vec_format(path: str, binary=None, encoding: str = "utf-8"):
                         )
                     vec = np.frombuffer(raw, dtype="<f4").astype(np.float32)
                     vectors[word.decode(encoding)] = vec
+                if len(vectors) != n_words:
+                    # a file cut exactly at an entry boundary parses
+                    # cleanly — the header count is the only witness
+                    raise ValueError(
+                        f"truncated binary embedding file {path}: header "
+                        f"declares {n_words} entries, payload holds "
+                        f"{len(vectors)}"
+                    )
                 return vectors
         else:
             dim = len(parts) - 1  # GloVe: the first line is already a record
@@ -215,5 +228,11 @@ def load_word2vec_format(path: str, binary=None, encoding: str = "utf-8"):
                 )
             vectors[row[0].decode(encoding)] = np.asarray(
                 [float(x) for x in row[1:]], dtype=np.float32
+            )
+        if has_header and len(vectors) < n_words:
+            raise ValueError(
+                f"truncated embedding file {path}: header declares "
+                f"{n_words} entries, payload holds {len(vectors)} "
+                f"(truncated download, or duplicate words)"
             )
     return vectors

@@ -60,3 +60,12 @@ def test_sharded_gather_ragged_batch_replicates(data):
     rng = np.random.default_rng(0)
     n = sum(c.shape[0] for c, _ in tables.minibatches(16, rng=rng))
     assert n == tables.num_captions  # ragged tail included, no crash
+
+
+def test_device_tables_on_mesh_without_data_axis(data):
+    """A model-only mesh must fall back to the replicated layout, not
+    KeyError on the absent data axis (review round-3 regression)."""
+    mesh = make_mesh((8,), ("model",))
+    tables = DeviceCocoTables(data, split="train", mesh=mesh)
+    caps_b, feats_b = tables.gather(np.arange(6))
+    assert caps_b.shape[0] == 6 and feats_b.shape[0] == 6

@@ -291,3 +291,77 @@ def test_train_word_embeddings_save_path_bin_gz(tmp_path):
     assert len(first[1]) >= 4 * d
     model = load_word2vec_format(p)  # autodetects binary
     np.testing.assert_allclose(model["cat"], aligned[1], rtol=1e-6)
+
+
+def test_load_word2vec_binary_truncated_at_entry_boundary(tmp_path):
+    """A binary file cut exactly at an entry boundary parses cleanly —
+    the header count is the only witness, and the loader must use it."""
+    from image_captioning_through_rl_tpu.embeddings import (
+        load_word2vec_format,
+        save_word2vec_format,
+    )
+
+    rng = np.random.default_rng(0)
+    vecs = {f"w{i}": rng.normal(size=4).astype(np.float32) for i in range(5)}
+    p = str(tmp_path / "v.bin")
+    save_word2vec_format(vecs, p, binary=True)
+    raw = open(p, "rb").read()
+    header = raw.split(b"\n", 1)[0] + b"\n"
+    entry = (len(raw) - len(header)) // 5
+    cut = header + raw[len(header): len(header) + 2 * entry]  # 2 of 5 entries
+    q = str(tmp_path / "cut.bin")
+    open(q, "wb").write(cut)
+    with np.testing.assert_raises_regex(ValueError, "declares 5"):
+        load_word2vec_format(q, binary=True)
+
+
+def test_load_word2vec_empty_file_diagnostic(tmp_path):
+    from image_captioning_through_rl_tpu.embeddings import load_word2vec_format
+
+    p = tmp_path / "empty.vec"
+    p.write_bytes(b"")
+    with np.testing.assert_raises_regex(ValueError, "empty"):
+        load_word2vec_format(str(p))
+
+
+def test_vocab_align_empty_model_raises():
+    from image_captioning_through_rl_tpu.embeddings import get_vectors_by_vocab
+
+    with np.testing.assert_raises_regex(ValueError, "empty embedding model"):
+        get_vectors_by_vocab({}, {"a": 0})
+
+
+def test_vocab_align_oov_mean_matches_naive():
+    """The cached-mean OOV fallback is bit-identical to the reference's
+    recompute-per-OOV-word form (utilities.py:429-439)."""
+    from image_captioning_through_rl_tpu.embeddings import get_vectors_by_vocab
+
+    rng = np.random.default_rng(7)
+    model = {f"w{i}": rng.normal(size=5).astype(np.float32) for i in range(6)}
+    # interleave found and OOV words so the mean changes between OOVs
+    vocab = {}
+    for i, w in enumerate(["w0", "x0", "w1", "x1", "x2", "w2", "x3"]):
+        vocab[w] = i
+    out = get_vectors_by_vocab(model, vocab)
+    seen = []
+    for w, i in vocab.items():
+        if w in model:
+            seen.append(model[w])
+        else:
+            np.testing.assert_array_equal(out[i], np.mean(np.asarray(seen), axis=0))
+
+
+def test_named_model_resolves_bin_gz_from_cache(tmp_path, monkeypatch):
+    """A .bin.gz drop-in (what save_word2vec_format itself writes for
+    binary gz paths) must resolve from $ICRL_EMBEDDINGS_DIR."""
+    from image_captioning_through_rl_tpu.embeddings import (
+        get_embeddings,
+        save_word2vec_format,
+    )
+
+    rng = np.random.default_rng(1)
+    vecs = {"cat": rng.normal(size=3).astype(np.float32)}
+    save_word2vec_format(vecs, str(tmp_path / "word2vec.bin.gz"), binary=True)
+    monkeypatch.setenv("ICRL_EMBEDDINGS_DIR", str(tmp_path))
+    model = get_embeddings("word2vec")
+    np.testing.assert_array_equal(model["cat"], vecs["cat"])

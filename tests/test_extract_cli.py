@@ -99,3 +99,22 @@ def test_extract_refuses_refit_when_projection_exists(images_dir, tmp_path):
     # the sanctioned path works
     main(args[:-2] + ["--split", "val", "--pca_from",
                       str(tmp_path / "vgg16_fc7_pca.npz")])
+
+
+def test_pca_save_load_bare_path_roundtrip(tmp_path):
+    """save('/p') writes '/p.npz' (np.savez behavior, made explicit);
+    load('/p') must find it (review round-3 regression)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from image_captioning_through_rl_tpu.data.pca import PCAProjection
+
+    proj = PCAProjection(mean=jnp.zeros(4), components=jnp.eye(4)[:, :2])
+    bare = str(tmp_path / "proj")
+    proj.save(bare)
+    assert (tmp_path / "proj.npz").exists()
+    back = PCAProjection.load(bare)
+    np.testing.assert_array_equal(np.asarray(back.components),
+                                  np.asarray(proj.components))
+    back2 = PCAProjection.load(bare + ".npz")
+    np.testing.assert_array_equal(np.asarray(back2.mean), np.asarray(proj.mean))

@@ -334,5 +334,6 @@ def load_captioner(
     """Build a :class:`Captioner` from checkpoints on disk (native or .pt)."""
     from .train.loops import load_a2c_models
 
-    params, cfg = load_a2c_models(model_path, data, network_paths, bidirectional)
+    params, cfg = load_a2c_models(model_path, data, network_paths, bidirectional,
+                                  mesh=mesh)
     return Captioner(params, cfg, data.idx_to_word, mesh=mesh)

@@ -68,7 +68,7 @@ def main(argv=None) -> None:
     import jax
 
     from ..data.pca import PCAProjection, fit_pca
-    from ..models import vgg, vgg_from_torch
+    from ..models import vgg
     from ..utils.io import enable_persistent_compile_cache
     from ..utils.logging import print_green
 
@@ -91,19 +91,13 @@ def main(argv=None) -> None:
                          "--pca_from against the new basis")
     args = ap.parse_args(argv)
 
-    if args.weights.endswith(".pt"):
-        from ..models.convert import load_torch_state_dict
+    # one weight-resolution rule for every CLI: api.load_feature_extractor
+    # owns the .pt / .ckpt / random-with-warning branches
+    from ..api import load_feature_extractor
 
-        params = vgg_from_torch(load_torch_state_dict(args.weights))
+    params = load_feature_extractor(weights=args.weights).vgg_params
+    if args.weights:
         print_green(f"[Extract] loaded VGG16 weights from {args.weights}")
-    elif args.weights:
-        from ..train.checkpoint import load_pytree
-
-        params = load_pytree(vgg.init(jax.random.PRNGKey(0)), args.weights)
-        print_green(f"[Extract] loaded VGG16 weights from {args.weights}")
-    else:
-        params = vgg.init(jax.random.PRNGKey(0))
-        print_green("[Extract] WARNING: random VGG16 weights (pipeline testing only)")
 
     paths = list_images(args.images_dir, args.file_list or None)
     print_green(f"[Extract] {len(paths)} images from {args.images_dir}")

@@ -138,7 +138,9 @@ def main(args):
 
     if os.path.isfile(args.test_model) and "a2cNetwork" in os.path.split(args.test_model)[1]:
         print_green("[Info] Loading A2C Network")
-        a2c_params, cfg = load_a2c_models(args.test_model, data, network_paths, args.bidirectional)
+        a2c_params, cfg = load_a2c_models(
+            args.test_model, data, network_paths, args.bidirectional,
+            mesh=mesh)  # multi-host: rank-0 load + broadcast, no local branching
         print_green("[Info] A2C Network loaded")
     else:
         curriculum = CURRICULUM_LEVELS if args.curriculum else None

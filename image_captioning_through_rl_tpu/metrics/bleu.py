@@ -50,14 +50,23 @@ def corpus_bleu(refs: Dict[int, List[str]], hypos: Dict[int, List[str]], max_n: 
             guess[n - 1] += max(0, len(hyp_words) - n + 1)
             correct[n - 1] += sum(min(c, max_ref[ng]) for ng, c in hyp_counts.items())
 
+    return bleu_from_stats(correct, guess, testlen, reflen, max_n)
+
+
+def bleu_from_stats(correct: Sequence[int], guess: Sequence[int],
+                    testlen: float, reflen: float, max_n: int = 4) -> List[float]:
+    """Combine corpus accumulators into BLEU_1..max_n — the ONE copy of
+    the smoothing/geometric-mean/brevity-penalty recipe, shared by the
+    pure-Python scorer above and the native C++ stats kernel
+    (metrics/native.py) so the two can never drift."""
     bleus = []
     running = 1.0
     # pycocoevalcap's exact brevity-penalty ratio (bleu_scorer.py):
     # tiny in the numerator keeps an empty hypothesis corpus at BLEU 0
     # instead of dividing by zero in 1/ratio
-    ratio = (testlen + _TINY) / (reflen + _SMALL)
+    ratio = (float(testlen) + _TINY) / (float(reflen) + _SMALL)
     for n in range(max_n):
-        p_n = (correct[n] + _TINY) / (guess[n] + _SMALL)
+        p_n = (float(correct[n]) + _TINY) / (float(guess[n]) + _SMALL)
         running *= p_n
         b = running ** (1.0 / (n + 1))
         if ratio < 1.0:

@@ -23,6 +23,8 @@ def _counts(words: List[str]):
 
 
 def cider(refs: Dict[int, List[str]], hypos: Dict[int, List[str]]) -> float:
+    if not hypos:
+        return 0.0  # like the other scorers; log(0 images) is undefined
     ids = list(hypos.keys())
     ref_counts = {i: [_counts(r.split()) for r in refs[i]] for i in ids}
     hyp_counts = {i: _counts(hypos[i][0].split()) for i in ids}

@@ -182,14 +182,18 @@ Span = Tuple[int, int, int, int, float]
 
 
 def _phrase_candidates(hyp: List[str], ref: List[str], para) -> List[Span]:
-    """Paraphrase-table span matches between the two sentences."""
+    """Paraphrase-table span matches between the two sentences. Table
+    entries are lowercase-normalized (synonyms.py), so span keys and
+    queries lowercase too — matching is case-insensitive like the stem
+    and synonym modules."""
     n, m = len(hyp), len(ref)
     L = para.max_len
     out: List[Span] = []
     ref_spans: Dict[Tuple[str, ...], List[Tuple[int, int]]] = {}
     for j in range(m):
         for lj in range(1, min(L, m - j) + 1):
-            ref_spans.setdefault(tuple(ref[j:j + lj]), []).append((j, lj))
+            key = tuple(w.lower() for w in ref[j:j + lj])
+            ref_spans.setdefault(key, []).append((j, lj))
     for i in range(n):
         for li in range(1, min(L, n - i) + 1):
             for b in para.paraphrases_of(tuple(hyp[i:i + li])):

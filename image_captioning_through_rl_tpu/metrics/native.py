@@ -10,15 +10,12 @@ golden reference-dump parity test).
 from __future__ import annotations
 
 import ctypes
-import math
 from typing import Dict, List, Optional
 
 import numpy as np
 
 from ..native import load_fastmetrics
 
-_TINY = 1e-15
-_SMALL = 1e-9
 
 
 def _intern(refs: Dict[int, List[str]], hypos: Dict[int, List[str]]):
@@ -62,17 +59,11 @@ def corpus_bleu_native(
         _ptr(correct, ctypes.c_int64), _ptr(guess, ctypes.c_int64),
         _ptr(testlen, ctypes.c_int64), _ptr(reflen, ctypes.c_int64),
     )
-    bleus = []
-    running = 1.0
-    ratio = (float(testlen[0]) + _TINY) / (float(reflen[0]) + _SMALL)
-    for n in range(4):
-        p_n = (float(correct[n]) + _TINY) / (float(guess[n]) + _SMALL)
-        running *= p_n
-        b = running ** (1.0 / (n + 1))
-        if ratio < 1.0:
-            b *= math.exp(1.0 - 1.0 / ratio)
-        bleus.append(b)
-    return bleus
+    # the C++ side only accumulates stats; the smoothing/geomean/brevity
+    # recipe lives in ONE place (bleu.bleu_from_stats)
+    from .bleu import bleu_from_stats
+
+    return bleu_from_stats(correct, guess, float(testlen[0]), float(reflen[0]))
 
 
 def _flatten_words(refs: Dict[int, List[str]], hypos: Dict[int, List[str]],

@@ -60,10 +60,13 @@ class SynonymLookup:
         return len(self._synsets)
 
     def are_synonyms(self, a: str, b: str) -> bool:
-        sa = self._synsets.get(a)
+        # entries are lowercased at load time; normalize queries the same
+        # way (the stem module is case-insensitive too — Java METEOR
+        # lowercases its input wholesale)
+        sa = self._synsets.get(a.lower())
         if not sa:
             return False
-        sb = self._synsets.get(b)
+        sb = self._synsets.get(b.lower())
         return bool(sb) and not sa.isdisjoint(sb)
 
     @staticmethod
@@ -144,10 +147,11 @@ class ParaphraseTable:
         return sum(len(v) for v in self._pairs.values()) // 2
 
     def paraphrases_of(self, phrase: Tuple[str, ...]) -> Set[Tuple[str, ...]]:
-        return self._pairs.get(phrase, set())
+        # table entries are lowercased at load; normalize queries to match
+        return self._pairs.get(tuple(w.lower() for w in phrase), set())
 
     def matches(self, a: Tuple[str, ...], b: Tuple[str, ...]) -> bool:
-        return b in self._pairs.get(a, ())
+        return tuple(w.lower() for w in b) in self.paraphrases_of(a)
 
     @staticmethod
     def from_file(path: str, max_phrase_len: int = 6) -> "ParaphraseTable":
@@ -166,7 +170,10 @@ class ParaphraseTable:
                 fields = ([p.strip() for p in line.split("|||")]
                           if "|||" in line else line.split("\t"))
                 fields = [p for p in fields if p]
-                if fields and _is_number(fields[0]):
+                # a leading numeric field is a weight column only when two
+                # phrases follow it — '2 ||| two' is a legitimate numeric
+                # paraphrase pair, not a weight plus one phrase
+                if len(fields) >= 3 and _is_number(fields[0]):
                     fields = fields[1:]
                 if len(fields) < 2:
                     continue

@@ -28,13 +28,18 @@ def _cache_dir() -> str:
 
 
 def _build() -> Optional[str]:
-    with open(_SRC, "rb") as f:
-        digest = hashlib.sha256(f.read()).hexdigest()[:16]
-    so_path = os.path.join(_cache_dir(), f"fastmetrics-{digest}.so")
-    if os.path.exists(so_path):
-        return so_path
-    fd, tmp = tempfile.mkstemp(suffix=".so", dir=_cache_dir())
-    os.close(fd)
+    try:
+        with open(_SRC, "rb") as f:
+            digest = hashlib.sha256(f.read()).hexdigest()[:16]
+        so_path = os.path.join(_cache_dir(), f"fastmetrics-{digest}.so")
+        if os.path.exists(so_path):
+            return so_path
+        fd, tmp = tempfile.mkstemp(suffix=".so", dir=_cache_dir())
+        os.close(fd)
+    except OSError:
+        # unwritable/invalid cache dir (read-only $HOME, sandbox): the
+        # contract is None -> callers fall back to pure Python, never raise
+        return None
     cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", tmp, _SRC]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)

@@ -1248,13 +1248,29 @@ def test_a2c_network(
             real_f.flush(); gen_f.flush(); url_f.flush()
 
 
-def load_a2c_models(model_path: str, train_data: CocoData, network_paths: Dict[str, str], bidirectional: bool):
+def load_a2c_models(model_path: str, train_data: CocoData, network_paths: Dict[str, str], bidirectional: bool, mesh=None):
     """Load a finished A2C model for testing (utilities.py:299-323):
     policy and value nets from their own checkpoints, then the joint
-    a2c checkpoint layered on top."""
+    a2c checkpoint layered on top.
+
+    ``mesh``: on a multi-process mesh the load runs rank-0-only and
+    broadcasts (:func:`_sync_load`) — ranks branching on LOCAL file
+    existence would disagree without a shared filesystem and hang the
+    first sharded-eval collective."""
     cfg = _cfg_for(train_data, bidirectional)
-    pparams = _load_or_fail("policy", network_paths["policy_network"], cfg, train_data, bidirectional)
-    vparams = _load_or_fail("value", network_paths["value_network"], cfg, train_data, bidirectional)
-    template = {"value": vparams, "policy": pparams}
-    a2c_params = ckpt.load_network("a2c", model_path, template=template, bidirectional=bidirectional)
+
+    def load():
+        pparams = _load_or_fail("policy", network_paths["policy_network"], cfg, train_data, bidirectional)
+        vparams = _load_or_fail("value", network_paths["value_network"], cfg, train_data, bidirectional)
+        template = {"value": vparams, "policy": pparams}
+        return ckpt.load_network("a2c", model_path, template=template, bidirectional=bidirectional)
+
+    def template():
+        return {
+            "value": value_mod.init(jax.random.PRNGKey(0), cfg, train_data.embeddings),
+            "policy": policy_mod.init(jax.random.PRNGKey(0), cfg, train_data.embeddings),
+        }
+
+    a2c_params = _sync_load(
+        load, template, mesh is not None and jax.process_count() > 1)
     return a2c_params, cfg

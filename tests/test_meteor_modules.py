@@ -235,3 +235,31 @@ def test_synsets_file_hash_handling(tmp_path):
     f.write_text("# comment line\none #1\n")
     lk = SynonymLookup.from_synsets_file(str(f))
     assert lk.are_synonyms("one", "#1")
+
+
+def test_synonym_and_paraphrase_matching_is_case_insensitive(tmp_path):
+    """Entries are lowercased at load; queries must normalize the same
+    way (Java METEOR lowercases its input wholesale)."""
+    s = tmp_path / "syn.txt"
+    s.write_text("dog canine\n")
+    lk = SynonymLookup.from_synsets_file(str(s))
+    assert lk.are_synonyms("Dog", "CANINE")
+    p = tmp_path / "para.tsv"
+    p.write_text("next to\tbeside\n")
+    t = ParaphraseTable.from_file(str(p))
+    assert t.matches(("Next", "To"), ("Beside",))
+    res = MeteorResources(synonyms=lk)
+    up = meteor_sentence("the Dog sat", ["the canine sat"], res)
+    low = meteor_sentence("the dog sat", ["the canine sat"], res)
+    assert up == low > 0
+
+
+def test_paraphrase_numeric_pair_not_eaten_as_weight(tmp_path):
+    """'2 ||| two' is a numeric paraphrase pair — the weight-column
+    heuristic only applies when two phrases FOLLOW the number."""
+    p = tmp_path / "para.txt"
+    p.write_text("2 ||| two\n0.5 ||| a number of ||| several\n")
+    t = ParaphraseTable.from_file(str(p))
+    assert t.matches(("2",), ("two",))
+    assert t.matches(("a", "number", "of"), ("several",))
+    assert len(t) == 2

@@ -257,3 +257,14 @@ def test_meteor_delta_hand_computed_value():
     score = 0.25 * 0.4 = 0.1."""
     got = meteor({0: ["the cat"]}, {0: ["the dog"]})
     assert got == pytest.approx(0.25 * (1 - 0.6), rel=1e-9)
+
+
+def test_score_empty_corpus_returns_zeros():
+    """An empty caption dump (aborted eval) scores 0 everywhere instead
+    of crashing CIDEr with log(0) (review round-3 regression)."""
+    from image_captioning_through_rl_tpu.metrics.score import score
+
+    s = score({}, {})
+    assert set(s) == {"Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4",
+                      "METEOR", "ROUGE_L", "CIDEr"}
+    assert all(v == 0.0 for v in s.values())

@@ -146,3 +146,18 @@ def test_native_meteor_empty_cases():
     assert meteor_scores_native(refs, hypos) == [0.0, 0.0]
     with pytest.raises(ValueError, match="empty reference group"):
         rouge_scores_native(refs, hypos)
+
+
+def test_build_failure_returns_none_not_raise(monkeypatch):
+    """An unwritable cache location must produce the documented
+    None -> pure-Python fallback, not a crash in every scorer."""
+    from image_captioning_through_rl_tpu.native import build
+
+    monkeypatch.setattr(build, "_LIB", None)
+    monkeypatch.setattr(build, "_TRIED", False)
+    monkeypatch.setenv("XDG_CACHE_HOME", "/proc/definitely/not/writable")
+    assert build.load_fastmetrics() is None
+    # and the corpus scorers fall back instead of crashing
+    from image_captioning_through_rl_tpu.metrics.rouge import rouge_l
+
+    assert rouge_l({0: ["a b"]}, {0: ["a b"]}) == 1.0

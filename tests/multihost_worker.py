@@ -157,6 +157,30 @@ def main() -> None:
     a2c_leafsums = [float(np.asarray(x, np.float64).sum())
                     for x in jax.tree.leaves(jax.device_get(a2c_out))]
 
+    # --- Part 6: the --test_model path (load_a2c_models) under rank
+    # disagreement: all THREE checkpoints exist on rank 0 only, every
+    # rank must come back with rank-0's weights (no local branching) ---
+    from image_captioning_through_rl_tpu.models import policy as policy_m
+    from image_captioning_through_rl_tpu.models import value as value_m
+    from image_captioning_through_rl_tpu.train import checkpoint as ckpt_m
+
+    l_cfg = loops._cfg_for(data, False)
+    p6_paths = {
+        "policy_network": os.path.join(rank_dir, "p6_policyNetwork.ckpt"),
+        "value_network": os.path.join(rank_dir, "p6_valueNetwork.ckpt"),
+    }
+    p6_model = os.path.join(rank_dir, "p6_a2cNetwork.ckpt")
+    if is_main_process():
+        pp6 = policy_m.init(jax.random.PRNGKey(11), l_cfg, data.embeddings)
+        vv6 = value_m.init(jax.random.PRNGKey(12), l_cfg, data.embeddings)
+        ckpt_m.save_pytree(pp6, p6_paths["policy_network"])
+        ckpt_m.save_pytree(vv6, p6_paths["value_network"])
+        ckpt_m.save_pytree({"value": vv6, "policy": pp6}, p6_model)
+    a2c_loaded, _ = loops.load_a2c_models(p6_model, data, p6_paths, False,
+                                          mesh=mesh)
+    test_model_sum = float(sum(np.asarray(x, np.float64).sum()
+                               for x in jax.tree.leaves(jax.device_get(a2c_loaded))))
+
     print(json.dumps({
         "pid": pid,
         "is_main": bool(is_main_process()),
@@ -167,6 +191,7 @@ def main() -> None:
         "sync_load_sum": sync_sum,
         "a2c_leafsums": a2c_leafsums,
         "a2c_ckpt_written": os.path.exists(a2c_paths[1]),
+        "test_model_sum": test_model_sum,
     }))
 
 

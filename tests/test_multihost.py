@@ -190,6 +190,10 @@ def test_two_process_job_matches_single_process(tmp_path, monkeypatch):
     # to rank 0's weights (no divergent load-or-train branches)
     assert results[0]["sync_load_sum"] == pytest.approx(
         results[1]["sync_load_sum"], rel=1e-6)
+    # Part 6: the --test_model path (load_a2c_models mesh=...) agrees
+    # across ranks although only rank 0 holds the checkpoint files
+    assert results[0]["test_model_sum"] == pytest.approx(
+        results[1]["test_model_sum"], rel=1e-6)
 
     # flagship A2C training loop: both ranks agree, match the
     # single-process plain run, and only rank 0 saved the checkpoint

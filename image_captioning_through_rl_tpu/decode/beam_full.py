@@ -42,6 +42,9 @@ def beam_search_full_prefix(
     scores = jnp.broadcast_to(scores, (n, b)).astype(features.dtype)
 
     feats_rep = jnp.repeat(features, b, axis=0)  # [N*B, F]
+    feats_bb = jnp.repeat(features, b * b, axis=0)  # [N*B*B, F], hoisted
+    # out of the unrolled loop like feats_rep (16 identical repeats
+    # otherwise land in the jaxpr)
 
     for t in range(t_max - 1):
         # policy on every candidate's full prefix -> last-step logits
@@ -67,7 +70,7 @@ def beam_search_full_prefix(
         )  # [N, B, B, t+2]
         flat_ext = ext.reshape(n * b * b, t + 2)
         values = value_mod.forward(
-            value_params, cfg, jnp.repeat(features, b * b, axis=0), flat_ext
+            value_params, cfg, feats_bb, flat_ext
         ).reshape(n, b, b)
 
         delta = dcfg.value_weight * values + dcfg.logprob_weight * logp

@@ -114,6 +114,20 @@ def features_fc7(params: dict, images: jax.Array, precision=None,
     return x
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def _jitted_fc7():
+    """ONE jitted fc7 program per process. A fresh ``jax.jit(lambda)``
+    per extract_features call would key the jit cache on the new wrapper
+    and re-trace/re-compile the VGG16 conv stack every invocation (~9
+    minutes per remote compile on a tunneled chip). Params flow as a jit
+    ARGUMENT: closing over them would embed hundreds of MB of constants
+    in the compile payload."""
+    return jax.jit(lambda p, im: features_fc7(p, im))
+
+
 def extract_features(params: dict, images, batch_size: int = 64,
                      projection=None, loader=None, progress=None) -> jax.Array:
     """Batched jitted feature extraction over a large image collection.
@@ -130,10 +144,12 @@ def extract_features(params: dict, images, batch_size: int = 64,
     """
     import numpy as np
 
-    # params as a jit ARGUMENT: closing over them would embed them as
-    # program constants (hundreds of MB for VGG16) in the compile payload
-    fn = jax.jit(lambda p, im: features_fc7(p, im))
+    fn = _jitted_fc7()
     n = images.shape[0] if hasattr(images, "shape") else len(images)
+    if n == 0:
+        dim = (int(projection.components.shape[1])
+               if projection is not None else 4096)
+        return np.zeros((0, dim), np.float32)
     outs = []
     starts = range(0, n, batch_size)
     if progress is not None:

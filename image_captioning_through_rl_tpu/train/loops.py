@@ -781,6 +781,14 @@ def _drive_a2c_epoch(
     :func:`a2c_curriculum_training` (``level`` set: on-device
     ``curr_seq_len = caplen - level`` with the skip rule). Returns
     ``(a2c_params, opt_state, key)``."""
+    def host_curr(caps_b) -> int:
+        """curriculum window for one minibatch — the ONE host-side copy
+        of the max-END-position+1 convention (on-device twin:
+        steps.batch_caption_lens; reference trainers.py:547)."""
+        caplen = int(np.max(
+            np.argmax(np.asarray(caps_b) == END_ID, axis=1)) + 1)
+        return caplen - level
+
     if use_chunks:
         num = tables.num_captions
         perm = rng.permutation(num)
@@ -820,12 +828,7 @@ def _drive_a2c_epoch(
             else:  # ragged tail: one single-step call
                 key, sub = jax.random.split(key)
                 caps_b, feats_b = tables.gather(perm[i:])
-                if level is None:
-                    curr = 1
-                else:
-                    caplen = int(np.max(
-                        np.argmax(np.asarray(caps_b) == END_ID, axis=1)) + 1)
-                    curr = caplen - level
+                curr = 1 if level is None else host_curr(caps_b)
                 if curr >= 1:
                     a2c_params, opt_state, stats = step(
                         a2c_params, opt_state, reward_params,
@@ -847,9 +850,7 @@ def _drive_a2c_epoch(
             if level is None:
                 curr = 1  # rollout from <START>
             else:
-                caplen = int(np.max(
-                    np.argmax(np.asarray(captions) == END_ID, axis=1)) + 1)
-                curr = caplen - level
+                curr = host_curr(captions)
                 if curr < 1:  # trainers.py:550
                     continue
             a2c_params, opt_state, stats = step(
@@ -1126,6 +1127,16 @@ def test_a2c_network(
     )
 
     faithful = not dcfg.per_sample_beams
+    if use_fused_kernel:  # explicitly forced: never silently degrade
+        if faithful:
+            _forced_fused_conflict(True, "use_fused_kernel=True",
+                                   "in faithful (batch-mean Q2) mode")
+        if cfg.bidirectional:
+            _forced_fused_conflict(True, "use_fused_kernel=True",
+                                   "with a bidirectional model")
+        if mesh is not None:
+            _forced_fused_conflict(True, "use_fused_kernel=True",
+                                   "on a mesh (the kernel is single-chip)")
     if faithful:
         from ..decode.beam_compat import beam_search_compat
 

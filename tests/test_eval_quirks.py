@@ -135,3 +135,33 @@ def test_eval_draws_with_replacement(tmp_path):
     )
     real = [l for l in open(paths["real_captions_path"]).read().splitlines() if l]
     assert len(real) == 7 + 4  # 12 draws, Q9 slicing
+
+
+def test_eval_forced_fused_flag_conflicts_raise(tmp_path):
+    """use_fused_kernel=True must error in faithful/bidirectional/mesh
+    modes instead of silently serving a different program — the same
+    forced-flag contract the trainers and api.Captioner enforce."""
+    import pytest
+
+    from image_captioning_through_rl_tpu.parallel import make_mesh
+
+    coco = make_synthetic_coco(str(tmp_path / "coco"), num_val_images=6,
+                               vocab_size=30, feature_dim=16, seed=2)
+    data = load_data(coco)
+    cfg = NetConfig(vocab_size=30, input_dim=16, wordvec_dim=8, hidden_dim=8,
+                    max_seq_len=6)
+    params = a2c.init(jax.random.PRNGKey(0), cfg)
+    paths = {
+        "real_captions_path": str(tmp_path / "real.txt"),
+        "generated_captions_path": str(tmp_path / "gen.txt"),
+        "image_urls_path": str(tmp_path / "urls.txt"),
+    }
+    common = dict(data_size=8, validation_batch_size=8,
+                  seed=0, use_fused_kernel=True)
+    with pytest.raises(ValueError, match="faithful"):
+        eval_a2c_network(params, cfg, data, paths,
+                         dcfg=DecodeConfig(beam_size=2, max_seq_len=6,
+                                           per_sample_beams=False), **common)
+    with pytest.raises(ValueError, match="mesh"):
+        eval_a2c_network(params, cfg, data, paths, mesh=make_mesh(),
+                         dcfg=DecodeConfig(beam_size=2, max_seq_len=6), **common)

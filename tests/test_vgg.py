@@ -99,3 +99,23 @@ def test_extract_features_with_projection(rng_np):
     proj = fit_pca(jnp.asarray(raw), k=4)
     compact = vgg.extract_features(params, imgs, batch_size=2, projection=proj)
     assert compact.shape == (5, 4)
+
+
+def test_extract_features_shares_one_jitted_program():
+    """extract_features must reuse ONE jitted fc7 program across calls —
+    a fresh jit wrapper per call re-traces (and re-compiles, ~9 min on a
+    remote-compile backend) the VGG16 conv stack every invocation."""
+    from image_captioning_through_rl_tpu.models.vgg import _jitted_fc7
+
+    assert _jitted_fc7() is _jitted_fc7()
+
+
+def test_extract_features_empty_input():
+    import jax
+    import numpy as np
+
+    from image_captioning_through_rl_tpu.models import vgg
+
+    params = vgg.init(jax.random.PRNGKey(0))
+    out = vgg.extract_features(params, np.zeros((0, 224, 224, 3), np.uint8))
+    assert out.shape == (0, 4096)

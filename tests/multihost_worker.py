@@ -181,6 +181,21 @@ def main() -> None:
     test_model_sum = float(sum(np.asarray(x, np.float64).sum()
                                for x in jax.tree.leaves(jax.device_get(a2c_loaded))))
 
+    # --- Part 7: 2-D (data x model) mesh spanning both processes — the
+    # GlobalBatcher row-span DEDUPE case (devices along the model axis
+    # hold identical row slices; each process addresses half of BOTH
+    # axes). The bare policy step on the 2-D-sharded batch must
+    # reproduce Part 1's 1-D losses exactly (model axis unused). ---
+    mesh2 = make_mesh((2 * nproc, 2), ("data", "model"))
+    batcher2 = GlobalBatcher(mesh2)
+    params2 = policy.init(jax.random.PRNGKey(0), cfg)
+    opt2 = tx.init(params2)
+    params2, opt2 = batcher2.replicate((params2, opt2))
+    losses_2d = []
+    for _ in range(3):
+        params2, opt2, loss2 = step(params2, opt2, *batcher2.shard(feats, caps))
+        losses_2d.append(float(loss2))
+
     print(json.dumps({
         "pid": pid,
         "is_main": bool(is_main_process()),
@@ -192,6 +207,7 @@ def main() -> None:
         "a2c_leafsums": a2c_leafsums,
         "a2c_ckpt_written": os.path.exists(a2c_paths[1]),
         "test_model_sum": test_model_sum,
+        "losses_2d": losses_2d,
     }))
 
 

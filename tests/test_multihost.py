@@ -194,6 +194,10 @@ def test_two_process_job_matches_single_process(tmp_path, monkeypatch):
     # across ranks although only rank 0 holds the checkpoint files
     assert results[0]["test_model_sum"] == pytest.approx(
         results[1]["test_model_sum"], rel=1e-6)
+    # Part 7: a 2-D (data x model) mesh across both processes — the
+    # GlobalBatcher row-span dedupe case — matches the 1-D losses
+    for r in results.values():
+        assert r["losses_2d"] == pytest.approx(r["losses"], rel=1e-5)
 
     # flagship A2C training loop: both ranks agree, match the
     # single-process plain run, and only rank 0 saved the checkpoint

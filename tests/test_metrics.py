@@ -268,3 +268,24 @@ def test_score_empty_corpus_returns_zeros():
     assert set(s) == {"Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4",
                       "METEOR", "ROUGE_L", "CIDEr"}
     assert all(v == 0.0 for v in s.values())
+
+
+def test_score_cli_on_dump_files(tmp_path, capsys):
+    """python -m ...cli.score real.txt gen.txt scores a dump pair and
+    appends to a results file."""
+    import json
+
+    from image_captioning_through_rl_tpu.cli.score import main as score_main
+
+    real = tmp_path / "real.txt"
+    gen = tmp_path / "gen.txt"
+    real.write_text("<START> a cat sat <END>\n<START> a dog ran <END>\n")
+    gen.write_text("<START> a cat sat <END>\n<START> a bird flew <END>\n")
+    res = tmp_path / "results.txt"
+    out = score_main([str(real), str(gen), "--results", str(res), "--json"])
+    printed = json.loads(capsys.readouterr().out.strip())
+    assert printed == out
+    assert set(out) == {"Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4",
+                        "METEOR", "ROUGE_L", "CIDEr"}
+    assert 0 < out["Bleu_1"] <= 1
+    assert "results" in res.read_text() and str(out) in res.read_text()

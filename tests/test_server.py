@@ -284,3 +284,20 @@ def test_warmup_after_start_routes_through_batcher(rng_np):
         assert len(out["captions"]) == 1
     finally:
         srv.stop()
+
+
+def test_server_restart_cycles(rng_np):
+    """Sequential start/serve/stop cycles on fresh instances: no thread
+    or socket leaks, stop() after traffic leaves nothing stranded, and
+    each new server answers (production restart hygiene)."""
+    params = a2c.init(jax.random.PRNGKey(4), CFG)
+    cap = Captioner(params, CFG, {i: f"w{i}" for i in range(CFG.vocab_size)})
+    before = threading.active_count()
+    for cycle in range(3):
+        srv = CaptionServer(cap, port=0, max_wait_ms=5).start()
+        out = _post(srv, {"features": rng_np.standard_normal(
+            (2, CFG.input_dim)).tolist()})
+        assert len(out["captions"]) == 2, f"cycle {cycle}"
+        srv.stop()
+    # daemon threads from stopped cycles must have exited (join in stop)
+    assert threading.active_count() <= before + 1

@@ -44,6 +44,7 @@ def load_corpus(dump_dir: str, pairs: int):
     else:  # synthetic stand-in with caption-like statistics
         import numpy as np
 
+        n = pairs or 40000  # synthetic needs SOME size; 0 = dump-sized
         rng = np.random.default_rng(0)
         words = [f"w{i}" for i in range(1000)] + list("a the of on in dog cat man".split())
 
@@ -51,9 +52,9 @@ def load_corpus(dump_dir: str, pairs: int):
             ln = int(rng.integers(5, 17))
             return " ".join(words[i] for i in rng.integers(0, len(words), ln))
 
-        refs = {i: [sent()] for i in range(pairs)}
-        hypos = {i: [sent()] for i in range(pairs)}
-        src = f"synthetic corpus ({pairs} pairs)"
+        refs = {i: [sent()] for i in range(n)}
+        hypos = {i: [sent()] for i in range(n)}
+        src = f"synthetic corpus ({n} pairs)"
     if pairs and pairs < len(hypos):
         keep = list(hypos)[:pairs]
         refs = {i: refs[i] for i in keep}
@@ -79,7 +80,7 @@ def main():
                     help="also time the pure-Python scorers (slow)")
     args = ap.parse_args()
 
-    refs, hypos, src = load_corpus(args.dump_dir, args.pairs or 40000)
+    refs, hypos, src = load_corpus(args.dump_dir, args.pairs)
     print(f"corpus: {src}")
 
     mean = lambda xs: sum(xs) / len(xs) if xs else 0.0  # noqa: E731

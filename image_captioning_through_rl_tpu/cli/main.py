@@ -136,7 +136,20 @@ def main(args):
         print_green(f"[Info] SPMD: data-sharded mesh over "
                     f"{jax.device_count()} devices / {jax.process_count()} processes")
 
-    if os.path.isfile(args.test_model) and "a2cNetwork" in os.path.split(args.test_model)[1]:
+    use_test_model = bool(
+        os.path.isfile(args.test_model)
+        and "a2cNetwork" in os.path.split(args.test_model)[1]
+    )
+    if mesh is not None and jax.process_count() > 1:
+        # the load-vs-train DECISION must be rank-0's too: without a
+        # shared filesystem ranks disagree on isfile and would enter
+        # mismatched collectives (load's broadcast vs training) and hang
+        import numpy as _np
+        from jax.experimental import multihost_utils
+
+        use_test_model = bool(int(multihost_utils.broadcast_one_to_all(
+            _np.int32(use_test_model))))
+    if use_test_model:
         print_green("[Info] Loading A2C Network")
         a2c_params, cfg = load_a2c_models(
             args.test_model, data, network_paths, args.bidirectional,

@@ -184,6 +184,9 @@ def load_word2vec_format(path: str, binary=None, encoding: str = "utf-8"):
                 binary = _chunk_looks_binary(f.read(4096), encoding)
                 f.seek(pos)
             if binary:
+                n_read = 0  # entries PARSED (duplicate words overwrite
+                # their dict slot — gensim keeps the first too — so the
+                # dict size cannot witness truncation)
                 for _ in range(n_words):
                     word = bytearray()
                     while True:
@@ -202,14 +205,15 @@ def load_word2vec_format(path: str, binary=None, encoding: str = "utf-8"):
                             f"{len(raw)} of {4 * dim} payload bytes"
                         )
                     vec = np.frombuffer(raw, dtype="<f4").astype(np.float32)
-                    vectors[word.decode(encoding)] = vec
-                if len(vectors) != n_words:
+                    # duplicates: first occurrence wins (gensim's policy)
+                    vectors.setdefault(word.decode(encoding), vec)
+                    n_read += 1
+                if n_read != n_words:
                     # a file cut exactly at an entry boundary parses
                     # cleanly — the header count is the only witness
                     raise ValueError(
                         f"truncated binary embedding file {path}: header "
-                        f"declares {n_words} entries, payload holds "
-                        f"{len(vectors)}"
+                        f"declares {n_words} entries, payload holds {n_read}"
                     )
                 return vectors
         else:
@@ -217,6 +221,7 @@ def load_word2vec_format(path: str, binary=None, encoding: str = "utf-8"):
             vectors[parts[0].decode(encoding)] = np.asarray(
                 [float(x) for x in parts[1:]], dtype=np.float32
             )
+        n_rows = 0
         for line in f:
             row = line.rstrip().split()
             if not row:
@@ -226,13 +231,16 @@ def load_word2vec_format(path: str, binary=None, encoding: str = "utf-8"):
                     f"malformed embedding row in {path}: expected {dim} values, "
                     f"got {len(row) - 1}"
                 )
-            vectors[row[0].decode(encoding)] = np.asarray(
-                [float(x) for x in row[1:]], dtype=np.float32
+            vectors.setdefault(  # duplicates: first wins (gensim policy)
+                row[0].decode(encoding),
+                np.asarray([float(x) for x in row[1:]], dtype=np.float32),
             )
-        if has_header and len(vectors) < n_words:
+            n_rows += 1
+        # rows PARSED, not dict size: duplicate words (present in real
+        # published dumps; gensim keeps the first) are not truncation
+        if has_header and n_rows < n_words:
             raise ValueError(
                 f"truncated embedding file {path}: header declares "
-                f"{n_words} entries, payload holds {len(vectors)} "
-                f"(truncated download, or duplicate words)"
+                f"{n_words} entries, payload holds {n_rows}"
             )
     return vectors

@@ -52,7 +52,12 @@ def score(ref: Dict[int, List[str]], hypo: Dict[int, List[str]]) -> Dict[str, fl
     global _HAVE_PYCOCO
     if _HAVE_PYCOCO is None:
         try:
+            # probe ALL four scorers: a partial install (bleu present,
+            # meteor's jar wrapper broken) must fall back, not crash
             import pycocoevalcap.bleu.bleu  # noqa: F401
+            import pycocoevalcap.cider.cider  # noqa: F401
+            import pycocoevalcap.meteor.meteor  # noqa: F401
+            import pycocoevalcap.rouge.rouge  # noqa: F401
 
             _HAVE_PYCOCO = True
         except ImportError:

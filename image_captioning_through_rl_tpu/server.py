@@ -288,7 +288,13 @@ class CaptionServer:
                     # verified-dispatch canary)
                     p = _Pending(feats, beam)
                     self._queue.put(p)
-                    p.event.wait()
+                    # same stop/enqueue-race rescue as do_POST: if stop()
+                    # drained the queue between our put and the batcher's
+                    # death, nobody will ever set the event
+                    while not p.event.wait(0.25):
+                        if self._stop.is_set() and not self._threads[0].is_alive():
+                            p.error = p.error or "server stopped"
+                            break
                     if p.error is not None:
                         raise RuntimeError(f"warmup failed: {p.error}")
                 else:

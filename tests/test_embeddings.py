@@ -365,3 +365,27 @@ def test_named_model_resolves_bin_gz_from_cache(tmp_path, monkeypatch):
     monkeypatch.setenv("ICRL_EMBEDDINGS_DIR", str(tmp_path))
     model = get_embeddings("word2vec")
     np.testing.assert_array_equal(model["cat"], vecs["cat"])
+
+
+def test_load_word2vec_duplicate_words_not_truncation(tmp_path):
+    """A complete file with a duplicate word is valid (first occurrence
+    wins, gensim's policy) — the header-count truncation check must
+    count entries parsed, not dict size."""
+    from image_captioning_through_rl_tpu.embeddings import load_word2vec_format
+
+    # text with header: 3 declared entries, 'cat' twice
+    p = tmp_path / "dup.vec"
+    p.write_text("3 2\ncat 1.0 2.0\ndog 3.0 4.0\ncat 9.0 9.0\n")
+    vecs = load_word2vec_format(str(p))
+    assert sorted(vecs) == ["cat", "dog"]
+    np.testing.assert_array_equal(vecs["cat"], [1.0, 2.0])  # first wins
+
+    # binary: same duplicate, still loads
+    payload = b"3 2\n"
+    for w, v in [("cat", [1.0, 2.0]), ("dog", [3.0, 4.0]), ("cat", [9.0, 9.0])]:
+        payload += w.encode() + b" " + np.asarray(v, "<f4").tobytes()
+    q = tmp_path / "dup.bin"
+    q.write_bytes(payload)
+    vb = load_word2vec_format(str(q), binary=True)
+    assert sorted(vb) == ["cat", "dog"]
+    np.testing.assert_array_equal(vb["cat"], [1.0, 2.0])

@@ -289,3 +289,31 @@ def test_score_cli_on_dump_files(tmp_path, capsys):
                         "METEOR", "ROUGE_L", "CIDEr"}
     assert 0 < out["Bleu_1"] <= 1
     assert "results" in res.read_text() and str(out) in res.read_text()
+
+
+def test_partial_pycocoevalcap_install_falls_back(monkeypatch):
+    """If only some pycocoevalcap subpackages import (slim or damaged
+    install), score() must fall back to the native scorers, not crash
+    on the missing ones mid-call."""
+    import sys
+    import types
+
+    import importlib
+
+    # the metrics package re-exports the score FUNCTION over the
+    # submodule attribute, so `import ... as` would bind the function
+    score_mod = importlib.import_module(
+        "image_captioning_through_rl_tpu.metrics.score")
+
+    fake_pkg = types.ModuleType("pycocoevalcap")
+    fake_bleu_pkg = types.ModuleType("pycocoevalcap.bleu")
+    fake_bleu = types.ModuleType("pycocoevalcap.bleu.bleu")
+    fake_bleu.Bleu = object
+    for name, mod in [("pycocoevalcap", fake_pkg),
+                      ("pycocoevalcap.bleu", fake_bleu_pkg),
+                      ("pycocoevalcap.bleu.bleu", fake_bleu)]:
+        monkeypatch.setitem(sys.modules, name, mod)
+    monkeypatch.setattr(score_mod, "_HAVE_PYCOCO", None)  # re-probe
+    s = score_mod.score({0: ["a cat"]}, {0: ["a cat"]})
+    assert s["Bleu_1"] > 0.9  # served by the native/pure scorers
+    assert score_mod._HAVE_PYCOCO is False

@@ -49,15 +49,22 @@ from .api import Captioner
 
 
 class _Pending:
-    __slots__ = ("features", "beam_size", "event", "result", "error", "t_enq")
+    __slots__ = ("features", "pixels", "beam_size", "event", "result",
+                 "error", "t_enq")
 
-    def __init__(self, features: np.ndarray, beam_size: int):
+    def __init__(self, features: Optional[np.ndarray], beam_size: int,
+                 pixels: Optional[np.ndarray] = None):
         self.features = features
+        self.pixels = pixels  # raw [N, 224, 224, 3] awaiting extraction
         self.beam_size = beam_size
         self.event = threading.Event()
         self.result: Optional[List[str]] = None
         self.error: Optional[str] = None
         self.t_enq = time.perf_counter()
+
+    @property
+    def rows(self) -> int:
+        return (self.features if self.pixels is None else self.pixels).shape[0]
 
 
 class CaptionServer:
@@ -72,7 +79,22 @@ class CaptionServer:
 
     def __init__(self, captioner: Captioner, host: str = "127.0.0.1",
                  port: int = 8000, max_batch: int = 1024,
-                 max_wait_ms: float = 5.0, min_bucket: int = 8):
+                 max_wait_ms: float = 5.0, min_bucket: int = 8,
+                 extractor=None):
+        """``extractor``: an optional :class:`.api.FeatureExtractor`
+        enabling the raw-image endpoint (``POST /caption`` with
+        ``images_b64``: base64-encoded JPEG/PNG files). Image pixels are
+        decoded on the handler thread (host CPU); the VGG16 forward runs
+        on the batcher thread like all device work. The first image
+        request pays the VGG compile (minutes on a remote-compile
+        backend — the persistent compile cache makes reruns cheap)."""
+        if extractor is not None and extractor.dim != captioner._cfg.input_dim:
+            raise ValueError(
+                f"extractor produces {extractor.dim}-d features but the "
+                f"model expects {captioner._cfg.input_dim}-d input — pass "
+                "the matching PCA projection (or none for raw-fc7 models)"
+            )
+        self._extractor = extractor
         self._cap = captioner
         self._queue: "queue.Queue[_Pending]" = queue.Queue()
         self._max_batch = max_batch
@@ -95,7 +117,7 @@ class CaptionServer:
 
         self.stats = {
             "requests": 0, "captions": 0, "batches": 0, "errors": 0,
-            "max_batch_rows": 0,
+            "images_extracted": 0, "max_batch_rows": 0,
             # bounded: a long-running server must not grow per-request
             "latency_ms": collections.deque(maxlen=10_000),
         }
@@ -134,23 +156,46 @@ class CaptionServer:
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     req = json.loads(self.rfile.read(n))
-                    feats = np.asarray(req["features"], np.float32)
-                    if feats.ndim == 1:
-                        feats = feats[None, :]
-                    if feats.ndim != 2:
-                        raise ValueError("features must be [N, F] or [F]")
-                    want = server._cap._cfg.input_dim
-                    if feats.shape[1] != want:
-                        raise ValueError(
-                            f"feature dim {feats.shape[1]} != model's {want}")
                     beam = int(req.get("beam_size", 0))
+                    feats = pixels = None
+                    if "images_b64" in req:
+                        if "features" in req:
+                            raise ValueError(
+                                "send either 'features' or 'images_b64', not both")
+                        if server._extractor is None:
+                            raise ValueError(
+                                "server has no feature extractor — start it "
+                                "with VGG weights (--vgg_weights) to caption "
+                                "raw images")
+                        import base64
+                        import io
+
+                        from .cli.extract import load_image_batch
+
+                        blobs = req["images_b64"]
+                        if not isinstance(blobs, list) or not blobs:
+                            raise ValueError("images_b64 must be a non-empty list")
+                        # decode on THIS handler thread (pure host CPU);
+                        # the VGG forward stays on the batcher thread
+                        pixels = load_image_batch(
+                            [io.BytesIO(base64.b64decode(s)) for s in blobs])
+                    else:
+                        feats = np.asarray(req["features"], np.float32)
+                        if feats.ndim == 1:
+                            feats = feats[None, :]
+                        if feats.ndim != 2:
+                            raise ValueError("features must be [N, F] or [F]")
+                        want = server._cap._cfg.input_dim
+                        if feats.shape[1] != want:
+                            raise ValueError(
+                                f"feature dim {feats.shape[1]} != model's {want}")
                 except Exception as e:  # malformed request
                     self._reply(400, {"error": f"{type(e).__name__}: {e}"})
                     return
                 if server._stop.is_set():
                     self._reply(503, {"error": "server stopping"})
                     return
-                pending = _Pending(feats, beam)
+                pending = _Pending(feats, beam, pixels=pixels)
                 server._queue.put(pending)
                 # rescue loop: if stop() drained the queue between our
                 # _stop check and the put, nobody will ever set the
@@ -205,7 +250,7 @@ class CaptionServer:
             except queue.Empty:
                 return []
         group = [first]
-        rows = first.features.shape[0]
+        rows = first.rows
         deadline = time.perf_counter() + self._max_wait
         while rows < self._max_batch:
             remaining = deadline - time.perf_counter()
@@ -215,11 +260,11 @@ class CaptionServer:
                 nxt = self._queue.get(timeout=remaining)
             except queue.Empty:
                 break
-            if rows + nxt.features.shape[0] > self._max_batch:
+            if rows + nxt.rows > self._max_batch:
                 self._carry = nxt
                 break
             group.append(nxt)
-            rows += nxt.features.shape[0]
+            rows += nxt.rows
         return group
 
     def _batcher(self):
@@ -227,6 +272,28 @@ class CaptionServer:
             group = self._drain()
             if not group:
                 continue
+            # raw-image pendings: ONE co-batched VGG extraction for the
+            # whole group (device work stays on this thread), then they
+            # join the feature pendings below
+            pix = [p for p in group if p.features is None]
+            if pix:
+                try:
+                    all_px = np.concatenate([p.pixels for p in pix], axis=0)
+                    feats = self._extractor(all_px, batch_size=64)
+                    off = 0
+                    for p in pix:
+                        k = p.pixels.shape[0]
+                        p.features = np.asarray(feats[off:off + k], np.float32)
+                        off += k
+                    with self._stats_lock:
+                        self.stats["images_extracted"] += int(all_px.shape[0])
+                except Exception as e:
+                    for p in pix:
+                        p.error = f"{type(e).__name__}: {e}"
+                        p.event.set()
+                    group = [p for p in group if p.features is not None]
+                    if not group:
+                        continue
             # group by decode config (beam size): each config is its own
             # compiled program, so mixed groups split into sub-batches
             by_beam = {}
@@ -367,6 +434,13 @@ def main(argv=None, block: bool = True):
                          "remote-compile backends)")
     ap.add_argument("--warmup_beams", type=int, nargs="*", default=[0],
                     help="beam sizes to pre-compile (0 = greedy)")
+    ap.add_argument("--vgg_weights", default="",
+                    help="VGG16 weights (.pt torchvision layout or .ckpt); "
+                         "enables the raw-image endpoint (POST /caption "
+                         "with images_b64)")
+    ap.add_argument("--pca", default="",
+                    help="fitted PCA projection .npz mapping fc7 to the "
+                         "model's input dim (cli/extract writes one)")
     args = ap.parse_args(argv)
 
     import os
@@ -385,8 +459,15 @@ def main(argv=None, block: bool = True):
         mesh = make_mesh()
     cap = load_captioner(args.model, data, network_paths, args.bidirectional,
                          mesh=mesh)
+    extractor = None
+    if args.vgg_weights or args.pca:
+        from .api import load_feature_extractor
+
+        extractor = load_feature_extractor(weights=args.vgg_weights,
+                                           pca=args.pca)
     srv = CaptionServer(cap, host=args.host, port=args.port,
-                        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
+                        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+                        extractor=extractor)
     if not args.no_warmup:
         print_green("[Serving] warming decode buckets (pre-compiling; the "
                     "first compile on a fresh cache can take minutes)")

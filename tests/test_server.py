@@ -301,3 +301,96 @@ def test_server_restart_cycles(rng_np):
         srv.stop()
     # daemon threads from stopped cycles must have exited (join in stop)
     assert threading.active_count() <= before + 1
+
+
+def _png_b64(rng, w=40, h=30):
+    import base64
+    import io
+
+    from PIL import Image
+
+    arr = rng.integers(0, 255, size=(h, w, 3)).astype("uint8")
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+@pytest.fixture(scope="module")
+def image_server():
+    """Server with a raw-image front end: random VGG16 weights + a PCA
+    projection down to the model's input dim (pipeline wiring test —
+    caption QUALITY needs real weights)."""
+    import jax.numpy as jnp
+
+    from image_captioning_through_rl_tpu.api import FeatureExtractor
+    from image_captioning_through_rl_tpu.data.pca import PCAProjection
+    from image_captioning_through_rl_tpu.models import vgg
+
+    rng = np.random.default_rng(5)
+    params = a2c.init(jax.random.PRNGKey(5), CFG)
+    cap = Captioner(params, CFG, {i: f"w{i}" for i in range(CFG.vocab_size)})
+    proj = PCAProjection(
+        mean=jnp.zeros(4096),
+        components=jnp.asarray(
+            rng.standard_normal((4096, CFG.input_dim)).astype("float32")),
+    )
+    ext = FeatureExtractor(vgg.init(jax.random.PRNGKey(0)), projection=proj)
+    srv = CaptionServer(cap, port=0, max_wait_ms=20, extractor=ext).start()
+    yield srv
+    srv.stop()
+
+
+def test_caption_raw_images_endpoint(image_server, rng_np):
+    """POST /caption with images_b64 runs pixels -> VGG16 fc7 -> PCA ->
+    decode end-to-end through the batcher."""
+    out = _post(image_server, {
+        "images_b64": [_png_b64(rng_np), _png_b64(rng_np, 60, 80)],
+    })
+    assert len(out["captions"]) == 2
+    assert all(c.split()[0] == "w1" for c in out["captions"])  # <START>
+    stats = image_server.snapshot_stats()
+    assert stats["images_extracted"] >= 2
+
+
+def test_caption_images_cobatch_with_features(image_server, rng_np):
+    """Image and feature requests co-batch into the same decode
+    dispatch; both answer."""
+    results = {}
+
+    def img():
+        results["img"] = _post(image_server, {"images_b64": [_png_b64(rng_np)]})
+
+    def feat():
+        results["feat"] = _post(image_server, {
+            "features": rng_np.standard_normal((2, CFG.input_dim)).tolist()})
+
+    ts = [threading.Thread(target=img), threading.Thread(target=feat)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert len(results["img"]["captions"]) == 1
+    assert len(results["feat"]["captions"]) == 2
+
+
+def test_caption_images_without_extractor_is_400(server, rng_np):
+    import urllib.error
+
+    srv, _ = server
+    try:
+        _post(srv, {"images_b64": [_png_b64(rng_np)]})
+        raise AssertionError("expected HTTP 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "extractor" in e.read().decode()
+
+
+def test_extractor_dim_mismatch_rejected_at_init():
+    from image_captioning_through_rl_tpu.api import FeatureExtractor
+    from image_captioning_through_rl_tpu.models import vgg
+
+    params = a2c.init(jax.random.PRNGKey(6), CFG)
+    cap = Captioner(params, CFG, {i: f"w{i}" for i in range(CFG.vocab_size)})
+    ext = FeatureExtractor(vgg.init(jax.random.PRNGKey(0)))  # raw 4096-d
+    with pytest.raises(ValueError, match="4096"):
+        CaptionServer(cap, port=0, extractor=ext)

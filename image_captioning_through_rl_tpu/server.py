@@ -80,7 +80,7 @@ class CaptionServer:
     def __init__(self, captioner: Captioner, host: str = "127.0.0.1",
                  port: int = 8000, max_batch: int = 1024,
                  max_wait_ms: float = 5.0, min_bucket: int = 8,
-                 extractor=None):
+                 extractor=None, extract_batch: int = 64):
         """``extractor``: an optional :class:`.api.FeatureExtractor`
         enabling the raw-image endpoint (``POST /caption`` with
         ``images_b64``: base64-encoded JPEG/PNG files). Image pixels are
@@ -88,12 +88,19 @@ class CaptionServer:
         on the batcher thread like all device work. The first image
         request pays the VGG compile (minutes on a remote-compile
         backend — the persistent compile cache makes reruns cheap)."""
-        if extractor is not None and extractor.dim != captioner._cfg.input_dim:
-            raise ValueError(
-                f"extractor produces {extractor.dim}-d features but the "
-                f"model expects {captioner._cfg.input_dim}-d input — pass "
-                "the matching PCA projection (or none for raw-fc7 models)"
-            )
+        if extractor is not None:
+            if extractor.dim != captioner._cfg.input_dim:
+                raise ValueError(
+                    f"extractor produces {extractor.dim}-d features but the "
+                    f"model expects {captioner._cfg.input_dim}-d input — pass "
+                    "the matching PCA projection (or none for raw-fc7 models)"
+                )
+            try:  # fail at INIT, not as a per-request 400 blaming the client
+                import PIL  # noqa: F401
+            except ImportError as e:
+                raise ValueError(
+                    "the raw-image endpoint needs Pillow to decode uploads"
+                ) from e
         self._extractor = extractor
         self._cap = captioner
         self._queue: "queue.Queue[_Pending]" = queue.Queue()
@@ -110,6 +117,11 @@ class CaptionServer:
             self._buckets.append(b)
             b *= 2
         self._buckets.append(max_batch)
+        # extraction buckets: the VGG forward pads to a bucket too (one
+        # compiled conv program per size), capped at extract_batch so a
+        # single-image request doesn't pay a full 64-image forward
+        self._extract_buckets = ([x for x in self._buckets if x < extract_batch]
+                                 + [extract_batch])
         self._stop = threading.Event()
         self._carry: Optional[_Pending] = None
         self._stats_lock = threading.Lock()
@@ -279,7 +291,10 @@ class CaptionServer:
             if pix:
                 try:
                     all_px = np.concatenate([p.pixels for p in pix], axis=0)
-                    feats = self._extractor(all_px, batch_size=64)
+                    eb = next((x for x in self._extract_buckets
+                               if x >= all_px.shape[0]),
+                              self._extract_buckets[-1])
+                    feats = self._extractor(all_px, batch_size=eb)
                     off = 0
                     for p in pix:
                         k = p.pixels.shape[0]
@@ -332,11 +347,17 @@ class CaptionServer:
                     m.event.set()
 
     # ------------------------------------------------------------------
-    def warmup(self, feature_dim: int, beam_sizes=(0,), buckets=None):
+    def warmup(self, feature_dim: int, beam_sizes=(0,), buckets=None,
+               image_buckets=None):
         """Pre-compile the decode programs for the given bucket sizes so
         the first real requests don't pay compile latency (remote
         compiles on tunneled backends run minutes). Call before or after
-        :meth:`start`."""
+        :meth:`start`. When the server has a feature extractor,
+        ``image_buckets`` (default: every extraction bucket) also warms
+        the VGG forward at each extraction shape — an unwarmed VGG would
+        stall the single batcher thread for the conv compile (~minutes
+        remote) the first time an image request arrives mid-traffic;
+        pass ``[]`` to skip."""
         rng = np.random.default_rng(0)  # NOT zeros: the verified-dispatch
         # canary compares fused-vs-XLA tokens on this batch, and all-zero
         # features make every logit a tie (ill-conditioned verdict)
@@ -345,28 +366,38 @@ class CaptionServer:
             # unwarmed middle bucket would stall the single batcher
             # thread for the remote-compile duration mid-traffic
         started = bool(self._threads) and self._threads[0].is_alive()
+        if self._extractor is not None:
+            if image_buckets is None:
+                image_buckets = list(self._extract_buckets)
+            for eb in image_buckets:
+                px = rng.integers(0, 255, size=(eb, 224, 224, 3)).astype(np.uint8)
+                if started:
+                    self._wait_warm(_Pending(None, 0, pixels=px))
+                else:
+                    self._extractor(px, batch_size=eb)
         for b in buckets:
             feats = rng.standard_normal((b, feature_dim)).astype(np.float32)
             for beam in beam_sizes:
                 if started:
-                    # route through the batcher queue: the one batcher
-                    # thread owns ALL device work once traffic is live
-                    # (a direct call here would race it — and race the
-                    # verified-dispatch canary)
-                    p = _Pending(feats, beam)
-                    self._queue.put(p)
-                    # same stop/enqueue-race rescue as do_POST: if stop()
-                    # drained the queue between our put and the batcher's
-                    # death, nobody will ever set the event
-                    while not p.event.wait(0.25):
-                        if self._stop.is_set() and not self._threads[0].is_alive():
-                            p.error = p.error or "server stopped"
-                            break
-                    if p.error is not None:
-                        raise RuntimeError(f"warmup failed: {p.error}")
+                    self._wait_warm(_Pending(feats, beam))
                 else:
                     self._cap.caption(feats, beam_size=beam)
         return self
+
+    def _wait_warm(self, p: _Pending) -> None:
+        """Route one warmup work item through the batcher queue — the
+        one batcher thread owns ALL device work once traffic is live (a
+        direct call would race it, and race the verified-dispatch
+        canary) — with the same stop/enqueue-race rescue as do_POST: if
+        stop() drained the queue between our put and the batcher's
+        death, nobody will ever set the event."""
+        self._queue.put(p)
+        while not p.event.wait(0.25):
+            if self._stop.is_set() and not self._threads[0].is_alive():
+                p.error = p.error or "server stopped"
+                break
+        if p.error is not None:
+            raise RuntimeError(f"warmup failed: {p.error}")
 
     def start(self):
         self._threads = [
@@ -460,7 +491,12 @@ def main(argv=None, block: bool = True):
     cap = load_captioner(args.model, data, network_paths, args.bidirectional,
                          mesh=mesh)
     extractor = None
-    if args.vgg_weights or args.pca:
+    if args.pca and not args.vgg_weights:
+        # a long-running server must not silently caption with RANDOM
+        # VGG weights (the interactive CLI's warn-and-continue fallback)
+        ap.error("--pca requires --vgg_weights: the raw-image endpoint "
+                 "needs real VGG16 weights")
+    if args.vgg_weights:
         from .api import load_feature_extractor
 
         extractor = load_feature_extractor(weights=args.vgg_weights,

@@ -29,13 +29,13 @@ def server():
     srv.stop()
 
 
-def _post(srv, payload):
+def _post(srv, payload, timeout=30):
     req = urllib.request.Request(
         f"http://{srv.host}:{srv.port}/caption",
         data=json.dumps(payload).encode(),
         headers={"Content-Type": "application/json"},
     )
-    with urllib.request.urlopen(req, timeout=30) as r:
+    with urllib.request.urlopen(req, timeout=timeout) as r:
         return json.loads(r.read())
 
 
@@ -345,7 +345,7 @@ def test_caption_raw_images_endpoint(image_server, rng_np):
     decode end-to-end through the batcher."""
     out = _post(image_server, {
         "images_b64": [_png_b64(rng_np), _png_b64(rng_np, 60, 80)],
-    })
+    }, timeout=300)
     assert len(out["captions"]) == 2
     assert all(c.split()[0] == "w1" for c in out["captions"])  # <START>
     stats = image_server.snapshot_stats()
@@ -358,11 +358,13 @@ def test_caption_images_cobatch_with_features(image_server, rng_np):
     results = {}
 
     def img():
-        results["img"] = _post(image_server, {"images_b64": [_png_b64(rng_np)]})
+        results["img"] = _post(image_server, {"images_b64": [_png_b64(rng_np)]},
+                               timeout=300)
 
     def feat():
         results["feat"] = _post(image_server, {
-            "features": rng_np.standard_normal((2, CFG.input_dim)).tolist()})
+            "features": rng_np.standard_normal((2, CFG.input_dim)).tolist()},
+            timeout=300)
 
     ts = [threading.Thread(target=img), threading.Thread(target=feat)]
     for t in ts:
@@ -394,3 +396,15 @@ def test_extractor_dim_mismatch_rejected_at_init():
     ext = FeatureExtractor(vgg.init(jax.random.PRNGKey(0)))  # raw 4096-d
     with pytest.raises(ValueError, match="4096"):
         CaptionServer(cap, port=0, extractor=ext)
+
+
+def test_warmup_with_extractor_precompiles_images(image_server):
+    """warmup(image_buckets=[8]) on a live image server routes a padded
+    pixel batch through the batcher (warming the VGG program) without
+    disturbing traffic; image_buckets=[] skips the VGG warm."""
+    before = image_server.snapshot_stats().get("images_extracted", 0)
+    image_server.warmup(CFG.input_dim, buckets=[8], image_buckets=[8])
+    after = image_server.snapshot_stats().get("images_extracted", 0)
+    assert after >= before + 8
+    image_server.warmup(CFG.input_dim, buckets=[8], image_buckets=[])
+    assert image_server.snapshot_stats()["images_extracted"] == after

@@ -57,6 +57,17 @@ def test_fc7_matches_torch(rng_np):
     np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-3, atol=1e-3)
 
 
+def test_vgg_from_torch_returns_device_arrays():
+    """Converted VGG params must be jax Arrays, not host numpy — numpy
+    leaves are re-uploaded to the device on EVERY jit call (~528 MB of
+    VGG16 weights per serving request over a tunneled chip)."""
+    torch.manual_seed(1)
+    sd = {k: v.numpy() for k, v in _torch_vgg16().state_dict().items()}
+    params = vgg_from_torch(sd)
+    for leaf in jax.tree.leaves(params):
+        assert isinstance(leaf, jax.Array), type(leaf)
+
+
 def test_preprocess_resizes_and_normalizes(rng_np):
     imgs = (rng_np.random((2, 300, 400, 3)) * 255).astype(np.uint8)
     out = vgg.preprocess(jnp.asarray(imgs))

@@ -443,8 +443,14 @@ def main(argv=None, block: bool = True):
 
     from .data.coco import load_data
     from .api import load_captioner
-    from .utils.io import get_filename
+    from .utils.io import enable_persistent_compile_cache, get_filename
     from .utils.logging import print_green
+
+    # the server is the most compile-heavy entrypoint (one program per
+    # decode bucket x beam size, plus a VGG forward per extraction
+    # bucket) — without the persistent cache every RESTART re-pays all
+    # of warmup (~minutes per bucket on remote-compile backends)
+    enable_persistent_compile_cache()
 
     ap = argparse.ArgumentParser(description="Caption serving over HTTP")
     ap.add_argument("--model", required=True,

@@ -142,6 +142,14 @@ def test_server_cli_main_serves_from_checkpoints(tmp_path, rng_np, monkeypatch):
         out = _post(srv, {"features": feats.tolist()})
         assert len(out["captions"]) == 2
         assert all(c.startswith("<START>") for c in out["captions"])
+        # the serving CLI must configure the persistent compile cache —
+        # it is the most compile-heavy entrypoint, and without it every
+        # server RESTART re-pays all of warmup (minutes per bucket on
+        # remote-compile backends)
+        import os
+
+        assert (os.environ.get("JAX_COMPILATION_CACHE_DIR")
+                or jax.config.jax_compilation_cache_dir)
     finally:
         srv.stop()
 

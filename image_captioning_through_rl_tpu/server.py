@@ -478,6 +478,12 @@ def main(argv=None, block: bool = True):
     ap.add_argument("--pca", default="",
                     help="fitted PCA projection .npz mapping fc7 to the "
                          "model's input dim (cli/extract writes one)")
+    ap.add_argument("--extract_batch", type=int, default=64,
+                    help="largest VGG extraction bucket; warmup compiles "
+                         "one conv program per power-of-two bucket up to "
+                         "this (each first-time compile runs minutes on a "
+                         "remote-compile backend — lower it for a "
+                         "single-image workload)")
     args = ap.parse_args(argv)
 
     import os
@@ -509,7 +515,7 @@ def main(argv=None, block: bool = True):
                                            pca=args.pca)
     srv = CaptionServer(cap, host=args.host, port=args.port,
                         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
-                        extractor=extractor)
+                        extractor=extractor, extract_batch=args.extract_batch)
     if not args.no_warmup:
         print_green("[Serving] warming decode buckets (pre-compiling; the "
                     "first compile on a fresh cache can take minutes)")

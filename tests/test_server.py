@@ -136,7 +136,11 @@ def test_server_cli_main_serves_from_checkpoints(tmp_path, rng_np, monkeypatch):
         "--model", str(pre / "a2cNetwork.ckpt"),
         "--pretrained_path", str(pre),
         "--data_dir", coco, "--port", "0",
+        "--extract_batch", "16",
     ], block=False)
+    # --extract_batch caps the extraction buckets (each is a separate
+    # VGG conv compile at warmup — minutes each on remote backends)
+    assert srv._extract_buckets[-1] == 16
     try:
         feats = rng_np.standard_normal((2, 10)).astype(np.float32)
         out = _post(srv, {"features": feats.tolist()})

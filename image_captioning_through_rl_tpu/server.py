@@ -80,7 +80,8 @@ class CaptionServer:
     def __init__(self, captioner: Captioner, host: str = "127.0.0.1",
                  port: int = 8000, max_batch: int = 1024,
                  max_wait_ms: float = 5.0, min_bucket: int = 8,
-                 extractor=None, extract_batch: int = 64):
+                 extractor=None, extract_batch: int = 64,
+                 max_body_mb: float = 256.0):
         """``extractor``: an optional :class:`.api.FeatureExtractor`
         enabling the raw-image endpoint (``POST /caption`` with
         ``images_b64``: base64-encoded JPEG/PNG files). Image pixels are
@@ -103,6 +104,7 @@ class CaptionServer:
                 ) from e
         self._extractor = extractor
         self._cap = captioner
+        self._max_body = int(max_body_mb * 2**20)
         self._queue: "queue.Queue[_Pending]" = queue.Queue()
         self._max_batch = max_batch
         self._max_wait = max_wait_ms / 1e3
@@ -165,8 +167,16 @@ class CaptionServer:
                 if self.path != "/caption":
                     self._reply(404, {"error": "not found"})
                     return
+                n = int(self.headers.get("Content-Length", 0))
+                if n > server._max_body:
+                    # refuse BEFORE reading: a multi-GB body would be
+                    # buffered wholesale on this handler thread
+                    self._reply(413, {
+                        "error": f"request body {n} B exceeds the "
+                                 f"{server._max_body} B limit "
+                                 "(max_body_mb)"})
+                    return
                 try:
-                    n = int(self.headers.get("Content-Length", 0))
                     req = json.loads(self.rfile.read(n))
                     beam = int(req.get("beam_size", 0))
                     feats = pixels = None
@@ -478,6 +488,10 @@ def main(argv=None, block: bool = True):
     ap.add_argument("--pca", default="",
                     help="fitted PCA projection .npz mapping fc7 to the "
                          "model's input dim (cli/extract writes one)")
+    ap.add_argument("--max_body_mb", type=float, default=256.0,
+                    help="largest accepted request body (413 beyond it; "
+                         "a multi-GB body would be buffered wholesale on "
+                         "the handler thread)")
     ap.add_argument("--extract_batch", type=int, default=64,
                     help="largest VGG extraction bucket; warmup compiles "
                          "one conv program per power-of-two bucket up to "
@@ -515,7 +529,8 @@ def main(argv=None, block: bool = True):
                                            pca=args.pca)
     srv = CaptionServer(cap, host=args.host, port=args.port,
                         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
-                        extractor=extractor, extract_batch=args.extract_batch)
+                        extractor=extractor, extract_batch=args.extract_batch,
+                        max_body_mb=args.max_body_mb)
     if not args.no_warmup:
         print_green("[Serving] warming decode buckets (pre-compiling; the "
                     "first compile on a fresh cache can take minutes)")
@@ -525,10 +540,20 @@ def main(argv=None, block: bool = True):
                 f"(POST /caption, GET /healthz, GET /stats)")
     if not block:
         return srv
+    # container orchestrators stop services with SIGTERM: drain the
+    # batcher and answer queued work (503) instead of dying mid-request
+    import signal
+
+    terminated = threading.Event()
+    prev = signal.signal(signal.SIGTERM, lambda *_: terminated.set())
     try:
-        while True:
-            time.sleep(3600)
+        while not terminated.is_set():
+            terminated.wait(3600)
     except KeyboardInterrupt:
+        pass
+    finally:
+        signal.signal(signal.SIGTERM, prev)
+        print_green("[Serving] shutting down")
         srv.stop()
 
 

@@ -420,3 +420,87 @@ def test_warmup_with_extractor_precompiles_images(image_server):
     assert after >= before + 8
     image_server.warmup(CFG.input_dim, buckets=[8], image_buckets=[])
     assert image_server.snapshot_stats()["images_extracted"] == after
+
+
+def test_oversized_body_rejected_413(server):
+    """Bodies beyond max_body_mb are refused BEFORE being read — a
+    multi-GB upload would otherwise be buffered wholesale on the
+    handler thread."""
+    srv0, cap = server
+    tiny = CaptionServer(cap, port=0, max_body_mb=0.001).start()  # ~1 KiB
+    try:
+        feats = np.zeros((40, CFG.input_dim), np.float32)  # body >> 1 KiB
+        try:
+            _post(tiny, {"features": feats.tolist()})
+            raise AssertionError("expected HTTP 413")
+        except urllib.error.HTTPError as e:
+            assert e.code == 413
+            assert "max_body_mb" in e.read().decode()
+        # normal-size requests still answer on the same server
+        small = np.zeros((1, CFG.input_dim), np.float32)
+        assert len(_post(tiny, {"features": small.tolist()})["captions"]) == 1
+    finally:
+        tiny.stop()
+
+
+@pytest.mark.slow
+def test_sigterm_drains_and_exits_cleanly(tmp_path):
+    """Container orchestrators stop services with SIGTERM: the blocking
+    CLI must shut the batcher down and exit 0, not die mid-request."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    from image_captioning_through_rl_tpu.data import load_data, make_synthetic_coco
+    from image_captioning_through_rl_tpu.models import policy, value
+    from image_captioning_through_rl_tpu.train import checkpoint as ckpt
+
+    # default-dim fixture so the subprocess's _cfg_for matches the
+    # checkpoints without monkeypatching
+    coco = make_synthetic_coco(str(tmp_path / "coco"), num_train_images=4,
+                               num_val_images=2, vocab_size=24,
+                               feature_dim=512, seed=0)
+    data = load_data(coco)
+    cfg = NetConfig.for_vocab(data.word_to_idx)
+    pre = tmp_path / "pre"
+    pp = policy.init(jax.random.PRNGKey(0), cfg)
+    vp = value.init(jax.random.PRNGKey(1), cfg)
+    ckpt.save_pytree(pp, str(pre / "policyNetwork.ckpt"))
+    ckpt.save_pytree(vp, str(pre / "valueNetwork.ckpt"))
+    ckpt.save_pytree({"policy": pp, "value": vp}, str(pre / "a2cNetwork.ckpt"))
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "image_captioning_through_rl_tpu.server",
+         "--model", str(pre / "a2cNetwork.ckpt"), "--pretrained_path", str(pre),
+         "--data_dir", coco, "--port", "0", "--no_warmup"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=dict(os.environ), cwd=os.path.dirname(os.path.dirname(__file__)),
+    )
+    lines = []
+
+    def _reader():
+        for line in proc.stdout:
+            lines.append(line)
+
+    t = threading.Thread(target=_reader, daemon=True)
+    t.start()
+    try:
+        deadline = _time.time() + 300
+        while _time.time() < deadline:
+            if any("captioning at" in ln for ln in lines):
+                break
+            if proc.poll() is not None:
+                raise AssertionError("server died before ready:\n" + "".join(lines))
+            _time.sleep(0.25)
+        else:
+            raise AssertionError("server never became ready:\n" + "".join(lines))
+        proc.send_signal(signal.SIGTERM)
+        proc.wait(timeout=120)
+        t.join(timeout=10)
+        assert proc.returncode == 0, "".join(lines)
+        assert any("shutting down" in ln for ln in lines), "".join(lines)
+    finally:
+        if proc.poll() is None:
+            proc.kill()

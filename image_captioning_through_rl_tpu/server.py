@@ -102,6 +102,10 @@ class CaptionServer:
                 raise ValueError(
                     "the raw-image endpoint needs Pillow to decode uploads"
                 ) from e
+        if extract_batch < 1:
+            raise ValueError("extract_batch must be >= 1")
+        if max_body_mb <= 0:
+            raise ValueError("max_body_mb must be positive")
         self._extractor = extractor
         self._cap = captioner
         self._max_body = int(max_body_mb * 2**20)
@@ -167,7 +171,17 @@ class CaptionServer:
                 if self.path != "/caption":
                     self._reply(404, {"error": "not found"})
                     return
-                n = int(self.headers.get("Content-Length", 0))
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                except (TypeError, ValueError):
+                    self._reply(400, {"error": "bad Content-Length header"})
+                    return
+                if n < 0:
+                    # a negative length must not reach rfile.read(n):
+                    # BufferedReader treats negative as read-to-EOF —
+                    # exactly the unbounded buffering the cap prevents
+                    self._reply(400, {"error": "bad Content-Length header"})
+                    return
                 if n > server._max_body:
                     # refuse BEFORE reading: a multi-GB body would be
                     # buffered wholesale on this handler thread
@@ -175,6 +189,15 @@ class CaptionServer:
                         "error": f"request body {n} B exceeds the "
                                  f"{server._max_body} B limit "
                                  "(max_body_mb)"})
+                    # drain (without storing) a bounded amount of the
+                    # already-in-flight body so the close doesn't RST
+                    # the connection before the client reads the 413
+                    left = min(n, 32 * 2**20)
+                    while left > 0:
+                        chunk = self.rfile.read(min(65536, left))
+                        if not chunk:
+                            break
+                        left -= len(chunk)
                     return
                 try:
                     req = json.loads(self.rfile.read(n))
@@ -197,6 +220,13 @@ class CaptionServer:
                         blobs = req["images_b64"]
                         if not isinstance(blobs, list) or not blobs:
                             raise ValueError("images_b64 must be a non-empty list")
+                        if len(blobs) > server._max_batch:
+                            # the body-size cap does not bound DECODED
+                            # pixels (~150 KB per image, ~750x a small
+                            # base64 JPEG) — cap the count too
+                            raise ValueError(
+                                f"{len(blobs)} images exceed the "
+                                f"per-request limit of {server._max_batch}")
                         # decode on THIS handler thread (pure host CPU);
                         # the VGG forward stays on the batcher thread
                         pixels = load_image_batch(
@@ -219,14 +249,7 @@ class CaptionServer:
                     return
                 pending = _Pending(feats, beam, pixels=pixels)
                 server._queue.put(pending)
-                # rescue loop: if stop() drained the queue between our
-                # _stop check and the put, nobody will ever set the
-                # event. Batcher dead + stop set + event unset is exact
-                # proof of that (a live batcher may still deliver).
-                while not pending.event.wait(0.25):
-                    if server._stop.is_set() and not server._threads[0].is_alive():
-                        pending.error = pending.error or "server stopped"
-                        break
+                server._await(pending)
                 if pending.error == "server stopped":
                     # rescued stop/enqueue race: same condition as the
                     # pre-enqueue _stop gate, so same retryable answer
@@ -394,18 +417,26 @@ class CaptionServer:
                     self._cap.caption(feats, beam_size=beam)
         return self
 
+    def _await(self, p: _Pending) -> None:
+        """Wait for the batcher to resolve an enqueued pending, rescuing
+        the stop/enqueue race: if stop() drained the queue between the
+        caller's put and the batcher's death, nobody will ever set the
+        event. A dead batcher with the event unset is exact proof of
+        abandonment whether or not stop() ran (a live batcher may still
+        deliver); shared by do_POST and warmup."""
+        while not p.event.wait(0.25):
+            batcher = self._threads[0] if self._threads else None
+            if batcher is None or not batcher.is_alive():
+                p.error = p.error or "server stopped"
+                break
+
     def _wait_warm(self, p: _Pending) -> None:
         """Route one warmup work item through the batcher queue — the
         one batcher thread owns ALL device work once traffic is live (a
         direct call would race it, and race the verified-dispatch
-        canary) — with the same stop/enqueue-race rescue as do_POST: if
-        stop() drained the queue between our put and the batcher's
-        death, nobody will ever set the event."""
+        canary)."""
         self._queue.put(p)
-        while not p.event.wait(0.25):
-            if self._stop.is_set() and not self._threads[0].is_alive():
-                p.error = p.error or "server stopped"
-                break
+        self._await(p)
         if p.error is not None:
             raise RuntimeError(f"warmup failed: {p.error}")
 

@@ -504,3 +504,74 @@ def test_sigterm_drains_and_exits_cleanly(tmp_path):
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def _raw_http(srv, request_bytes, timeout=15):
+    """Send a hand-crafted HTTP request; return the raw response bytes
+    (empty if the server closed without replying)."""
+    import socket
+
+    with socket.create_connection((srv.host, srv.port), timeout=timeout) as s:
+        s.sendall(request_bytes)
+        s.shutdown(socket.SHUT_WR)
+        out = b""
+        while True:
+            try:
+                chunk = s.recv(65536)
+            except OSError:
+                break
+            if not chunk:
+                break
+            out += chunk
+    return out
+
+
+def test_malformed_content_length_answers_400(server):
+    """A non-numeric or negative Content-Length must get a clean 400 —
+    negative values especially must never reach rfile.read(n), where
+    BufferedReader treats them as read-to-EOF (unbounded buffering)."""
+    srv, _ = server
+    for bad in (b"abc", b"-1"):
+        resp = _raw_http(srv, b"POST /caption HTTP/1.1\r\nHost: x\r\n"
+                              b"Content-Length: " + bad + b"\r\n\r\n")
+        assert b" 400 " in resp.split(b"\r\n", 1)[0], (bad, resp[:100])
+        assert b"Content-Length" in resp
+
+
+def test_oversized_body_413_readable_mid_stream(server):
+    """The 413 must reach a client still streaming its body (the server
+    drains a bounded amount so closing doesn't RST the response away)."""
+    srv, cap = server
+    tiny = CaptionServer(cap, port=0, max_body_mb=0.001).start()  # ~1 KiB
+    try:
+        body = b"x" * 300_000  # well past the cap AND socket buffers
+        resp = _raw_http(
+            tiny, b"POST /caption HTTP/1.1\r\nHost: x\r\n"
+                  b"Content-Length: %d\r\n\r\n" % len(body) + body)
+        assert b" 413 " in resp.split(b"\r\n", 1)[0], resp[:100]
+        assert b"max_body_mb" in resp
+    finally:
+        tiny.stop()
+
+
+def test_image_count_capped_per_request(image_server):
+    """The body-size cap does not bound DECODED pixels (~750x a small
+    base64 JPEG), so the image count is capped at max_batch."""
+    blobs = ["eA=="] * (image_server._max_batch + 1)
+    try:
+        _post(image_server, {"images_b64": blobs})
+        raise AssertionError("expected HTTP 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "limit" in e.read().decode()
+
+
+def test_bad_server_limits_rejected_at_init(server):
+    """extract_batch < 1 would make every image request fail at runtime
+    (range step 0) after a silently-empty warmup; nonsensical body caps
+    would 413 everything — both must fail at construction."""
+    _, cap = server
+    with pytest.raises(ValueError, match="extract_batch"):
+        CaptionServer(cap, port=0, extract_batch=0)
+    with pytest.raises(ValueError, match="max_body_mb"):
+        CaptionServer(cap, port=0, max_body_mb=0)

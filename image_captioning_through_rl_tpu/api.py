@@ -257,11 +257,24 @@ class FeatureExtractor:
 
     ``images``: file paths (decoded on host with the canonical
     resize-256/center-crop-224 geometry) or an ``[N, H, W, 3]`` array.
+
+    ``compute_dtype`` (e.g. ``jnp.bfloat16``) runs the VGG stack with
+    weights and activations in that dtype — half the HBM traffic for
+    the bandwidth-bound conv/fc layers. The MXU already multiplies in
+    bf16 at XLA default precision, so this changes memory traffic, not
+    multiply precision; fc7 outputs drift at bf16 rounding level
+    (opt-in — features feed a PCA basis fitted in f32). Params are
+    cast ONCE here, not per call.
     """
 
-    def __init__(self, vgg_params: dict, projection=None):
+    def __init__(self, vgg_params: dict, projection=None, compute_dtype=None):
+        from .models import vgg
+
+        if compute_dtype is not None:
+            vgg_params = vgg.cast_params(vgg_params, compute_dtype)
         self.vgg_params = vgg_params
         self.projection = projection
+        self.compute_dtype = compute_dtype
 
     @property
     def dim(self) -> int:
@@ -281,15 +294,18 @@ class FeatureExtractor:
         feats = vgg.extract_features(
             self.vgg_params, images, batch_size=batch_size,
             projection=self.projection, loader=loader, progress=progress,
+            compute_dtype=self.compute_dtype,
         )
         return np.asarray(feats, np.float32)
 
 
-def load_feature_extractor(weights: str = "", pca: str = "") -> FeatureExtractor:
+def load_feature_extractor(weights: str = "", pca: str = "",
+                           bf16: bool = False) -> FeatureExtractor:
     """Build a :class:`FeatureExtractor` from files: VGG16 weights (a
     torchvision-layout ``.pt`` state dict or a native ``.ckpt``; empty
     -> random weights, pipeline testing only) and an optional fitted
-    PCA projection ``.npz`` (cli/extract.py writes one)."""
+    PCA projection ``.npz`` (cli/extract.py writes one). ``bf16`` runs
+    the stack in bfloat16 (see :class:`FeatureExtractor`)."""
     from .models import vgg
 
     if weights.endswith(".pt"):
@@ -312,7 +328,9 @@ def load_feature_extractor(weights: str = "", pca: str = "") -> FeatureExtractor
         from .data.pca import PCAProjection
 
         projection = PCAProjection.load(pca)
-    return FeatureExtractor(params, projection)
+    return FeatureExtractor(
+        params, projection,
+        compute_dtype=jnp.bfloat16 if bf16 else None)
 
 
 def evaluate_captions(real: List[str], generated: List[str]) -> dict:

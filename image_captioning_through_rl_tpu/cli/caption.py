@@ -54,6 +54,9 @@ def main(argv=None) -> None:
     ap.add_argument("--pca", default="",
                     help="fitted PCA projection .npz (cli/extract.py); "
                          "required for models trained on _pca features")
+    ap.add_argument("--vgg_bf16", action="store_true",
+                    help="run the VGG16 stack in bfloat16 (half the HBM "
+                         "traffic; features drift at bf16 rounding level)")
     ap.add_argument("--beam_size", type=int, default=0,
                     help="0 = greedy; >0 = value-guided beam search")
     ap.add_argument("--faithful_beam", action="store_true",
@@ -89,7 +92,8 @@ def main(argv=None) -> None:
                   if os.path.isdir(args.vocab) else args.vocab)
     word_to_idx, idx_to_word = load_vocab(vocab_path)
 
-    extractor = load_feature_extractor(args.vgg_weights, args.pca)
+    extractor = load_feature_extractor(args.vgg_weights, args.pca,
+                                       bf16=args.vgg_bf16)
     cfg = NetConfig.for_vocab(word_to_idx, bidirectional=args.bidirectional,
                               input_dim=extractor.dim)
 

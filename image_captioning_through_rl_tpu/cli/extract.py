@@ -84,6 +84,10 @@ def main(argv=None) -> None:
     ap.add_argument("--pca_components", type=int, default=0,
                     help="also write the _pca variant with this many components")
     ap.add_argument("--pca_from", default="", help="reuse a fitted projection (.npz)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="run the VGG16 stack in bfloat16 (half the HBM "
+                         "traffic; fc7 values drift at bf16 rounding level "
+                         "— fit/apply PCA from the same dtype's features)")
     ap.add_argument("--pca_refit", action="store_true",
                     help="overwrite an existing vgg16_fc7_pca.npz with a fresh "
                          "fit (e.g. after changing --pca_components); any other "
@@ -107,9 +111,12 @@ def main(argv=None) -> None:
 
     from tqdm import tqdm
 
+    import jax.numpy as jnp
+
     feats = vgg.extract_features(
         params, paths, batch_size=args.batch_size, loader=load_image_batch,
         progress=partial(tqdm, desc="Extracting"),
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
     ).astype(np.float32)
 
     os.makedirs(args.out_dir, exist_ok=True)

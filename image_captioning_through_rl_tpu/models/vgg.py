@@ -101,35 +101,55 @@ def _conv_stack(params: dict, x: jax.Array, precision=None) -> jax.Array:
     return x  # [N, 7, 7, 512]
 
 
+def cast_params(params: dict, dtype) -> dict:
+    """One-time dtype cast of the whole parameter tree (e.g. to
+    ``jnp.bfloat16`` for the half-bandwidth inference path). Done
+    OUTSIDE the jitted forward so the f32 master copy is not re-read
+    and re-cast on every batch (~0.5 GB of weights)."""
+    return jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype), params)
+
+
 def features_fc7(params: dict, images: jax.Array, precision=None,
-                 preprocessed: bool = False) -> jax.Array:
-    """fc7 features ``[N, 4096]`` from raw or preprocessed images."""
+                 preprocessed: bool = False, compute_dtype=None) -> jax.Array:
+    """fc7 features ``[N, 4096]`` from raw or preprocessed images.
+
+    ``compute_dtype`` (e.g. ``jnp.bfloat16``) runs the conv/fc stack
+    with activations in that dtype; ``params`` must already be cast to
+    match (:func:`cast_params`). The MXU multiplies in bf16 either way
+    (XLA default precision), so this changes only the HBM traffic of
+    activations and weight reads — accumulation stays f32 inside the
+    MXU. Output is always f32.
+    """
     x = images if preprocessed else preprocess(images)
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
     x = _conv_stack(params, x, precision=precision)
     # torch flattens NCHW; match that element order so converted
     # torchvision fc6 weights line up: NHWC -> NCHW -> flat
     x = jnp.transpose(x, (0, 3, 1, 2)).reshape(x.shape[0], -1)
     x = jax.nn.relu(dense(x, params["fc6"], precision=precision))
     x = jax.nn.relu(dense(x, params["fc7"], precision=precision))
-    return x
+    return x.astype(jnp.float32)
 
 
 import functools
 
 
-@functools.lru_cache(maxsize=1)
-def _jitted_fc7():
-    """ONE jitted fc7 program per process. A fresh ``jax.jit(lambda)``
-    per extract_features call would key the jit cache on the new wrapper
-    and re-trace/re-compile the VGG16 conv stack every invocation (~9
-    minutes per remote compile on a tunneled chip). Params flow as a jit
-    ARGUMENT: closing over them would embed hundreds of MB of constants
-    in the compile payload."""
-    return jax.jit(lambda p, im: features_fc7(p, im))
+@functools.lru_cache(maxsize=4)
+def _jitted_fc7(compute_dtype=None):
+    """ONE jitted fc7 program per process (per compute dtype). A fresh
+    ``jax.jit(lambda)`` per extract_features call would key the jit
+    cache on the new wrapper and re-trace/re-compile the VGG16 conv
+    stack every invocation (~9 minutes per remote compile on a tunneled
+    chip). Params flow as a jit ARGUMENT: closing over them would embed
+    hundreds of MB of constants in the compile payload."""
+    return jax.jit(
+        lambda p, im: features_fc7(p, im, compute_dtype=compute_dtype))
 
 
 def extract_features(params: dict, images, batch_size: int = 64,
-                     projection=None, loader=None, progress=None) -> jax.Array:
+                     projection=None, loader=None, progress=None,
+                     compute_dtype=None) -> jax.Array:
     """Batched jitted feature extraction over a large image collection.
 
     ``images`` is either an image array ``[N, H, W, 3]`` or, with
@@ -144,7 +164,9 @@ def extract_features(params: dict, images, batch_size: int = 64,
     """
     import numpy as np
 
-    fn = _jitted_fc7()
+    fn = _jitted_fc7(compute_dtype)
+    if compute_dtype is not None:
+        params = cast_params(params, compute_dtype)
     n = images.shape[0] if hasattr(images, "shape") else len(images)
     if n == 0:
         dim = (int(projection.components.shape[1])

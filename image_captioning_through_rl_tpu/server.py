@@ -519,6 +519,11 @@ def main(argv=None, block: bool = True):
     ap.add_argument("--pca", default="",
                     help="fitted PCA projection .npz mapping fc7 to the "
                          "model's input dim (cli/extract writes one)")
+    ap.add_argument("--vgg_bf16", action="store_true",
+                    help="run the VGG16 extraction stack in bfloat16 — "
+                         "half the HBM traffic of the conv/fc layers; "
+                         "features drift at bf16 rounding level (use a "
+                         "PCA basis fitted on same-dtype features)")
     ap.add_argument("--max_body_mb", type=float, default=256.0,
                     help="largest accepted request body (413 beyond it; "
                          "a multi-GB body would be buffered wholesale on "
@@ -557,7 +562,7 @@ def main(argv=None, block: bool = True):
         from .api import load_feature_extractor
 
         extractor = load_feature_extractor(weights=args.vgg_weights,
-                                           pca=args.pca)
+                                           pca=args.pca, bf16=args.vgg_bf16)
     srv = CaptionServer(cap, host=args.host, port=args.port,
                         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
                         extractor=extractor, extract_batch=args.extract_batch,

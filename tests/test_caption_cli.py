@@ -121,6 +121,38 @@ def test_feature_extractor_dim_and_mismatch_error(pipeline_dir):
         cap.caption_images(imgs, ext)
 
 
+def test_caption_cli_vgg_bf16_end_to_end(pipeline_dir, capsys):
+    d = pipeline_dir
+    caption_cli.main([
+        "--images_dir", str(d / "imgs"),
+        "--model", str(d / "a2cNetwork.ckpt"),
+        "--vocab", str(d / "coco2014_vocab.json"),
+        "--pca", str(d / "pca.npz"),
+        "--vgg_bf16",
+    ])
+    outlines = [l for l in capsys.readouterr().out.strip().split("\n")
+                if "[Caption]" not in l]
+    assert len(outlines) == 2 and all("\t" in l for l in outlines)
+
+
+def test_feature_extractor_bf16_casts_once_and_stays_close(pipeline_dir):
+    """bf16=True casts the VGG tree to bfloat16 at construction (one
+    cast, not per call) and yields f32 features near the f32 path."""
+    import jax.numpy as jnp
+
+    d = pipeline_dir
+    f32 = load_feature_extractor(pca=str(d / "pca.npz"))
+    b16 = load_feature_extractor(pca=str(d / "pca.npz"), bf16=True)
+    for leaf in jax.tree.leaves(b16.vgg_params):
+        assert leaf.dtype == jnp.bfloat16
+    paths = sorted(str(p) for p in (d / "imgs").iterdir())
+    a = f32(paths, batch_size=2)
+    b = b16(paths, batch_size=2)
+    assert b.dtype == np.float32 and b.shape == a.shape
+    denom = np.abs(a).mean() + 1e-6
+    assert np.abs(b - a).mean() / denom < 0.1
+
+
 def test_feature_extractor_array_input_matches_path_input(pipeline_dir):
     """Path-loader input and pre-decoded array input produce identical
     features for the same pixels (224-crop geometry)."""

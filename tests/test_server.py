@@ -158,6 +158,52 @@ def test_server_cli_main_serves_from_checkpoints(tmp_path, rng_np, monkeypatch):
         srv.stop()
 
 
+def test_server_cli_forwards_vgg_bf16(tmp_path, monkeypatch):
+    """--vgg_bf16 must reach load_feature_extractor (a silently dropped
+    flag would serve f32 while the operator believes bf16 is on)."""
+    from image_captioning_through_rl_tpu import api
+    from image_captioning_through_rl_tpu.data import load_data, make_synthetic_coco
+    import image_captioning_through_rl_tpu.server as server_mod
+    import image_captioning_through_rl_tpu.train.loops as loops
+    from image_captioning_through_rl_tpu.models import policy, value
+    from image_captioning_through_rl_tpu.train import checkpoint as ckpt
+
+    coco = make_synthetic_coco(str(tmp_path / "coco"), num_train_images=4,
+                               num_val_images=2, vocab_size=28, feature_dim=10,
+                               seed=3)
+    data = load_data(coco)
+    cfg = NetConfig(vocab_size=len(data.word_to_idx), input_dim=10,
+                    wordvec_dim=8, hidden_dim=8, max_seq_len=7)
+    pp = policy.init(jax.random.PRNGKey(0), cfg)
+    vp = value.init(jax.random.PRNGKey(1), cfg)
+    pre = tmp_path / "models_pretrained"
+    ckpt.save_pytree(pp, str(pre / "policyNetwork.ckpt"))
+    ckpt.save_pytree(vp, str(pre / "valueNetwork.ckpt"))
+    ckpt.save_pytree({"policy": pp, "value": vp}, str(pre / "a2cNetwork.ckpt"))
+    monkeypatch.setattr(loops, "_cfg_for", lambda d, b: cfg)
+
+    seen = {}
+
+    def fake_loader(weights="", pca="", bf16=False):
+        seen["bf16"] = bf16
+
+        class _Ext:
+            dim = 10
+        return _Ext()
+
+    monkeypatch.setattr(api, "load_feature_extractor", fake_loader)
+    srv = server_mod.main([
+        "--model", str(pre / "a2cNetwork.ckpt"),
+        "--pretrained_path", str(pre),
+        "--data_dir", coco, "--port", "0", "--no_warmup",
+        "--vgg_weights", "ignored-by-stub.ckpt", "--vgg_bf16",
+    ], block=False)
+    try:
+        assert seen == {"bf16": True}
+    finally:
+        srv.stop()
+
+
 def test_bucketing_pads_and_slices(server, rng_np):
     """Co-batches pad to power-of-two buckets (one compiled program per
     bucket, the TPU static-shape rule) and padding rows are sliced off."""

@@ -121,6 +121,42 @@ def test_extract_features_shares_one_jitted_program():
     assert _jitted_fc7() is _jitted_fc7()
 
 
+def test_bf16_compute_path_close_to_f32(rng_np):
+    """compute_dtype=bfloat16 halves HBM traffic; fc7 must stay f32 on
+    the OUTSIDE (PCA bases are fitted in f32) and drift only at bf16
+    rounding level relative to the f32 path."""
+    params = vgg.init(jax.random.PRNGKey(2))
+    imgs = rng_np.standard_normal((3, 32, 32, 3)).astype(np.float32)
+    f32 = vgg.extract_features(params, imgs, batch_size=4)
+    b16 = vgg.extract_features(params, imgs, batch_size=4,
+                               compute_dtype=jnp.bfloat16)
+    assert b16.dtype == np.float32
+    assert b16.shape == f32.shape
+    # bf16 has ~3 decimal digits; after 15 conv/fc layers expect a few %
+    denom = np.abs(f32).mean() + 1e-6
+    assert np.abs(b16 - f32).mean() / denom < 0.1
+
+
+def test_cast_params_is_one_time_and_idempotent():
+    params = vgg.init(jax.random.PRNGKey(3))
+    half = vgg.cast_params(params, jnp.bfloat16)
+    for leaf in jax.tree.leaves(half):
+        assert leaf.dtype == jnp.bfloat16
+    # Re-casting bf16->bf16 must not copy: jnp.asarray returns the same
+    # buffer, so extract_features' defensive cast is free on the hot path.
+    again = vgg.cast_params(half, jnp.bfloat16)
+    for a, b in zip(jax.tree.leaves(half), jax.tree.leaves(again)):
+        assert a is b
+
+
+def test_jitted_fc7_caches_per_dtype():
+    from image_captioning_through_rl_tpu.models.vgg import _jitted_fc7
+
+    assert _jitted_fc7(None) is _jitted_fc7(None)
+    assert _jitted_fc7(jnp.bfloat16) is _jitted_fc7(jnp.bfloat16)
+    assert _jitted_fc7(None) is not _jitted_fc7(jnp.bfloat16)
+
+
 def test_extract_features_empty_input():
     import jax
     import numpy as np

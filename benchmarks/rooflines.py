@@ -132,6 +132,35 @@ def path_beam(n=127, B=5):
     return fp + fh + fv + fmlp, bp + bh + bv
 
 
+VGG_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+           512, 512, 512, "M", 512, 512, 512, "M"]
+
+
+def path_vgg(n=64, dtype_bytes=4):
+    """VGG16 fc7 extraction (models/vgg.py). FLOPs from the conv config
+    at 224x224; HBM counts the weight set once per batch plus every
+    conv/pool activation written+read at the compute dtype (the bf16
+    path halves exactly this term — see FeatureExtractor compute_dtype)."""
+    flops, act_elems, s, in_ch = 0.0, 0, 224, 3
+    wparams = 0
+    for c in VGG_CFG:
+        if c == "M":
+            s //= 2
+            act_elems += s * s * in_ch  # pooled output write+read pair below
+            continue
+        flops += mm(n * s * s, 9 * in_ch, c)
+        wparams += 9 * in_ch * c + c
+        act_elems += s * s * c
+        in_ch = c
+    flops += mm(n, 7 * 7 * 512, 4096) + mm(n, 4096, 4096)
+    wparams += 7 * 7 * 512 * 4096 + 4096 * 4096 + 2 * 4096
+    hbm = wparams * dtype_bytes                    # weights once per batch
+    hbm += n * 224 * 224 * 3 * 4                   # f32 input read
+    hbm += 2 * n * act_elems * dtype_bytes         # write + next-layer read
+    hbm += n * (2 * 4096) * dtype_bytes + n * 4096 * 4  # fc acts + f32 out
+    return flops, hbm
+
+
 PATHS = {
     "policy_xe": (path_policy_xe, 512),
     "reward_vse": (path_reward_vse, 512),
@@ -139,6 +168,8 @@ PATHS = {
     "a2c": (path_a2c, 512),
     "greedy@32768": (path_greedy, 32768),
     "beam5@127": (path_beam, 127),
+    "vgg_f32@64": (path_vgg, 64),
+    "vgg_bf16@64": (lambda n: path_vgg(n, dtype_bytes=2), 64),
 }
 
 

@@ -147,6 +147,13 @@ def _jitted_fc7(compute_dtype=None):
         lambda p, im: features_fc7(p, im, compute_dtype=compute_dtype))
 
 
+# In-flight batches the extraction loop keeps un-read-back so the host
+# loader (PIL decode) and the device conv stack overlap; see
+# extract_features. 4 batches bound device-held inputs to ~150 MB at
+# batch 64 while comfortably covering loader/compute jitter.
+_PIPELINE_DEPTH = 4
+
+
 def extract_features(params: dict, images, batch_size: int = 64,
                      projection=None, loader=None, progress=None,
                      compute_dtype=None) -> jax.Array:
@@ -172,7 +179,16 @@ def extract_features(params: dict, images, batch_size: int = 64,
         dim = (int(projection.components.shape[1])
                if projection is not None else 4096)
         return np.zeros((0, dim), np.float32)
+    # Host/device pipelining: JAX dispatch is async, so the host decodes
+    # batch i+1 (the ``loader`` call — PIL work that owns the CPU) while
+    # the device convolves batch i — PROVIDED nothing forces a readback
+    # in between. Results stay device arrays behind a small in-flight
+    # window and convert to numpy only once the window slides past them
+    # (bounds device-resident inputs to _PIPELINE_DEPTH batches, ~150 MB
+    # at batch 64). A per-batch np.asarray here would serialize the two
+    # timelines.
     outs = []
+    pending = []  # (device feats, real row count) not yet read back
     starts = range(0, n, batch_size)
     if progress is not None:
         starts = progress(starts)
@@ -186,5 +202,10 @@ def extract_features(params: dict, images, batch_size: int = 64,
         feats = fn(params, jnp.asarray(batch))
         if projection is not None:
             feats = projection.apply(feats)
-        outs.append(np.asarray(feats)[:real])
+        pending.append((feats, real))
+        if len(pending) > _PIPELINE_DEPTH:
+            f, r = pending.pop(0)
+            outs.append(np.asarray(f)[:r])
+    for f, r in pending:
+        outs.append(np.asarray(f)[:r])
     return np.concatenate(outs, axis=0)

@@ -157,6 +157,33 @@ def test_jitted_fc7_caches_per_dtype():
     assert _jitted_fc7(None) is not _jitted_fc7(jnp.bfloat16)
 
 
+def test_pipelined_extraction_matches_per_batch_results(rng_np):
+    """The async readback window (host loader / device compute overlap)
+    must change nothing observable: more batches than _PIPELINE_DEPTH,
+    a ragged tail, a loader, and a projection — rows come back in order
+    and equal the single-batch forward."""
+    from image_captioning_through_rl_tpu.models.vgg import _PIPELINE_DEPTH
+
+    params = vgg.init(jax.random.PRNGKey(4))
+    n_batches = _PIPELINE_DEPTH + 3
+    imgs = rng_np.standard_normal((2 * n_batches - 1, 32, 32, 3)).astype(np.float32)
+
+    calls = []
+
+    def loader(chunk):
+        calls.append(len(chunk))
+        return np.asarray(chunk)
+
+    proj = fit_pca(jnp.asarray(
+        rng_np.standard_normal((40, 4096)).astype(np.float32)), k=6)
+    got = vgg.extract_features(params, list(imgs), batch_size=2,
+                               loader=loader, projection=proj)
+    assert got.shape == (len(imgs), 6)
+    assert calls == [2] * (n_batches - 1) + [1]  # order + ragged tail
+    want = proj.apply(vgg.features_fc7(params, jnp.asarray(imgs)))
+    np.testing.assert_allclose(got, np.asarray(want), rtol=2e-3, atol=2e-3)
+
+
 def test_extract_features_empty_input():
     import jax
     import numpy as np

@@ -65,7 +65,7 @@ def main():
                         max_wait_ms=args.max_wait_ms)
     srv.start()
     t0 = time.perf_counter()
-    srv.warmup()
+    srv.warmup(FEAT)
     print(f"warmup (all buckets compiled): {time.perf_counter()-t0:.1f}s",
           flush=True)
     rng = np.random.default_rng(0)
@@ -125,15 +125,34 @@ def main():
         for _ in range(iters):
             _post(srv, {"features": big.tolist()})
         http_s = (time.perf_counter() - t0) / iters
+        # binary (octet-stream) variant of the same batch
+        blob = np.ascontiguousarray(big, dtype="<f4").tobytes()
+
+        def post_bin():
+            req = urllib.request.Request(
+                f"http://{srv.host}:{srv.port}/caption", data=blob,
+                headers={"Content-Type": "application/octet-stream"},
+            )
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return json.loads(r.read())
+
+        for _ in range(3):
+            post_bin()
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            post_bin()
+        bin_s = (time.perf_counter() - t0) / iters
         cap.caption(big)
         t0 = time.perf_counter()
         for _ in range(iters):
             cap.caption(big)
         direct_s = (time.perf_counter() - t0) / iters
-        print(f"batch-64: HTTP {64/http_s:,.0f} cap/s "
-              f"({http_s*1e3:.1f} ms/req)  direct {64/direct_s:,.0f} cap/s "
+        print(f"batch-64: JSON {64/http_s:,.0f} cap/s "
+              f"({http_s*1e3:.1f} ms/req)  binary {64/bin_s:,.0f} cap/s "
+              f"({bin_s*1e3:.1f} ms)  direct {64/direct_s:,.0f} cap/s "
               f"({direct_s*1e3:.1f} ms) -> stack overhead "
-              f"{(http_s-direct_s)*1e3:.1f} ms", flush=True)
+              f"JSON {(http_s-direct_s)*1e3:.1f} / binary "
+              f"{(bin_s-direct_s)*1e3:.1f} ms", flush=True)
     finally:
         srv.stop()
 

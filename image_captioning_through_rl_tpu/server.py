@@ -199,6 +199,30 @@ class CaptionServer:
                             break
                         left -= len(chunk)
                     return
+                ctype = (self.headers.get("Content-Type") or "")
+                ctype = ctype.split(";")[0].strip().lower()
+                if ctype == "application/octet-stream":
+                    # binary dense-feature path: JSON costs ~47 ms/64
+                    # rows just encoding+parsing 32k floats on a small
+                    # host core (benchmarks/bench_server.py); raw
+                    # little-endian f32 rows skip all of it. Shape is
+                    # implied: [N, input_dim], N from the byte count.
+                    try:
+                        beam = int(self.headers.get("X-Beam-Size", 0))
+                        want = server._cap._cfg.input_dim
+                        if n == 0 or n % (4 * want):
+                            raise ValueError(
+                                f"binary body must be [N, {want}] "
+                                f"little-endian float32 rows ({n} B is "
+                                f"not a positive multiple of {4 * want})")
+                        feats = np.frombuffer(
+                            self.rfile.read(n), "<f4").reshape(-1, want)
+                        pixels = None
+                    except Exception as e:
+                        self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+                        return
+                    self._dispatch_and_reply(feats, beam, pixels)
+                    return
                 try:
                     req = json.loads(self.rfile.read(n))
                     beam = int(req.get("beam_size", 0))
@@ -244,6 +268,9 @@ class CaptionServer:
                 except Exception as e:  # malformed request
                     self._reply(400, {"error": f"{type(e).__name__}: {e}"})
                     return
+                self._dispatch_and_reply(feats, beam, pixels)
+
+            def _dispatch_and_reply(self, feats, beam, pixels):
                 if server._stop.is_set():
                     self._reply(503, {"error": "server stopping"})
                     return

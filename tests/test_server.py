@@ -56,6 +56,57 @@ def test_caption_matches_direct_captioner(server, rng_np):
     assert one == want[:1]
 
 
+def _post_bin(srv, feats, beam=None, timeout=30):
+    headers = {"Content-Type": "application/octet-stream"}
+    if beam is not None:
+        headers["X-Beam-Size"] = str(beam)
+    req = urllib.request.Request(
+        f"http://{srv.host}:{srv.port}/caption",
+        data=np.ascontiguousarray(feats, dtype="<f4").tobytes(),
+        headers=headers,
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return json.loads(r.read())
+
+
+def test_binary_features_endpoint(server, rng_np):
+    """Raw little-endian f32 rows (Content-Type: application/octet-stream)
+    answer identically to the JSON path — the binary path exists because
+    JSON-encoding dense feature rows dominates request latency."""
+    srv, cap = server
+    feats = rng_np.standard_normal((3, CFG.input_dim)).astype(np.float32)
+    got = _post_bin(srv, feats)["captions"]
+    assert got == _post(srv, {"features": feats.tolist()})["captions"]
+
+    # beam size rides the X-Beam-Size header
+    got_b = _post_bin(srv, feats, beam=2)["captions"]
+    assert got_b == cap.caption(feats, beam_size=2)
+
+    # row-count inference: a single row is one caption
+    one = _post_bin(srv, feats[0])["captions"]
+    assert one == got[:1]
+
+
+def test_binary_features_bad_length_is_400(server):
+    srv, _ = server
+    req = urllib.request.Request(
+        f"http://{srv.host}:{srv.port}/caption",
+        data=b"\x00" * (4 * CFG.input_dim + 3),  # not a row multiple
+        headers={"Content-Type": "application/octet-stream"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=10)
+    assert ei.value.code == 400
+    # empty body is refused too, with the shape contract in the message
+    req = urllib.request.Request(
+        f"http://{srv.host}:{srv.port}/caption", data=b"",
+        headers={"Content-Type": "application/octet-stream"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=10)
+    assert ei.value.code == 400
+
+
 def test_concurrent_requests_cobatch(server, rng_np):
     """Concurrent clients coalesce into shared device dispatches and
     each still receives exactly its own rows."""

@@ -265,9 +265,15 @@ class FeatureExtractor:
     multiply precision; fc7 outputs drift at bf16 rounding level
     (opt-in — features feed a PCA basis fitted in f32). Params are
     cast ONCE here, not per call.
+
+    ``mesh`` shards each extraction batch over the mesh's ``data`` axis
+    (single-controller multi-chip; VGG16 is embarrassingly
+    batch-parallel). Batch sizes must then be multiples of the data
+    axis.
     """
 
-    def __init__(self, vgg_params: dict, projection=None, compute_dtype=None):
+    def __init__(self, vgg_params: dict, projection=None, compute_dtype=None,
+                 mesh=None):
         from .models import vgg
 
         if compute_dtype is not None:
@@ -275,6 +281,7 @@ class FeatureExtractor:
         self.vgg_params = vgg_params
         self.projection = projection
         self.compute_dtype = compute_dtype
+        self.mesh = mesh
 
     @property
     def dim(self) -> int:
@@ -294,13 +301,13 @@ class FeatureExtractor:
         feats = vgg.extract_features(
             self.vgg_params, images, batch_size=batch_size,
             projection=self.projection, loader=loader, progress=progress,
-            compute_dtype=self.compute_dtype,
+            compute_dtype=self.compute_dtype, mesh=self.mesh,
         )
         return np.asarray(feats, np.float32)
 
 
 def load_feature_extractor(weights: str = "", pca: str = "",
-                           bf16: bool = False) -> FeatureExtractor:
+                           bf16: bool = False, mesh=None) -> FeatureExtractor:
     """Build a :class:`FeatureExtractor` from files: VGG16 weights (a
     torchvision-layout ``.pt`` state dict or a native ``.ckpt``; empty
     -> random weights, pipeline testing only) and an optional fitted
@@ -330,7 +337,7 @@ def load_feature_extractor(weights: str = "", pca: str = "",
         projection = PCAProjection.load(pca)
     return FeatureExtractor(
         params, projection,
-        compute_dtype=jnp.bfloat16 if bf16 else None)
+        compute_dtype=jnp.bfloat16 if bf16 else None, mesh=mesh)
 
 
 def evaluate_captions(real: List[str], generated: List[str]) -> dict:

@@ -88,6 +88,9 @@ def main(argv=None) -> None:
                     help="run the VGG16 stack in bfloat16 (half the HBM "
                          "traffic; fc7 values drift at bf16 rounding level "
                          "— fit/apply PCA from the same dtype's features)")
+    ap.add_argument("--spmd", action="store_true",
+                    help="shard each extraction batch over all local "
+                         "chips (batch_size must divide evenly)")
     ap.add_argument("--pca_refit", action="store_true",
                     help="overwrite an existing vgg16_fc7_pca.npz with a fresh "
                          "fit (e.g. after changing --pca_components); any other "
@@ -113,10 +116,16 @@ def main(argv=None) -> None:
 
     import jax.numpy as jnp
 
+    mesh = None
+    if args.spmd:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh()
+
     feats = vgg.extract_features(
         params, paths, batch_size=args.batch_size, loader=load_image_batch,
         progress=partial(tqdm, desc="Extracting"),
-        compute_dtype=jnp.bfloat16 if args.bf16 else None,
+        compute_dtype=jnp.bfloat16 if args.bf16 else None, mesh=mesh,
     ).astype(np.float32)
 
     os.makedirs(args.out_dir, exist_ok=True)

@@ -156,7 +156,7 @@ _PIPELINE_DEPTH = 4
 
 def extract_features(params: dict, images, batch_size: int = 64,
                      projection=None, loader=None, progress=None,
-                     compute_dtype=None) -> jax.Array:
+                     compute_dtype=None, mesh=None) -> jax.Array:
     """Batched jitted feature extraction over a large image collection.
 
     ``images`` is either an image array ``[N, H, W, 3]`` or, with
@@ -174,6 +174,27 @@ def extract_features(params: dict, images, batch_size: int = 64,
     fn = _jitted_fc7(compute_dtype)
     if compute_dtype is not None:
         params = cast_params(params, compute_dtype)
+    if mesh is not None:
+        # Shard each padded batch over the mesh's data axis — VGG16 is
+        # embarrassingly batch-parallel, parameters replicate (~0.5 GB,
+        # well under HBM), XLA partitions the conv stack with no
+        # cross-chip traffic beyond the launch. Single-controller
+        # multi-chip only: a multi-HOST job should extract its own
+        # process-local file list instead of sharding one global one
+        # (each shard's pixels would have to be shipped between hosts).
+        from ..parallel.sharding import _spans_processes, replicate, shard_batch
+
+        if _spans_processes(mesh):
+            raise ValueError(
+                "extract_features(mesh=...) shards over the chips of one "
+                "process; in a multi-host job give each process its own "
+                "file list instead of sharding a global batch")
+        data = mesh.shape["data"]
+        if batch_size % data:
+            raise ValueError(
+                f"batch_size {batch_size} must be a multiple of the "
+                f"mesh's data axis ({data}) so every chip gets equal rows")
+        params = replicate(mesh, params)
     n = images.shape[0] if hasattr(images, "shape") else len(images)
     if n == 0:
         dim = (int(projection.components.shape[1])
@@ -199,7 +220,13 @@ def extract_features(params: dict, images, batch_size: int = 64,
         if real < batch_size:  # pad: one compiled shape for every batch
             pad = np.repeat(batch[-1:], batch_size - real, axis=0)
             batch = np.concatenate([batch, pad], axis=0)
-        feats = fn(params, jnp.asarray(batch))
+        if mesh is None:
+            feats = fn(params, jnp.asarray(batch))
+        else:
+            from ..parallel.sharding import shard_batch
+
+            with mesh:
+                feats = fn(params, shard_batch(mesh, jnp.asarray(batch)))
         if projection is not None:
             feats = projection.apply(feats)
         pending.append((feats, real))

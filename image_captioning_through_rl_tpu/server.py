@@ -587,9 +587,15 @@ def main(argv=None, block: bool = True):
                  "needs real VGG16 weights")
     if args.vgg_weights:
         from .api import load_feature_extractor
+        from .parallel.sharding import _spans_processes
 
+        # extraction shards over the chips of ONE process; on a
+        # multi-host mesh each host decodes its own request's pixels
+        ext_mesh = (mesh if mesh is not None and not _spans_processes(mesh)
+                    else None)
         extractor = load_feature_extractor(weights=args.vgg_weights,
-                                           pca=args.pca, bf16=args.vgg_bf16)
+                                           pca=args.pca, bf16=args.vgg_bf16,
+                                           mesh=ext_mesh)
     srv = CaptionServer(cap, host=args.host, port=args.port,
                         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
                         extractor=extractor, extract_batch=args.extract_batch,

@@ -37,6 +37,25 @@ def test_extract_writes_loader_compatible_h5(images_dir, tmp_path):
     assert os.path.exists(os.path.join(out, "vgg16_fc7_pca.npz"))
 
 
+def test_extract_spmd_matches_plain(images_dir, tmp_path):
+    """--spmd shards batches over the 8-device test mesh; the written
+    table must equal the single-device run row-for-row."""
+    plain, spmd = str(tmp_path / "plain"), str(tmp_path / "spmd")
+    extract_main([
+        "--images_dir", images_dir, "--split", "val", "--out_dir", plain,
+        "--batch_size", "8",
+    ])
+    extract_main([
+        "--images_dir", images_dir, "--split", "val", "--out_dir", spmd,
+        "--batch_size", "8", "--spmd",
+    ])
+    with h5py.File(os.path.join(plain, "val2014_vgg16_fc7.h5")) as f:
+        a = np.asarray(f["features"])
+    with h5py.File(os.path.join(spmd, "val2014_vgg16_fc7.h5")) as f:
+        b = np.asarray(f["features"])
+    np.testing.assert_allclose(b, a, rtol=2e-5, atol=2e-5)
+
+
 def test_extract_respects_file_list(images_dir, tmp_path):
     order = ["img_003.jpg", "img_000.jpg"]
     fl = tmp_path / "list.txt"

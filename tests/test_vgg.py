@@ -1,6 +1,7 @@
 """VGG16 visual encoder: parity vs a hand-built torch VGG16, PCA."""
 
 import numpy as np
+import pytest
 import torch
 import torch.nn as nn
 
@@ -182,6 +183,38 @@ def test_pipelined_extraction_matches_per_batch_results(rng_np):
     assert calls == [2] * (n_batches - 1) + [1]  # order + ragged tail
     want = proj.apply(vgg.features_fc7(params, jnp.asarray(imgs)))
     np.testing.assert_allclose(got, np.asarray(want), rtol=2e-3, atol=2e-3)
+
+
+def test_mesh_sharded_extraction_matches_single_device(rng_np):
+    """mesh= shards each batch over the data axis; rows must come back
+    identical (same program, same math — batch parallelism only)."""
+    from image_captioning_through_rl_tpu.parallel import make_mesh
+
+    params = vgg.init(jax.random.PRNGKey(5))
+    imgs = rng_np.standard_normal((11, 32, 32, 3)).astype(np.float32)
+    mesh = make_mesh((8,), ("data",))
+    plain = vgg.extract_features(params, imgs, batch_size=8)
+    sharded = vgg.extract_features(params, imgs, batch_size=8, mesh=mesh)
+    np.testing.assert_allclose(sharded, plain, rtol=2e-5, atol=2e-5)
+
+    with pytest.raises(ValueError, match="multiple of"):
+        vgg.extract_features(params, imgs, batch_size=6, mesh=mesh)
+
+
+def test_mesh_sharded_extraction_rejects_multiprocess(monkeypatch):
+    """Multi-host meshes must be refused with the file-list guidance —
+    sharding one global pixel batch would ship images between hosts."""
+    from image_captioning_through_rl_tpu.models import vgg as vgg_mod
+    from image_captioning_through_rl_tpu.parallel import make_mesh
+    from image_captioning_through_rl_tpu.parallel import sharding as sh
+
+    params = vgg.init(jax.random.PRNGKey(6))
+    mesh = make_mesh((8,), ("data",))
+    monkeypatch.setattr(sh, "_spans_processes", lambda m: True)
+    with pytest.raises(ValueError, match="file list"):
+        vgg_mod.extract_features(
+            params, np.zeros((8, 32, 32, 3), np.float32), batch_size=8,
+            mesh=mesh)
 
 
 def test_extract_features_empty_input():

@@ -235,7 +235,7 @@ def test_server_cli_forwards_vgg_bf16(tmp_path, monkeypatch):
 
     seen = {}
 
-    def fake_loader(weights="", pca="", bf16=False):
+    def fake_loader(weights="", pca="", bf16=False, mesh=None):
         seen["bf16"] = bf16
 
         class _Ext:
@@ -447,6 +447,40 @@ def image_server():
     srv = CaptionServer(cap, port=0, max_wait_ms=20, extractor=ext).start()
     yield srv
     srv.stop()
+
+
+def test_caption_client_features_and_meta(server, rng_np):
+    """CaptionClient wraps both dense-feature wire formats and the meta
+    endpoints; binary and JSON answers must agree with the direct call."""
+    from image_captioning_through_rl_tpu.client import CaptionClient
+
+    srv, cap = server
+    c = CaptionClient(f"http://{srv.host}:{srv.port}")
+    feats = rng_np.standard_normal((3, CFG.input_dim)).astype(np.float32)
+    want = cap.caption(feats)
+    assert c.caption(feats) == want                      # binary path
+    assert c.caption(feats, binary=False) == want        # JSON path
+    assert c.caption(feats[0]) == want[:1]               # 1-D row
+    assert c.caption(feats, beam_size=2) == cap.caption(feats, beam_size=2)
+    assert c.healthz()["ok"] is True
+    assert c.stats()["requests"] >= 4
+
+
+def test_caption_client_images(image_server, rng_np, tmp_path):
+    """caption_images accepts paths, file objects, and raw bytes."""
+    import base64
+    import io
+
+    from image_captioning_through_rl_tpu.client import CaptionClient
+
+    c = CaptionClient(f"http://{image_server.host}:{image_server.port}",
+                      timeout=300)
+    raw = base64.b64decode(_png_b64(rng_np))
+    p = tmp_path / "img.png"
+    p.write_bytes(raw)
+    out = c.caption_images([str(p), io.BytesIO(raw), raw])
+    assert len(out) == 3
+    assert out[0] == out[1] == out[2]  # same pixels, same caption
 
 
 def test_caption_raw_images_endpoint(image_server, rng_np):

@@ -16,12 +16,10 @@ Usage:  python benchmarks/bench_server.py [--requests 200] [--threads 32]
 """
 
 import argparse
-import json
 import os
 import sys
 import threading
 import time
-import urllib.request
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -29,22 +27,13 @@ import numpy as np
 import jax
 
 from image_captioning_through_rl_tpu.api import Captioner
+from image_captioning_through_rl_tpu.client import CaptionClient
 from image_captioning_through_rl_tpu.config import NetConfig
 from image_captioning_through_rl_tpu.models import a2c
 from image_captioning_through_rl_tpu.server import CaptionServer
 from image_captioning_through_rl_tpu.utils.io import enable_persistent_compile_cache
 
 VOCAB, FEAT, HID, T = 1004, 512, 512, 17
-
-
-def _post(srv, payload, timeout=120):
-    req = urllib.request.Request(
-        f"http://{srv.host}:{srv.port}/caption",
-        data=json.dumps(payload).encode(),
-        headers={"Content-Type": "application/json"},
-    )
-    with urllib.request.urlopen(req, timeout=timeout) as r:
-        return json.loads(r.read())
 
 
 def main():
@@ -64,6 +53,7 @@ def main():
     srv = CaptionServer(cap, port=0, max_batch=64,
                         max_wait_ms=args.max_wait_ms)
     srv.start()
+    http = CaptionClient(f"http://{srv.host}:{srv.port}")
     t0 = time.perf_counter()
     srv.warmup(FEAT)
     print(f"warmup (all buckets compiled): {time.perf_counter()-t0:.1f}s",
@@ -76,9 +66,9 @@ def main():
         feats = rng.standard_normal((args.requests, FEAT)).astype(np.float32)
         for i in range(args.requests):
             t0 = time.perf_counter()
-            out = _post(srv, {"features": feats[i].tolist()})
+            out = http.caption(feats[i], binary=False)
             lat.append(time.perf_counter() - t0)
-            assert len(out["captions"]) == 1
+            assert len(out) == 1
         lat = np.sort(np.array(lat)) * 1e3
         print(f"\nsequential 1-row x{args.requests}: "
               f"p50 {lat[len(lat)//2]:.1f} ms  "
@@ -90,11 +80,11 @@ def main():
         done, errs = [], []
 
         def client(tid):
-            f = rng.standard_normal(FEAT).astype(np.float32).tolist()
+            f = rng.standard_normal(FEAT).astype(np.float32)
             for _ in range(args.per_thread):
                 t0 = time.perf_counter()
                 try:
-                    _post(srv, {"features": f})
+                    http.caption(f, binary=False)
                     done.append(time.perf_counter() - t0)
                 except Exception as e:  # count, don't crash the bench
                     errs.append(repr(e))
@@ -119,28 +109,18 @@ def main():
         # --- 3) bulk batch-64 over HTTP vs direct call ---
         big = rng.standard_normal((64, FEAT)).astype(np.float32)
         for _ in range(3):
-            _post(srv, {"features": big.tolist()})  # warm path
+            http.caption(big, binary=False)  # warm path
         iters = 20
         t0 = time.perf_counter()
         for _ in range(iters):
-            _post(srv, {"features": big.tolist()})
+            http.caption(big, binary=False)
         http_s = (time.perf_counter() - t0) / iters
         # binary (octet-stream) variant of the same batch
-        blob = np.ascontiguousarray(big, dtype="<f4").tobytes()
-
-        def post_bin():
-            req = urllib.request.Request(
-                f"http://{srv.host}:{srv.port}/caption", data=blob,
-                headers={"Content-Type": "application/octet-stream"},
-            )
-            with urllib.request.urlopen(req, timeout=120) as r:
-                return json.loads(r.read())
-
         for _ in range(3):
-            post_bin()
+            http.caption(big)
         t0 = time.perf_counter()
         for _ in range(iters):
-            post_bin()
+            http.caption(big)
         bin_s = (time.perf_counter() - t0) / iters
         cap.caption(big)
         t0 = time.perf_counter()

@@ -278,6 +278,14 @@ class FeatureExtractor:
 
         if compute_dtype is not None:
             vgg_params = vgg.cast_params(vgg_params, compute_dtype)
+        if mesh is not None:
+            # commit the ~0.5 GB tree to the replicated layout ONCE;
+            # extract_features' per-call replicate() then passes the
+            # already-committed tree through (a serving extractor would
+            # otherwise re-broadcast the weights every request)
+            from .parallel.sharding import replicate
+
+            vgg_params = replicate(mesh, vgg_params)
         self.vgg_params = vgg_params
         self.projection = projection
         self.compute_dtype = compute_dtype

@@ -54,6 +54,12 @@ class CaptionClient:
         feats = np.asarray(features, np.float32)
         if feats.ndim == 1:
             feats = feats[None, :]
+        if feats.ndim != 2:
+            # the binary wire format is flat rows — a 3-D array would be
+            # silently reinterpreted as N*K rows server-side, while the
+            # JSON path would 400; enforce ONE contract client-side
+            raise ValueError(f"features must be [N, F] or [F], got "
+                             f"shape {feats.shape}")
         if binary:
             headers = {"Content-Type": "application/octet-stream"}
             if beam_size:

@@ -189,11 +189,14 @@ def extract_features(params: dict, images, batch_size: int = 64,
                 "extract_features(mesh=...) shards over the chips of one "
                 "process; in a multi-host job give each process its own "
                 "file list instead of sharding a global batch")
+        # every chip needs equal rows: round the compiled batch shape up
+        # to a multiple of the data axis (a batch_size=1 serving bucket
+        # on an 8-chip mesh pads to 8 — you cannot shard 1 row 8 ways)
         data = mesh.shape["data"]
-        if batch_size % data:
-            raise ValueError(
-                f"batch_size {batch_size} must be a multiple of the "
-                f"mesh's data axis ({data}) so every chip gets equal rows")
+        batch_size = -(-batch_size // data) * data
+        # replicate() passes through trees already committed to this
+        # mesh (FeatureExtractor commits once at construction); only
+        # direct callers pay the broadcast, once per call
         params = replicate(mesh, params)
     n = images.shape[0] if hasattr(images, "shape") else len(images)
     if n == 0:
@@ -223,8 +226,6 @@ def extract_features(params: dict, images, batch_size: int = 64,
         if mesh is None:
             feats = fn(params, jnp.asarray(batch))
         else:
-            from ..parallel.sharding import shard_batch
-
             with mesh:
                 feats = fn(params, shard_batch(mesh, jnp.asarray(batch)))
         if projection is not None:

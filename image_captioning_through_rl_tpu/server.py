@@ -207,16 +207,18 @@ class CaptionServer:
                     # host core (benchmarks/bench_server.py); raw
                     # little-endian f32 rows skip all of it. Shape is
                     # implied: [N, input_dim], N from the byte count.
+                    raw = self.rfile.read(n)  # read BEFORE any 400: an
+                    # unread in-flight body + connection close can RST
+                    # away the reply (same reason the 413 path drains)
                     try:
                         beam = int(self.headers.get("X-Beam-Size", 0))
                         want = server._cap._cfg.input_dim
-                        if n == 0 or n % (4 * want):
+                        if not raw or len(raw) % (4 * want):
                             raise ValueError(
                                 f"binary body must be [N, {want}] "
-                                f"little-endian float32 rows ({n} B is "
-                                f"not a positive multiple of {4 * want})")
-                        feats = np.frombuffer(
-                            self.rfile.read(n), "<f4").reshape(-1, want)
+                                f"little-endian float32 rows ({len(raw)} B "
+                                f"is not a positive multiple of {4 * want})")
+                        feats = np.frombuffer(raw, "<f4").reshape(-1, want)
                         pixels = None
                     except Exception as e:
                         self._reply(400, {"error": f"{type(e).__name__}: {e}"})

@@ -483,6 +483,59 @@ def test_caption_client_images(image_server, rng_np, tmp_path):
     assert out[0] == out[1] == out[2]  # same pixels, same caption
 
 
+def test_spmd_extractor_small_bucket_serves(rng_np):
+    """A mesh-sharded extractor with an extraction bucket smaller than
+    the chip count must warm up and serve (the bucket rounds up to the
+    data-axis size instead of crashing at startup)."""
+    import jax.numpy as jnp
+
+    from image_captioning_through_rl_tpu.api import FeatureExtractor
+    from image_captioning_through_rl_tpu.data.pca import PCAProjection
+    from image_captioning_through_rl_tpu.models import vgg
+    from image_captioning_through_rl_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(7)
+    params = a2c.init(jax.random.PRNGKey(7), CFG)
+    cap = Captioner(params, CFG, {i: f"w{i}" for i in range(CFG.vocab_size)})
+    proj = PCAProjection(
+        mean=jnp.zeros(4096),
+        components=jnp.asarray(
+            rng.standard_normal((4096, CFG.input_dim)).astype("float32")),
+    )
+    mesh = make_mesh((8,), ("data",))
+    ext = FeatureExtractor(vgg.init(jax.random.PRNGKey(0)), projection=proj,
+                           mesh=mesh)
+    # params were committed ONCE at construction (replicate() must pass
+    # them through per call, not re-broadcast ~0.5 GB per request)
+    import jax as _jax
+    from jax.sharding import NamedSharding
+
+    for leaf in _jax.tree.leaves(ext.vgg_params):
+        assert isinstance(leaf.sharding, NamedSharding)
+    srv = CaptionServer(cap, port=0, max_wait_ms=5, extractor=ext,
+                        extract_batch=1).start()
+    try:
+        srv.warmup(CFG.input_dim, buckets=[1])  # bucket 1 < 8 chips
+        out = _post(srv, {"images_b64": [_png_b64(rng_np)]}, timeout=300)
+        assert len(out["captions"]) == 1
+    finally:
+        srv.stop()
+
+
+def test_caption_client_rejects_3d_features(server):
+    """ndim>2 must fail client-side on BOTH wire formats — the binary
+    path would otherwise silently flatten to N*K rows."""
+    from image_captioning_through_rl_tpu.client import CaptionClient
+
+    srv, _ = server
+    c = CaptionClient(f"http://{srv.host}:{srv.port}")
+    bad = np.zeros((2, 3, CFG.input_dim), np.float32)
+    with pytest.raises(ValueError, match=r"\[N, F\]"):
+        c.caption(bad)
+    with pytest.raises(ValueError, match=r"\[N, F\]"):
+        c.caption(bad, binary=False)
+
+
 def test_caption_raw_images_endpoint(image_server, rng_np):
     """POST /caption with images_b64 runs pixels -> VGG16 fc7 -> PCA ->
     decode end-to-end through the batcher."""

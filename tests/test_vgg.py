@@ -197,8 +197,13 @@ def test_mesh_sharded_extraction_matches_single_device(rng_np):
     sharded = vgg.extract_features(params, imgs, batch_size=8, mesh=mesh)
     np.testing.assert_allclose(sharded, plain, rtol=2e-5, atol=2e-5)
 
-    with pytest.raises(ValueError, match="multiple of"):
-        vgg.extract_features(params, imgs, batch_size=6, mesh=mesh)
+    # a batch size below/off the data axis rounds UP to a multiple (a
+    # 1-row serving bucket on an 8-chip mesh pads to 8 — it cannot
+    # shard 1 row 8 ways); rows still come back identical
+    small = vgg.extract_features(params, imgs, batch_size=6, mesh=mesh)
+    np.testing.assert_allclose(small, plain, rtol=2e-5, atol=2e-5)
+    one = vgg.extract_features(params, imgs[:3], batch_size=1, mesh=mesh)
+    np.testing.assert_allclose(one, plain[:3], rtol=2e-5, atol=2e-5)
 
 
 def test_mesh_sharded_extraction_rejects_multiprocess(monkeypatch):

@@ -122,41 +122,68 @@ def main(argv=None) -> None:
 
         mesh = make_mesh()
 
-    feats = vgg.extract_features(
-        params, paths, batch_size=args.batch_size, loader=load_image_batch,
+    extract_kwargs = dict(
+        batch_size=args.batch_size, loader=load_image_batch,
         progress=partial(tqdm, desc="Extracting"),
         compute_dtype=jnp.bfloat16 if args.bf16 else None, mesh=mesh,
-    ).astype(np.float32)
-
+    )
     os.makedirs(args.out_dir, exist_ok=True)
     raw_path = os.path.join(args.out_dir, f"{args.split}2014_vgg16_fc7.h5")
-    with h5py.File(raw_path, "w") as f:
-        f["features"] = feats
-    print_green(f"[Extract] wrote {raw_path}")
+    pca_path = os.path.join(args.out_dir, f"{args.split}2014_vgg16_fc7_pca.h5")
+    npz_path = os.path.join(args.out_dir, "vgg16_fc7_pca.npz")
 
-    if args.pca_components or args.pca_from:
-        npz_path = os.path.join(args.out_dir, "vgg16_fc7_pca.npz")
-        if args.pca_from:
-            proj = PCAProjection.load(args.pca_from)
-        else:
-            if os.path.exists(npz_path) and not args.pca_refit:
-                # refitting would put this split in a DIFFERENT (rotated)
-                # coordinate system than the split that wrote the npz —
-                # train/val features must share one basis
-                raise SystemExit(
-                    f"[Extract] {npz_path} already exists; pass "
-                    f"--pca_from {npz_path} so this split reuses the same "
-                    "projection (refitting would produce an incompatible "
-                    "basis), or --pca_refit to deliberately refit and "
-                    "overwrite it (or delete the npz by hand)"
-                )
-            proj = fit_pca(feats, k=args.pca_components)
-            proj.save(npz_path)
-        compact = np.asarray(proj.apply(feats))
-        pca_path = os.path.join(args.out_dir, f"{args.split}2014_vgg16_fc7_pca.h5")
+    fitting = bool(args.pca_components) and not args.pca_from
+    if fitting and os.path.exists(npz_path) and not args.pca_refit:
+        # fail BEFORE the extraction pass: refitting would put this
+        # split in a DIFFERENT (rotated) coordinate system than the
+        # split that wrote the npz — train/val must share one basis
+        raise SystemExit(
+            f"[Extract] {npz_path} already exists; pass "
+            f"--pca_from {npz_path} so this split reuses the same "
+            "projection (refitting would produce an incompatible "
+            "basis), or --pca_refit to deliberately refit and "
+            "overwrite it (or delete the npz by hand)"
+        )
+
+    if fitting:
+        # a fresh PCA fit needs the whole fc7 table at once — the one
+        # mode that materializes features in RAM
+        feats = vgg.extract_features(params, paths, **extract_kwargs
+                                     ).astype(np.float32)
+        with h5py.File(raw_path, "w") as f:
+            f["features"] = feats
+        print_green(f"[Extract] wrote {raw_path}")
+        proj = fit_pca(feats, k=args.pca_components)
+        proj.save(npz_path)
         with h5py.File(pca_path, "w") as f:
-            f["features"] = compact
+            f["features"] = np.asarray(proj.apply(feats), np.float32)
         print_green(f"[Extract] wrote {pca_path}")
+    else:
+        # stream blocks straight into the h5 tables: RAM stays bounded
+        # by the pipeline window however large the collection is
+        proj = PCAProjection.load(args.pca_from) if args.pca_from else None
+        import contextlib
+
+        with contextlib.ExitStack() as stack:
+            fraw = stack.enter_context(h5py.File(raw_path, "w"))
+            raw_d = fraw.create_dataset(
+                "features", (len(paths), 4096), dtype="f4")
+            pca_d = None
+            if proj is not None:
+                fpca = stack.enter_context(h5py.File(pca_path, "w"))
+                pca_d = fpca.create_dataset(
+                    "features",
+                    (len(paths), int(proj.components.shape[1])), dtype="f4")
+            row = 0
+            for block in vgg.iter_features(params, paths, **extract_kwargs):
+                raw_d[row : row + len(block)] = np.asarray(block, np.float32)
+                if pca_d is not None:
+                    pca_d[row : row + len(block)] = np.asarray(
+                        proj.apply(block), np.float32)
+                row += len(block)
+        print_green(f"[Extract] wrote {raw_path}")
+        if proj is not None:
+            print_green(f"[Extract] wrote {pca_path}")
 
 
 if __name__ == "__main__":

@@ -154,21 +154,17 @@ def _jitted_fc7(compute_dtype=None):
 _PIPELINE_DEPTH = 4
 
 
-def extract_features(params: dict, images, batch_size: int = 64,
-                     projection=None, loader=None, progress=None,
-                     compute_dtype=None, mesh=None) -> jax.Array:
-    """Batched jitted feature extraction over a large image collection.
-
-    ``images`` is either an image array ``[N, H, W, 3]`` or, with
-    ``loader``, any sequence whose slices ``loader`` turns into such an
-    array (e.g. file paths — the CLI's decode-on-host path). The final
-    ragged batch is padded up to ``batch_size`` by repeating its last
-    item so the conv stack compiles exactly once (a second remote VGG16
-    compile costs ~9 minutes on a tunneled chip). ``projection``
-    (optional PCA from :mod:`..data.pca`) maps fc7 to the bundle's
-    compact features. ``progress`` optionally wraps the batch iterator
-    (e.g. tqdm).
-    """
+def iter_features(params: dict, images, batch_size: int = 64,
+                  projection=None, loader=None, progress=None,
+                  compute_dtype=None, mesh=None):
+    """Streaming variant of :func:`extract_features`: yields numpy
+    feature blocks (one per batch, in input order, padding already
+    sliced off) instead of materializing the whole ``[N, dim]`` table.
+    Memory stays bounded by the pipeline window regardless of N — the
+    h5-writing CLI consumes this so million-image datasets never hold
+    their features in RAM. Same pipelining, padding, bf16, and mesh
+    semantics as :func:`extract_features` (which is this plus one
+    concatenate)."""
     import numpy as np
 
     fn = _jitted_fc7(compute_dtype)
@@ -200,9 +196,8 @@ def extract_features(params: dict, images, batch_size: int = 64,
         params = replicate(mesh, params)
     n = images.shape[0] if hasattr(images, "shape") else len(images)
     if n == 0:
-        dim = (int(projection.components.shape[1])
-               if projection is not None else 4096)
-        return np.zeros((0, dim), np.float32)
+        return iter(())
+
     # Host/device pipelining: JAX dispatch is async, so the host decodes
     # batch i+1 (the ``loader`` call — PIL work that owns the CPU) while
     # the device convolves batch i — PROVIDED nothing forces a readback
@@ -211,29 +206,62 @@ def extract_features(params: dict, images, batch_size: int = 64,
     # (bounds device-resident inputs to _PIPELINE_DEPTH batches, ~150 MB
     # at batch 64). A per-batch np.asarray here would serialize the two
     # timelines.
-    outs = []
-    pending = []  # (device feats, real row count) not yet read back
-    starts = range(0, n, batch_size)
-    if progress is not None:
-        starts = progress(starts)
-    for i in starts:
-        chunk = images[i : i + batch_size]
-        batch = np.asarray(chunk if loader is None else loader(chunk))
-        real = batch.shape[0]
-        if real < batch_size:  # pad: one compiled shape for every batch
-            pad = np.repeat(batch[-1:], batch_size - real, axis=0)
-            batch = np.concatenate([batch, pad], axis=0)
-        if mesh is None:
-            feats = fn(params, jnp.asarray(batch))
-        else:
-            with mesh:
-                feats = fn(params, shard_batch(mesh, jnp.asarray(batch)))
-        if projection is not None:
-            feats = projection.apply(feats)
-        pending.append((feats, real))
-        if len(pending) > _PIPELINE_DEPTH:
-            f, r = pending.pop(0)
-            outs.append(np.asarray(f)[:r])
-    for f, r in pending:
-        outs.append(np.asarray(f)[:r])
-    return np.concatenate(outs, axis=0)
+    def blocks():
+        pending = []  # (device feats, real row count) not yet read back
+        starts = range(0, n, batch_size)
+        if progress is not None:
+            starts = progress(starts)
+        for i in starts:
+            chunk = images[i : i + batch_size]
+            batch = np.asarray(chunk if loader is None else loader(chunk))
+            real = batch.shape[0]
+            if real < batch_size:  # pad: one compiled shape per batch
+                pad = np.repeat(batch[-1:], batch_size - real, axis=0)
+                batch = np.concatenate([batch, pad], axis=0)
+            if mesh is None:
+                feats = fn(params, jnp.asarray(batch))
+            else:
+                with mesh:
+                    feats = fn(params, shard_batch(mesh, jnp.asarray(batch)))
+            if projection is not None:
+                feats = projection.apply(feats)
+            pending.append((feats, real))
+            if len(pending) > _PIPELINE_DEPTH:
+                f, r = pending.pop(0)
+                yield np.asarray(f)[:r]
+        for f, r in pending:
+            yield np.asarray(f)[:r]
+
+    return blocks()
+
+
+def extract_features(params: dict, images, batch_size: int = 64,
+                     projection=None, loader=None, progress=None,
+                     compute_dtype=None, mesh=None):
+    """Batched jitted feature extraction over a large image collection,
+    returned as one ``[N, dim]`` array.
+
+    ``images`` is either an image array ``[N, H, W, 3]`` or, with
+    ``loader``, any sequence whose slices ``loader`` turns into such an
+    array (e.g. file paths — the CLI's decode-on-host path). The final
+    ragged batch is padded up to ``batch_size`` by repeating its last
+    item so the conv stack compiles exactly once (a second remote VGG16
+    compile costs ~9 minutes on a tunneled chip). ``projection``
+    (optional PCA from :mod:`..data.pca`) maps fc7 to the bundle's
+    compact features. ``progress`` optionally wraps the batch iterator
+    (e.g. tqdm). ``mesh`` shards batches over its ``data`` axis;
+    ``compute_dtype`` runs the stack in that dtype (see
+    :func:`features_fc7`). For collections whose feature table should
+    not live in RAM, consume :func:`iter_features` instead.
+    """
+    import numpy as np
+
+    blocks = list(iter_features(
+        params, images, batch_size=batch_size, projection=projection,
+        loader=loader, progress=progress, compute_dtype=compute_dtype,
+        mesh=mesh))
+    if not blocks:
+        dim = (int(projection.components.shape[1])
+               if projection is not None else 4096)
+        return np.zeros((0, dim), np.float32)
+    return np.concatenate(blocks, axis=0)

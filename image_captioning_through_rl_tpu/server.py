@@ -19,8 +19,13 @@ Design:
   * requests wait at most ``max_wait_ms`` for co-batching — the classic
     latency/throughput knob;
   * endpoints: ``POST /caption`` (JSON ``{"features": [[...]],
-    "beam_size": 0}`` -> ``{"captions": [...]}``), ``GET /healthz``,
-    ``GET /stats`` (request/batch/latency counters).
+    "beam_size": 0}`` or ``{"images_b64": [...]}``; dense rows can ride
+    ``application/octet-stream`` — raw little-endian f32 rows, beam
+    size in ``X-Beam-Size`` — which skips the ~40 ms/64-row JSON float
+    encode+parse tax) -> ``{"captions": [...]}``, ``GET /healthz``,
+    ``GET /stats``. Wire formats wrapped by :mod:`.client`; runbook in
+    ``docs/SERVING.md``; measured numbers in BENCHMARKS.md
+    "Serving tier".
 
 Multi-chip serving composes by constructing the
 :class:`.api.Captioner` with a mesh; the server itself is

@@ -56,6 +56,29 @@ def test_extract_spmd_matches_plain(images_dir, tmp_path):
     np.testing.assert_allclose(b, a, rtol=2e-5, atol=2e-5)
 
 
+def test_streaming_pca_from_matches_fit_run(images_dir, tmp_path):
+    """The --pca_from path streams blocks straight into both h5 tables
+    (bounded RAM); its outputs must equal the in-memory fitting run's
+    on the same images and basis."""
+    fit_out = str(tmp_path / "fit")
+    extract_main([
+        "--images_dir", images_dir, "--split", "val", "--out_dir", fit_out,
+        "--batch_size", "2", "--pca_components", "4",
+    ])
+    stream_out = str(tmp_path / "stream")
+    extract_main([
+        "--images_dir", images_dir, "--split", "val", "--out_dir", stream_out,
+        "--batch_size", "2",
+        "--pca_from", os.path.join(fit_out, "vgg16_fc7_pca.npz"),
+    ])
+    for name in ("val2014_vgg16_fc7.h5", "val2014_vgg16_fc7_pca.h5"):
+        with h5py.File(os.path.join(fit_out, name)) as f:
+            a = np.asarray(f["features"])
+        with h5py.File(os.path.join(stream_out, name)) as f:
+            b = np.asarray(f["features"])
+        np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-5)
+
+
 def test_extract_respects_file_list(images_dir, tmp_path):
     order = ["img_003.jpg", "img_000.jpg"]
     fl = tmp_path / "list.txt"

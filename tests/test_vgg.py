@@ -222,6 +222,20 @@ def test_mesh_sharded_extraction_rejects_multiprocess(monkeypatch):
             mesh=mesh)
 
 
+def test_iter_features_streams_blocks_matching_extract(rng_np):
+    """iter_features yields in-order numpy blocks whose concatenation is
+    exactly extract_features' table (padding sliced per block) — the
+    bounded-memory path the h5-writing CLI consumes."""
+    params = vgg.init(jax.random.PRNGKey(8))
+    imgs = rng_np.standard_normal((7, 32, 32, 3)).astype(np.float32)
+    blocks = list(vgg.iter_features(params, imgs, batch_size=3))
+    assert [len(b) for b in blocks] == [3, 3, 1]  # ragged tail sliced
+    assert all(isinstance(b, np.ndarray) for b in blocks)
+    whole = vgg.extract_features(params, imgs, batch_size=3)
+    np.testing.assert_allclose(np.concatenate(blocks), whole, rtol=1e-6)
+    assert list(vgg.iter_features(params, imgs[:0], batch_size=3)) == []
+
+
 def test_extract_features_empty_input():
     import jax
     import numpy as np

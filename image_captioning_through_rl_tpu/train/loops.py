@@ -47,6 +47,7 @@ from ..parallel.mesh import is_main_process
 from ..utils.logging import make_metrics_writer, print_green
 from . import checkpoint as ckpt
 from . import steps
+from .guard import check_finite
 from .optim import adam
 
 # single source of truth for the reference hyperparameter defaults: the
@@ -103,6 +104,14 @@ def _mesh_io(mesh, train_data: CocoData):
 
     return GlobalBatcher(mesh), HostCocoTables(train_data, split="train")
 
+
+
+def _diverged_path(save_paths) -> str:
+    """Post-mortem dump path for the divergence guard: next to the
+    trainer's first checkpoint path."""
+    first = (save_paths[0] if isinstance(save_paths, (list, tuple))
+             else save_paths)
+    return str(first) + ".diverged"
 
 
 class _DeferredBookkeeper:
@@ -172,6 +181,8 @@ def _drive_best_loss_training(
 
     def resolve(prev, loss_dev, epoch, minibatch_id):
         loss = float(loss_dev)
+        check_finite(loss, desc, f"epoch {epoch + 1}, minibatch {minibatch_id}",
+                     dump_tree=prev, dump_path=ckpt_path + ".diverged")
         if loss < state["best"]:
             state["best"] = loss
             if is_main_process():
@@ -208,6 +219,12 @@ def _drive_best_loss_training(
                         ckpt.save_pytree(jax.device_get(best_prev), ckpt_path)
                     for loss in jax.device_get(losses):
                         loss = float(loss)
+                        check_finite(
+                            loss, desc,
+                            f"epoch {epoch + 1}, minibatch {minibatch_id}",
+                            dump_tree=params,  # post-chunk tree (entering
+                            # weights aren't materialized in chunked mode)
+                            dump_path=ckpt_path + ".diverged")
                         if loss < state["best"]:
                             state["best"] = loss
                             bar.set_description_str(
@@ -815,6 +832,7 @@ def _drive_a2c_epoch(
                     caps_b.reshape(k, batch_size, -1),
                     jnp.int32(1 if level is None else level), jnp.stack(subs),
                 )
+                state["params"] = a2c_params  # for the divergence guard's dump
                 host_stats = jax.device_get(stats)
                 host_valid = np.asarray(valid)
                 for j in range(k):
@@ -834,6 +852,7 @@ def _drive_a2c_epoch(
                         a2c_params, opt_state, reward_params,
                         feats_b, caps_b, jnp.int32(curr), sub,
                     )
+                    state["params"] = a2c_params
                     resolve(stats, epoch, minibatch_id)
                 minibatch_id += 1
                 i = num
@@ -858,6 +877,7 @@ def _drive_a2c_epoch(
                 jnp.asarray(features), jnp.asarray(captions),
                 jnp.int32(curr), sub,
             )
+            state["params"] = a2c_params
             keeper.push(stats, epoch, minibatch_id)
         keeper.flush()
     return a2c_params, opt_state, key
@@ -932,6 +952,10 @@ def a2c_training(
 
     def resolve(stats, epoch, minibatch_id):
         loss = float(stats.loss)
+        check_finite(loss, "A2C Network",
+                     f"epoch {epoch + 1}, minibatch {minibatch_id}",
+                     dump_tree=state.get("params"),
+                     dump_path=_diverged_path(save_paths))
         if loss < state["best"]:
             state["best"] = loss
             state["bar"].set_description_str(
@@ -1042,6 +1066,10 @@ def a2c_curriculum_training(
 
         def resolve(stats, epoch, minibatch_id, level=level, state=state):
             loss = float(stats.loss)
+            check_finite(loss, f"A2C Curriculum Level {level}",
+                         f"epoch {epoch + 1}, minibatch {minibatch_id}",
+                         dump_tree=state.get("params"),
+                         dump_path=_diverged_path(save_paths))
             if loss < state["best"]:
                 state["best"] = loss
                 state["bar"].set_description_str(

@@ -260,7 +260,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--compat_batch_as_time", action="store_true", default=False,
                    help="Reference-exact batch-as-time value/reward encoders (quirk Q1)")
     p.add_argument("--resume", action="store_true", default=False,
-                   help="Resume A2C training from the last per-epoch checkpoint")
+                   help="Continue an interrupted run from its per-epoch "
+                        "full-state snapshot (weights + Adam moments + RNG "
+                        "streams + epoch/level position) bit-identically — "
+                        "covers in-flight sub-network pretraining and the "
+                        "A2C loop; falls back to weights-only for "
+                        "pre-snapshot checkpoints")
     p.add_argument("--chunk_steps", type=int, default=16,
                    help="Minibatch updates per device dispatch (jitted "
                         "scan with on-device best-loss bookkeeping); 1 "

@@ -109,6 +109,90 @@ def load_orbax(template, directory: str):
     return jax.tree.map(jnp.asarray, restored)
 
 
+# ---- full training-state snapshots (exact resume) ----
+#
+# The reference's resume story is weights-only: an interrupted A2C run
+# restarts from the per-epoch weight checkpoint with FRESH Adam moments,
+# a FRESH RNG stream and epoch 0 (trainers.py:338-370 reloads
+# sub-networks; nothing restores optimizer or sampler state). A train
+# state snapshot additionally carries the optimizer state, both RNG
+# streams (the numpy batch-sampling generator and the jax rollout key),
+# and the loop position, so a resumed run continues BIT-IDENTICALLY to
+# the uninterrupted one (tests/test_resume.py proves equality of every
+# weight, both Adam moments and the logged scalars).
+
+_TRAIN_STATE_VERSION = 1
+
+
+def _key_data(key) -> np.ndarray:
+    """Raw uint32 key data for either legacy or typed jax PRNG keys."""
+    if jnp.issubdtype(getattr(key, "dtype", None), jax.dtypes.prng_key):
+        return np.asarray(jax.random.key_data(key))
+    return np.asarray(key)
+
+
+def save_train_state(path: str, params, opt_state, key, meta: dict) -> None:
+    """Atomically snapshot the full training state.
+
+    ``meta`` must be JSON-serializable; numpy's ``Generator`` state dict
+    (``rng.bit_generator.state``) qualifies — its 128-bit PCG64 state
+    integers exceed msgpack's int range, which is why ``meta`` rides as
+    a JSON string inside the msgpack payload.
+    """
+    import json
+
+    meta = dict(meta, version=_TRAIN_STATE_VERSION)
+    payload = {
+        "params": jax.tree.map(np.asarray, params),
+        "opt_state": jax.tree.map(np.asarray, opt_state),
+        "key": _key_data(key),
+        "meta": json.dumps(meta),
+    }
+    with atomic_write(path) as f:
+        f.write(serialization.to_bytes(payload))
+
+
+def train_state_from_bytes(data: bytes, params_template, opt_state_template,
+                           meta_check=None):
+    """Parse a :func:`save_train_state` payload (split out from
+    :func:`load_train_state` so multi-host resume can broadcast the raw
+    file bytes once and parse identically on every rank).
+
+    ``meta_check(meta)`` runs BEFORE the pytrees restore, so a snapshot
+    of the wrong network raises the caller's diagnosis rather than a
+    template-structure mismatch from the deserializer.
+    """
+    import json
+
+    raw = serialization.msgpack_restore(data)
+    meta = json.loads(raw["meta"])
+    if meta.get("version") != _TRAIN_STATE_VERSION:
+        raise ValueError(
+            f"train-state version {meta.get('version')!r} is not the "
+            f"supported {_TRAIN_STATE_VERSION}")
+    if meta_check is not None:
+        meta_check(meta)
+    return {
+        "params": jax.tree.map(
+            jnp.asarray,
+            serialization.from_state_dict(params_template, raw["params"])),
+        "opt_state": jax.tree.map(
+            jnp.asarray,
+            serialization.from_state_dict(opt_state_template,
+                                          raw["opt_state"])),
+        "key": jnp.asarray(raw["key"]),
+        "meta": meta,
+    }
+
+
+def load_train_state(path: str, params_template, opt_state_template,
+                     meta_check=None):
+    with open(path, "rb") as f:
+        data = f.read()
+    return train_state_from_bytes(data, params_template, opt_state_template,
+                                  meta_check)
+
+
 def save_to_paths(params, save_paths) -> None:
     """Save to one path or a list of paths (reference save_a2c_model,
     utilities.py:286-296 — A2C saves go to both the log dir and the

@@ -106,12 +106,15 @@ def _mesh_io(mesh, train_data: CocoData):
 
 
 
-def _diverged_path(save_paths) -> str:
+def _diverged_path(save_paths) -> Optional[str]:
     """Post-mortem dump path for the divergence guard: next to the
-    trainer's first checkpoint path."""
-    first = (save_paths[0] if isinstance(save_paths, (list, tuple))
-             else save_paths)
-    return str(first) + ".diverged"
+    trainer's first checkpoint path (``None`` when the caller saves
+    nowhere — e.g. library use with ``save_paths=[]``)."""
+    if isinstance(save_paths, (list, tuple)):
+        if not save_paths:
+            return None
+        save_paths = save_paths[0]
+    return str(save_paths) + ".diverged"
 
 
 class _DeferredBookkeeper:
@@ -164,9 +167,23 @@ def _drive_best_loss_training(
     single_step,
     chunk_step=None,
     chunk_steps: int = 16,
+    train_state_path: Optional[str] = None,
+    start_epoch: int = 0,
+    resume_best: Optional[float] = None,
+    extra_state_fn=None,
 ):
     """Shared epoch driver for the three best-loss-checkpointed
     pretrainers (reference trainers.py:160-197, 225-257, 280-309).
+
+    ``train_state_path`` snapshots the full training state after every
+    epoch (weights, Adam moments, the numpy RNG, plus whatever
+    JSON-able object ``extra_state_fn()`` returns — the value trainer's
+    stdlib prefix-length stream rides there); ``start_epoch`` /
+    ``resume_best`` re-enter the loop from a restored snapshot. The Q12
+    best-weights checkpoint needs no separate restore: the file already
+    holds them, ``resume_best`` gates further saves, and a re-run of the
+    interrupted epoch deterministically re-writes anything it had
+    written. See :func:`a2c_training` for the resume semantics.
 
     ``single_step(params, opt, feats, caps) -> (params, opt, loss)``
     runs one minibatch; with ``chunk_step`` (steps.make_*_chunk_step)
@@ -177,7 +194,19 @@ def _drive_best_loss_training(
     the first minibatch attaining the global-minimum loss), but the
     host round trip is paid once per chunk instead of once per step.
     """
-    state = {"best": float("inf"), "bar": None}
+    state = {"best": float("inf") if resume_best is None else resume_best,
+             "bar": None}
+
+    def snapshot(epoch, params, opt_state):
+        if train_state_path and is_main_process():
+            ckpt.save_train_state(
+                train_state_path, params, opt_state,
+                np.zeros((2,), np.uint32),  # pretrainers hold no jax key
+                {"kind": "best_loss", "tag": tag, "epoch_done": epoch + 1,
+                 "best": state["best"],
+                 "rng_state": rng.bit_generator.state,
+                 "extra": None if extra_state_fn is None
+                 else extra_state_fn()})
 
     def resolve(prev, loss_dev, epoch, minibatch_id):
         loss = float(loss_dev)
@@ -194,7 +223,7 @@ def _drive_best_loss_training(
 
     keeper = _DeferredBookkeeper(resolve)
     use_chunks = chunk_step is not None and chunk_steps > 1 and tables is not None
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         _t_epoch = _time.perf_counter()
         if use_chunks:
             num = tables.num_captions
@@ -247,6 +276,7 @@ def _drive_best_loss_training(
             bar.close()
             _epoch_throughput(writer, tag, minibatch_id,
                               _time.perf_counter() - _t_epoch, epoch)
+            snapshot(epoch, params, opt_state)
         else:
             batches, total = _epoch_batches(train_data, batch_size, rng, tables)
             bar = tqdm(batches, total=total,
@@ -261,6 +291,7 @@ def _drive_best_loss_training(
             keeper.flush()
             _epoch_throughput(writer, tag, minibatch_id + 1,
                               _time.perf_counter() - _t_epoch, epoch)
+            snapshot(epoch, params, opt_state)
     return params
 
 
@@ -278,8 +309,15 @@ def train_reward_network(
     fused_chain=None,
     chunk_steps: int = 16,
     mesh=None,
+    resume: bool = False,
 ):
     """VSE-loss training of the reward network (trainers.py:260-309).
+
+    ``resume=True`` restores the per-epoch full-state snapshot
+    (``<ckpt>.trainstate``: weights + Adam moments + the batch-sampling
+    RNG + epoch position) and continues bit-identically to the
+    uninterrupted run; no snapshot -> fresh start (see
+    :func:`a2c_training`).
 
     ``fused_chain=None`` (auto) probes the fused Pallas GRU-chain step
     once and uses it when its loss agrees with the XLA step.
@@ -296,6 +334,10 @@ def train_reward_network(
     params = reward_mod.init(jax.random.PRNGKey(seed), cfg, train_data.embeddings)
     tx = adam(lr, params, cfg.freeze_embeddings)
     opt_state = tx.init(params)
+    train_state_path = network_paths["reward_network"] + ".trainstate"
+    params, opt_state, start_epoch, resume_best = _resume_pretrainer(
+        resume, train_state_path, "Reward Network-loss", params, opt_state,
+        rng, mesh is not None and jax.process_count() > 1)
     if compat_batch_as_time or cfg.bidirectional or mesh is not None:
         _forced_fused_conflict(fused_chain, "fused_chain",
                                "with compat/bidirectional/mesh")
@@ -331,6 +373,8 @@ def train_reward_network(
         "Training Reward Network", "Reward Network-loss",
         network_paths["reward_network"], writer, epochs, batch_size, rng,
         train_data, tables, params, opt_state, step, chunk, chunk_steps,
+        train_state_path=train_state_path, start_epoch=start_epoch,
+        resume_best=resume_best,
     )
     writer.close()
     return params
@@ -349,19 +393,25 @@ def train_policy_network(
     fused_chain=None,
     chunk_steps: int = 16,
     mesh=None,
+    resume: bool = False,
 ):
     """Teacher-forced XE pretraining of the policy (trainers.py:202-257).
 
     ``fused_chain=None`` (auto) probes the fused Pallas LSTM-chain step
     once and uses it when its loss agrees with the XLA step (TPU,
     unidirectional); ``True``/``False`` force a side. ``mesh`` scales
-    across chips/hosts (see :func:`train_reward_network`)."""
+    across chips/hosts, ``resume`` continues from the per-epoch
+    full-state snapshot (see :func:`train_reward_network`)."""
     cfg = _cfg_for(train_data, bidirectional)
     writer = make_metrics_writer(plot_dir if is_main_process() else None)
     rng = np.random.default_rng(seed + 1)
     params = policy_mod.init(jax.random.PRNGKey(seed + 1), cfg, train_data.embeddings)
     tx = adam(lr, params, cfg.freeze_embeddings)
     opt_state = tx.init(params)
+    train_state_path = network_paths["policy_network"] + ".trainstate"
+    params, opt_state, start_epoch, resume_best = _resume_pretrainer(
+        resume, train_state_path, "Policy Network-loss", params, opt_state,
+        rng, mesh is not None and jax.process_count() > 1)
     if cfg.bidirectional or mesh is not None:
         _forced_fused_conflict(fused_chain, "fused_chain",
                                "with bidirectional/mesh")
@@ -395,6 +445,8 @@ def train_policy_network(
         "Training Policy Network", "Policy Network-loss",
         network_paths["policy_network"], writer, epochs, batch_size, rng,
         train_data, tables, params, opt_state, step, chunk, chunk_steps,
+        train_state_path=train_state_path, start_epoch=start_epoch,
+        resume_best=resume_best,
     )
     writer.close()
     return params
@@ -413,10 +465,14 @@ def train_value_network(
     device_data: bool = True,
     chunk_steps: int = 16,
     mesh=None,
+    resume: bool = False,
 ):
     """MSE training of the critic against embedding rewards of greedy
     rollouts from the frozen policy (trainers.py:125-199). ``mesh``
-    scales across chips/hosts (see :func:`train_reward_network`)."""
+    scales across chips/hosts, ``resume`` continues from the per-epoch
+    full-state snapshot — including the stdlib prefix-length stream
+    ``py_rng``, which rides in the snapshot's ``extra`` slot (see
+    :func:`train_reward_network`)."""
     cfg = _cfg_for(train_data, bidirectional)
     writer = make_metrics_writer(plot_dir if is_main_process() else None)
     rng = np.random.default_rng(seed + 2)
@@ -428,6 +484,15 @@ def train_value_network(
     params = value_mod.init(jax.random.PRNGKey(seed + 2), cfg, train_data.embeddings)
     tx = adam(lr, params, cfg.freeze_embeddings)
     opt_state = tx.init(params)
+
+    def _set_py_rng(s):  # JSON round-trips tuples as lists
+        py_rng.setstate((s[0], tuple(s[1]), s[2]))
+
+    train_state_path = network_paths["value_network"] + ".trainstate"
+    params, opt_state, start_epoch, resume_best = _resume_pretrainer(
+        resume, train_state_path, "Value Network-loss", params, opt_state,
+        rng, mesh is not None and jax.process_count() > 1,
+        set_extra=_set_py_rng)
     if compat_batch_as_time or cfg.bidirectional or mesh is not None:
         fused_chain = False
     else:  # auto: probe the REAL fused value step (chain + fused rollout)
@@ -470,6 +535,9 @@ def train_value_network(
         "Training Value Network", "Value Network-loss",
         network_paths["value_network"], writer, epochs, batch_size, rng,
         train_data, tables, params, opt_state, single_step, chunk, chunk_steps,
+        train_state_path=train_state_path, start_epoch=start_epoch,
+        resume_best=resume_best,
+        extra_state_fn=lambda: list(py_rng.getstate()),
     )
     writer.close()
     return params
@@ -526,6 +594,90 @@ def _sync_load(load_fn, template_fn, multiprocess: bool):
     )
 
 
+def _load_train_state_sync(path: str, params_template, opt_state_template,
+                           multiprocess: bool, meta_check=None):
+    """Load a full train-state snapshot; missing file -> ``None`` (the
+    caller falls back to weights-only resume); parse errors raise.
+
+    Multi-host: rank 0 alone reads the file and broadcasts its RAW BYTES
+    (length first, then the padless buffer), so every rank parses an
+    identical snapshot even without a shared filesystem — same
+    every-control-path broadcast discipline as :func:`_sync_load`.
+    """
+    if not multiprocess:
+        try:
+            return ckpt.load_train_state(path, params_template,
+                                         opt_state_template, meta_check)
+        except FileNotFoundError:
+            return None
+    from jax.experimental import multihost_utils
+
+    data, code, err = None, 0, None
+    if jax.process_index() == 0:
+        try:
+            with open(path, "rb") as f:
+                data = np.frombuffer(f.read(), dtype=np.uint8)
+        except FileNotFoundError:
+            code = 2
+        except Exception as e:  # broadcast the verdict BEFORE raising
+            err, code = e, 3
+    code = int(multihost_utils.broadcast_one_to_all(np.int32(code)))
+    if code == 3:
+        raise err if err is not None else RuntimeError(
+            f"train-state load failed on rank 0: {path}")
+    if code == 2:
+        return None
+    n = int(multihost_utils.broadcast_one_to_all(
+        np.int64(0 if data is None else len(data))))
+    buf = data if jax.process_index() == 0 else np.zeros((n,), np.uint8)
+    buf = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    return ckpt.train_state_from_bytes(buf.tobytes(), params_template,
+                                       opt_state_template, meta_check)
+
+
+def _exists_sync(path: str, multiprocess: bool) -> bool:
+    """Rank-0 file existence, broadcast so every rank branches alike."""
+    if not multiprocess:
+        return _os.path.exists(path)
+    from jax.experimental import multihost_utils
+
+    bit = np.int32(_os.path.exists(path) if jax.process_index() == 0 else 0)
+    return bool(int(multihost_utils.broadcast_one_to_all(bit)))
+
+
+def _resume_pretrainer(resume: bool, train_state_path: str, tag: str,
+                       params, opt_state, rng: np.random.Generator,
+                       multiprocess: bool, set_extra=None):
+    """Restore a pretrainer's full train state (exact resume).
+
+    Returns ``(params, opt_state, start_epoch, resume_best)`` — the
+    fresh inputs unchanged when ``resume`` is off or no snapshot exists.
+    ``set_extra`` consumes the snapshot's trainer-specific RNG extra
+    (the value trainer's stdlib prefix stream).
+    """
+    if not resume:
+        return params, opt_state, 0, None
+
+    def meta_check(meta):  # pre-parse: a wrong-network snapshot must
+        # raise this diagnosis, not a template-structure mismatch
+        if meta.get("kind") != "best_loss" or meta.get("tag") != tag:
+            raise ValueError(
+                f"train-state at {train_state_path} is for "
+                f"{meta.get('tag') or meta.get('kind')!r}, not {tag!r}")
+
+    rs = _load_train_state_sync(train_state_path, params, opt_state,
+                                multiprocess, meta_check)
+    if rs is None:
+        return params, opt_state, 0, None
+    meta = rs["meta"]
+    rng.bit_generator.state = meta["rng_state"]
+    if set_extra is not None and meta.get("extra") is not None:
+        set_extra(meta["extra"])
+    print_green(f"[Training] resumed full {tag.replace('-loss', '')} train "
+                f"state (epoch {meta['epoch_done']} done)")
+    return rs["params"], rs["opt_state"], meta["epoch_done"], meta["best"]
+
+
 def _load_or_fail_sync(kind: str, path: str, cfg: NetConfig, data: CocoData,
                        bidirectional: bool, mesh) -> dict:
     """:func:`_load_or_fail` with the multi-host agreement of
@@ -560,60 +712,81 @@ def train_a2c_network(
     """Orchestrator (trainers.py:312-399): train or load the three
     sub-networks, freeze the reward net, then run (curriculum) A2C.
 
-    ``resume=True`` additionally restores the joint A2C checkpoint from
-    ``network_paths['a2c_network']`` when one exists (the loop saves it
-    every epoch), so an interrupted run continues from its last
-    completed epoch's weights instead of the pretrained sub-networks.
+    ``resume=True`` restores full per-epoch train-state snapshots at
+    every stage: an interrupted SUB-NETWORK pretraining continues
+    bit-identically (instead of the reference's silent use of the
+    half-trained best-loss checkpoint), and the A2C loop itself resumes
+    weights + Adam moments + RNG streams + epoch position from
+    ``a2cNetwork.ckpt.trainstate``. Checkpoints from before the
+    snapshots existed fall back to weights-only resume
+    (trainers.py:338-370 semantics).
 
     ``mesh`` threads through every sub-trainer and the A2C loop: one
     global data-sharded mesh over all chips/hosts (see
     :func:`train_reward_network`)."""
     cfg = _cfg_for(train_data, bidirectional)
+    multiprocess = mesh is not None and jax.process_count() > 1
 
     if retrain_all:
         print_green("[Training] Training all the networks")
-        rparams = train_reward_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed, compat_batch_as_time=compat_batch_as_time, chunk_steps=chunk_steps, mesh=mesh)
-        pparams = train_policy_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed, chunk_steps=chunk_steps, mesh=mesh)
-        vparams = train_value_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed, compat_batch_as_time=compat_batch_as_time, chunk_steps=chunk_steps, mesh=mesh)
+        rparams = train_reward_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed, compat_batch_as_time=compat_batch_as_time, chunk_steps=chunk_steps, mesh=mesh, resume=resume)
+        pparams = train_policy_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed, chunk_steps=chunk_steps, mesh=mesh, resume=resume)
+        vparams = train_value_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed, compat_batch_as_time=compat_batch_as_time, chunk_steps=chunk_steps, mesh=mesh, resume=resume)
         print_green("[Training] All networks trained")
     else:
-        # load-or-train fallback per sub-network (trainers.py:338-370)
-        try:
-            rparams = _load_or_fail_sync("reward", network_paths["reward_network"], cfg, train_data, bidirectional, mesh)
-            print("[Training] loaded reward network")
-        except FileNotFoundError:
-            print("[Training] reward network not found")
-            rparams = train_reward_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed, compat_batch_as_time=compat_batch_as_time, chunk_steps=chunk_steps, mesh=mesh)
-        try:
-            pparams = _load_or_fail_sync("policy", network_paths["policy_network"], cfg, train_data, bidirectional, mesh)
-            print("[Training] loaded policy network")
-        except FileNotFoundError:
-            print("[Training] policy network not found")
-            pparams = train_policy_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed, chunk_steps=chunk_steps, mesh=mesh)
-        try:
-            vparams = _load_or_fail_sync("value", network_paths["value_network"], cfg, train_data, bidirectional, mesh)
-            print("[Training] loaded value network")
-        except FileNotFoundError:
-            print("[Training] value network not found")
-            vparams = train_value_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed, compat_batch_as_time=compat_batch_as_time, chunk_steps=chunk_steps, mesh=mesh)
+        # load-or-train fallback per sub-network (trainers.py:338-370);
+        # with --resume, an in-flight pretraining (trainstate present)
+        # CONTINUES instead of silently reusing the partial best-loss
+        # checkpoint the reference would load here
+        def _sub(kind, train_fn):
+            path = network_paths[f"{kind}_network"]
+            if resume and _exists_sync(path + ".trainstate", multiprocess):
+                return train_fn()
+            try:
+                p = _load_or_fail_sync(kind, path, cfg, train_data,
+                                       bidirectional, mesh)
+                print(f"[Training] loaded {kind} network")
+                return p
+            except FileNotFoundError:
+                print(f"[Training] {kind} network not found")
+                return train_fn()
+
+        rparams = _sub("reward", lambda: train_reward_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed, compat_batch_as_time=compat_batch_as_time, chunk_steps=chunk_steps, mesh=mesh, resume=resume))
+        pparams = _sub("policy", lambda: train_policy_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed, chunk_steps=chunk_steps, mesh=mesh, resume=resume))
+        vparams = _sub("value", lambda: train_value_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed, compat_batch_as_time=compat_batch_as_time, chunk_steps=chunk_steps, mesh=mesh, resume=resume))
 
     a2c_params = {"value": vparams, "policy": pparams}
-    if resume:
-        try:
-            template = a2c_params
-            a2c_params = _sync_load(
-                lambda: ckpt.load_network(
-                    "a2c", network_paths["a2c_network"], template=template,
-                    bidirectional=bidirectional,
-                ),
-                lambda: template,
-                mesh is not None and jax.process_count() > 1,
-            )
-            print_green("[Training] resumed A2C weights from checkpoint")
-        except FileNotFoundError:
-            print("[Training] no A2C checkpoint to resume; starting fresh")
     tx = adam(a2c_lr, a2c_params, cfg.freeze_embeddings)  # trainers.py:378
     opt_state = tx.init(a2c_params)
+    train_state_path = network_paths["a2c_network"] + ".trainstate"
+    resume_state = None
+    if resume:
+        resume_state = _load_train_state_sync(
+            train_state_path, a2c_params, opt_state, multiprocess)
+        if resume_state is not None:
+            m = resume_state["meta"]
+            where = (f"level index {m['level_idx']}, epoch {m['epoch_done']}"
+                     if m["kind"] == "a2c_curriculum"
+                     else f"epoch {m['epoch_done']}")
+            print_green(f"[Training] resumed full A2C train state "
+                        f"({where} done) from {train_state_path}")
+        else:
+            # weights-only fallback: checkpoints written before the
+            # train-state snapshots existed (fresh Adam/RNG, epoch 0 —
+            # the reference's resume semantics, trainers.py:338-370)
+            try:
+                template = a2c_params
+                a2c_params = _sync_load(
+                    lambda: ckpt.load_network(
+                        "a2c", network_paths["a2c_network"], template=template,
+                        bidirectional=bidirectional,
+                    ),
+                    lambda: template,
+                    multiprocess,
+                )
+                print_green("[Training] resumed A2C weights from checkpoint")
+            except FileNotFoundError:
+                print("[Training] no A2C checkpoint to resume; starting fresh")
 
     print(f"[Training] train_data len = {len(train_data.train_captions)}")
     print(f"[Training] episodes = {batch_size}")
@@ -626,6 +799,7 @@ def train_a2c_network(
             all_save_paths, batch_size, epochs, seed=seed,
             compat_batch_as_time=compat_batch_as_time,
             fused_rollout=fused_rollout, chunk_steps=chunk_steps, mesh=mesh,
+            train_state_path=train_state_path, resume_state=resume_state,
         )
     else:
         curriculum = list(curriculum)
@@ -636,6 +810,7 @@ def train_a2c_network(
             all_save_paths, batch_size, epochs, curriculum, seed=seed,
             compat_batch_as_time=compat_batch_as_time,
             fused_rollout=fused_rollout, chunk_steps=chunk_steps, mesh=mesh,
+            train_state_path=train_state_path, resume_state=resume_state,
         )
 
     if is_main_process():
@@ -900,8 +1075,20 @@ def a2c_training(
     chunk_steps: int = 16,
     fused_rollout=None,
     mesh=None,
+    train_state_path: Optional[str] = None,
+    resume_state: Optional[dict] = None,
 ):
     """Core A2C loop (trainers.py:402-500).
+
+    ``train_state_path`` snapshots the FULL training state (weights,
+    Adam moments, both RNG streams, epoch position, best-loss
+    bookkeeping) after every epoch via :func:`checkpoint
+    .save_train_state`; passing the loaded snapshot back as
+    ``resume_state`` continues the run bit-identically to the
+    uninterrupted one on the same platform/kernel configuration (the
+    reference restarts with fresh optimizer state and RNG streams,
+    trainers.py:338-370). An interrupt mid-epoch loses only that
+    epoch's work.
 
     ``chunk_steps > 1`` drives that many minibatch updates per host
     dispatch (one jitted scan — steps.make_a2c_chunk_step). The host
@@ -918,6 +1105,18 @@ def a2c_training(
     writer = make_metrics_writer(plot_dir if is_main_process() else None)
     rng = np.random.default_rng(seed + 3)
     key = jax.random.PRNGKey(seed + 3)
+    start_epoch, resume_best = 0, None
+    if resume_state is not None:
+        meta = resume_state["meta"]
+        if meta.get("kind") != "a2c":
+            raise ValueError(
+                f"train-state kind {meta.get('kind')!r} cannot resume a "
+                f"plain (non-curriculum) A2C run")
+        a2c_params = resume_state["params"]
+        opt_state = resume_state["opt_state"]
+        key = resume_state["key"]
+        rng.bit_generator.state = meta["rng_state"]
+        start_epoch, resume_best = meta["epoch_done"], meta["best"]
     if compat_batch_as_time or cfg.bidirectional or mesh is not None:
         _forced_fused_conflict(fused_rollout, "--fused_rollout",
                                "with compat/bidirectional/--spmd")
@@ -948,7 +1147,8 @@ def a2c_training(
             def chunk_fn(p, o, rp, f, c, curr, subs):
                 return raw_chunk(p, o, rp, *batcher.shard_stacked(f, c), curr, subs)
 
-    state = {"best": float("inf"), "bar": None}
+    state = {"best": float("inf") if resume_best is None else resume_best,
+             "bar": None}
 
     def resolve(stats, epoch, minibatch_id):
         loss = float(stats.loss)
@@ -967,7 +1167,7 @@ def a2c_training(
 
     keeper = _DeferredBookkeeper(resolve)
     print_green("[Training] Training Advantage Actor-Critic Network")
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         _t_epoch = _time.perf_counter()
         a2c_params, opt_state, key = _drive_a2c_epoch(
             epoch=epoch,
@@ -987,6 +1187,12 @@ def a2c_training(
                           _time.perf_counter() - _t_epoch, epoch)
         if is_main_process():
             ckpt.save_to_paths(a2c_params, save_paths)  # every epoch (trainers.py:498)
+            if train_state_path:
+                ckpt.save_train_state(
+                    train_state_path, a2c_params, opt_state, key,
+                    {"kind": "a2c", "epoch_done": epoch + 1,
+                     "best": state["best"],
+                     "rng_state": rng.bit_generator.state})
     writer.close()
     return a2c_params
 
@@ -1009,6 +1215,8 @@ def a2c_curriculum_training(
     chunk_steps: int = 16,
     fused_rollout=None,
     mesh=None,
+    train_state_path: Optional[str] = None,
+    resume_state: Optional[dict] = None,
 ):
     """Curriculum A2C (trainers.py:503-616): per level, teacher-force the
     ground-truth prefix of length ``caplen - level`` and roll out the
@@ -1021,10 +1229,35 @@ def a2c_curriculum_training(
     chunk's validity mask so the logged artifacts are identical.
     ``mesh`` scales across chips/hosts exactly as in
     :func:`a2c_training`.
+
+    ``train_state_path``/``resume_state``: per-epoch full-state
+    snapshots carrying the curriculum position (level index + epoch
+    within level) for bit-identical resume across level boundaries —
+    see :func:`a2c_training`.
     """
     writer = make_metrics_writer(plot_dir if is_main_process() else None)
     rng = np.random.default_rng(seed + 4)
     key = jax.random.PRNGKey(seed + 4)
+    curriculum = list(curriculum)
+    start_level, start_epoch, resume_best = 0, 0, None
+    if resume_state is not None:
+        meta = resume_state["meta"]
+        if meta.get("kind") != "a2c_curriculum":
+            raise ValueError(
+                f"train-state kind {meta.get('kind')!r} cannot resume a "
+                f"curriculum A2C run")
+        if meta["curriculum"] != curriculum:
+            raise ValueError(
+                f"train-state curriculum {meta['curriculum']} does not "
+                f"match the requested {curriculum}")
+        a2c_params = resume_state["params"]
+        opt_state = resume_state["opt_state"]
+        key = resume_state["key"]
+        rng.bit_generator.state = meta["rng_state"]
+        start_level, start_epoch = meta["level_idx"], meta["epoch_done"]
+        resume_best = meta["best"]
+        if start_epoch >= epochs:  # resumed at a level boundary
+            start_level, start_epoch, resume_best = start_level + 1, 0, None
     if compat_batch_as_time or cfg.bidirectional or mesh is not None:
         _forced_fused_conflict(fused_rollout, "--fused_rollout",
                                "with compat/bidirectional/--spmd")
@@ -1060,9 +1293,13 @@ def a2c_curriculum_training(
 
     print_green("[Training] Training Advantage Actor-Critic Network")
     print_green(f"[Training] mode set to curriculum training using levels: {list(curriculum)}")
-    for level in curriculum:
+    for level_idx, level in enumerate(curriculum):
+        if level_idx < start_level:
+            continue  # resumed past this level
         print_green(f"[Training] Training curriculum level: {level}")
-        state = {"best": float("inf"), "bar": None}
+        state = {"best": (resume_best if level_idx == start_level
+                          and resume_best is not None else float("inf")),
+                 "bar": None}
 
         def resolve(stats, epoch, minibatch_id, level=level, state=state):
             loss = float(stats.loss)
@@ -1080,7 +1317,8 @@ def a2c_curriculum_training(
             writer.add_scalar(f"A2C Curriculum Level-{level}-mean-advantage", float(stats.mean_advantage), n)
 
         keeper = _DeferredBookkeeper(resolve)
-        for epoch in range(epochs):
+        first_epoch = start_epoch if level_idx == start_level else 0
+        for epoch in range(first_epoch, epochs):
             a2c_params, opt_state, key = _drive_a2c_epoch(
                 epoch=epoch,
                 desc=(f"Training A2C Curriculum Level {level} "
@@ -1095,6 +1333,13 @@ def a2c_curriculum_training(
             )
             if is_main_process():
                 ckpt.save_to_paths(a2c_params, save_paths)
+                if train_state_path:
+                    ckpt.save_train_state(
+                        train_state_path, a2c_params, opt_state, key,
+                        {"kind": "a2c_curriculum", "curriculum": curriculum,
+                         "level_idx": level_idx, "epoch_done": epoch + 1,
+                         "best": state["best"],
+                         "rng_state": rng.bit_generator.state})
     writer.close()
     return a2c_params
 

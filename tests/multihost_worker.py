@@ -186,6 +186,34 @@ def main() -> None:
     # hold identical row slices; each process addresses half of BOTH
     # axes). The bare policy step on the 2-D-sharded batch must
     # reproduce Part 1's 1-D losses exactly (model axis unused). ---
+    # --- Part 8: exact resume over the 2-process mesh. Rank gating means
+    # only rank 0 holds the trainstate file (each rank passes its OWN
+    # rank_dir path), so the resume load must broadcast rank-0's
+    # snapshot bytes; the resumed run's weights must equal the
+    # uninterrupted 2-epoch run bitwise on every rank. ---
+    def a2c_run(tag, epochs, resume=False):
+        ts = os.path.join(rank_dir, f"{tag}.trainstate")
+        p0 = a2c.init(jax.random.PRNGKey(0), a2c_cfg)
+        o0 = a2c_tx.init(p0)
+        rs = (loops._load_train_state_sync(ts, p0, o0, True)
+              if resume else None)
+        return loops.a2c_training(
+            data, p0, a2c_rparams, a2c_tx, o0, a2c_cfg, None,
+            [os.path.join(rank_dir, f"{tag}.ckpt")], batch_size=8,
+            epochs=epochs, seed=7, chunk_steps=2, mesh=mesh,
+            train_state_path=ts, resume_state=rs)
+
+    def leafsums_of(tree):
+        return [float(np.asarray(x, np.float64).sum())
+                for x in jax.tree.leaves(jax.device_get(tree))]
+
+    resume_full = leafsums_of(a2c_run("p8_full", 2))
+    a2c_run("p8_split", 1)
+    assert not (pid != 0 and os.path.exists(
+        os.path.join(rank_dir, "p8_split.trainstate"))), \
+        "rank gating broken: non-main rank wrote a trainstate"
+    resume_resumed = leafsums_of(a2c_run("p8_split", 2, resume=True))
+
     mesh2 = make_mesh((2 * nproc, 2), ("data", "model"))
     batcher2 = GlobalBatcher(mesh2)
     params2 = policy.init(jax.random.PRNGKey(0), cfg)
@@ -208,6 +236,8 @@ def main() -> None:
         "a2c_ckpt_written": os.path.exists(a2c_paths[1]),
         "test_model_sum": test_model_sum,
         "losses_2d": losses_2d,
+        "resume_full": resume_full,
+        "resume_resumed": resume_resumed,
     }))
 
 

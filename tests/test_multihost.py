@@ -208,6 +208,13 @@ def test_two_process_job_matches_single_process(tmp_path, monkeypatch):
     assert results[0]["a2c_ckpt_written"] is True
     assert results[1]["a2c_ckpt_written"] is False
 
+    # Part 8: exact resume across the mesh — only rank 0 holds the
+    # trainstate (its bytes broadcast), and the 1-epoch+resume run
+    # reproduces the uninterrupted 2-epoch run EXACTLY on both ranks
+    for r in results.values():
+        assert r["resume_resumed"] == r["resume_full"]
+    assert results[0]["resume_full"] == results[1]["resume_full"]
+
 
 def _single_process_eval(tmp_path):
     """The exact Part-3 eval of multihost_worker.py, single-process

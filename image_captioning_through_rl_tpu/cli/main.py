@@ -149,11 +149,16 @@ def main(args):
 
         use_test_model = bool(int(multihost_utils.broadcast_one_to_all(
             _np.int32(use_test_model))))
+    net_dims = {k: v for k, v in (("input_dim", args.input_dim),
+                                  ("wordvec_dim", args.wordvec_dim),
+                                  ("hidden_dim", args.hidden_dim))
+                if v is not None} or None
+
     if use_test_model:
         print_green("[Info] Loading A2C Network")
         a2c_params, cfg = load_a2c_models(
             args.test_model, data, network_paths, args.bidirectional,
-            mesh=mesh)  # multi-host: rank-0 load + broadcast, no local branching
+            mesh=mesh, net_dims=net_dims)  # multi-host: rank-0 load + broadcast, no local branching
         print_green("[Info] A2C Network loaded")
     else:
         curriculum = CURRICULUM_LEVELS if args.curriculum else None
@@ -176,6 +181,7 @@ def main(args):
             fused_rollout=True if args.fused_rollout else None,
             chunk_steps=args.chunk_steps,
             mesh=mesh,
+            net_dims=net_dims,
         )
         print_green("[Info] A2C Network trained")
 
@@ -274,6 +280,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="Force the fused Pallas rollout kernels for A2C training "
                         "(TPU, unidirectional; ~1.5x the XLA step). Default is "
                         "auto: probe once, use them when they verify")
+    p.add_argument("--input_dim", type=int, default=None,
+                   help="Image feature dimension (default 512 — the "
+                        "reference hard-codes this in models.py)")
+    p.add_argument("--wordvec_dim", type=int, default=None,
+                   help="Word embedding dimension (default 512; "
+                        "pretrained vectors override it)")
+    p.add_argument("--hidden_dim", type=int, default=None,
+                   help="RNN hidden dimension (default 512)")
     p.add_argument("--spmd", action="store_true", default=False,
                    help="Train and evaluate over a data-sharded mesh spanning "
                         "every device of the job — all local chips, and all "

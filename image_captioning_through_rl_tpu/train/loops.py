@@ -56,9 +56,20 @@ from .optim import adam
 _T = TrainConfig()
 
 
-def _cfg_for(data: CocoData, bidirectional: bool) -> NetConfig:
+def _cfg_for(data: CocoData, bidirectional: bool,
+             net_dims: Optional[Dict[str, int]] = None) -> NetConfig:
+    """Model config for a dataset. ``net_dims`` overrides the reference's
+    hard-coded architecture constants (models.py:17-18 buries
+    input/wordvec/hidden = 512 in module constants; here they surface as
+    config/CLI knobs per SURVEY §5). Pretrained embedding tables fix the
+    word-vector width, so a ``wordvec_dim`` override is dropped when the
+    dataset ships vectors (the CLI help documents this precedence)."""
+    net_dims = dict(net_dims or {})
+    if data.embeddings is not None:
+        net_dims.pop("wordvec_dim", None)
     return NetConfig.for_vocab(
-        data.word_to_idx, data.embeddings, bidirectional=bidirectional
+        data.word_to_idx, data.embeddings, bidirectional=bidirectional,
+        **net_dims
     )
 
 
@@ -310,6 +321,7 @@ def train_reward_network(
     chunk_steps: int = 16,
     mesh=None,
     resume: bool = False,
+    net_dims: Optional[Dict[str, int]] = None,
 ):
     """VSE-loss training of the reward network (trainers.py:260-309).
 
@@ -328,7 +340,7 @@ def train_reward_network(
     inserts the gradient all-reduce, and ``is_main_process`` gates the
     checkpoint/metric writes. The fused single-chip kernels step aside
     (GSPMD serves the mesh)."""
-    cfg = _cfg_for(train_data, bidirectional)
+    cfg = _cfg_for(train_data, bidirectional, net_dims)
     writer = make_metrics_writer(plot_dir if is_main_process() else None)
     rng = np.random.default_rng(seed)
     params = reward_mod.init(jax.random.PRNGKey(seed), cfg, train_data.embeddings)
@@ -394,6 +406,7 @@ def train_policy_network(
     chunk_steps: int = 16,
     mesh=None,
     resume: bool = False,
+    net_dims: Optional[Dict[str, int]] = None,
 ):
     """Teacher-forced XE pretraining of the policy (trainers.py:202-257).
 
@@ -402,7 +415,7 @@ def train_policy_network(
     unidirectional); ``True``/``False`` force a side. ``mesh`` scales
     across chips/hosts, ``resume`` continues from the per-epoch
     full-state snapshot (see :func:`train_reward_network`)."""
-    cfg = _cfg_for(train_data, bidirectional)
+    cfg = _cfg_for(train_data, bidirectional, net_dims)
     writer = make_metrics_writer(plot_dir if is_main_process() else None)
     rng = np.random.default_rng(seed + 1)
     params = policy_mod.init(jax.random.PRNGKey(seed + 1), cfg, train_data.embeddings)
@@ -466,6 +479,7 @@ def train_value_network(
     chunk_steps: int = 16,
     mesh=None,
     resume: bool = False,
+    net_dims: Optional[Dict[str, int]] = None,
 ):
     """MSE training of the critic against embedding rewards of greedy
     rollouts from the frozen policy (trainers.py:125-199). ``mesh``
@@ -473,7 +487,7 @@ def train_value_network(
     full-state snapshot — including the stdlib prefix-length stream
     ``py_rng``, which rides in the snapshot's ``extra`` slot (see
     :func:`train_reward_network`)."""
-    cfg = _cfg_for(train_data, bidirectional)
+    cfg = _cfg_for(train_data, bidirectional, net_dims)
     writer = make_metrics_writer(plot_dir if is_main_process() else None)
     rng = np.random.default_rng(seed + 2)
     py_rng = pyrandom.Random(seed + 2)
@@ -708,6 +722,7 @@ def train_a2c_network(
     chunk_steps: int = 16,
     a2c_lr: float = _T.a2c_lr,
     mesh=None,
+    net_dims: Optional[Dict[str, int]] = None,
 ):
     """Orchestrator (trainers.py:312-399): train or load the three
     sub-networks, freeze the reward net, then run (curriculum) A2C.
@@ -724,14 +739,14 @@ def train_a2c_network(
     ``mesh`` threads through every sub-trainer and the A2C loop: one
     global data-sharded mesh over all chips/hosts (see
     :func:`train_reward_network`)."""
-    cfg = _cfg_for(train_data, bidirectional)
+    cfg = _cfg_for(train_data, bidirectional, net_dims)
     multiprocess = mesh is not None and jax.process_count() > 1
 
     if retrain_all:
         print_green("[Training] Training all the networks")
-        rparams = train_reward_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed, compat_batch_as_time=compat_batch_as_time, chunk_steps=chunk_steps, mesh=mesh, resume=resume)
-        pparams = train_policy_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed, chunk_steps=chunk_steps, mesh=mesh, resume=resume)
-        vparams = train_value_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed, compat_batch_as_time=compat_batch_as_time, chunk_steps=chunk_steps, mesh=mesh, resume=resume)
+        rparams = train_reward_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed, compat_batch_as_time=compat_batch_as_time, chunk_steps=chunk_steps, mesh=mesh, resume=resume, net_dims=net_dims)
+        pparams = train_policy_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed, chunk_steps=chunk_steps, mesh=mesh, resume=resume, net_dims=net_dims)
+        vparams = train_value_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed, compat_batch_as_time=compat_batch_as_time, chunk_steps=chunk_steps, mesh=mesh, resume=resume, net_dims=net_dims)
         print_green("[Training] All networks trained")
     else:
         # load-or-train fallback per sub-network (trainers.py:338-370);
@@ -751,9 +766,9 @@ def train_a2c_network(
                 print(f"[Training] {kind} network not found")
                 return train_fn()
 
-        rparams = _sub("reward", lambda: train_reward_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed, compat_batch_as_time=compat_batch_as_time, chunk_steps=chunk_steps, mesh=mesh, resume=resume))
-        pparams = _sub("policy", lambda: train_policy_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed, chunk_steps=chunk_steps, mesh=mesh, resume=resume))
-        vparams = _sub("value", lambda: train_value_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed, compat_batch_as_time=compat_batch_as_time, chunk_steps=chunk_steps, mesh=mesh, resume=resume))
+        rparams = _sub("reward", lambda: train_reward_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed, compat_batch_as_time=compat_batch_as_time, chunk_steps=chunk_steps, mesh=mesh, resume=resume, net_dims=net_dims))
+        pparams = _sub("policy", lambda: train_policy_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed, chunk_steps=chunk_steps, mesh=mesh, resume=resume, net_dims=net_dims))
+        vparams = _sub("value", lambda: train_value_network(train_data, network_paths, plot_dir, bidirectional, batch_size=batch_size, seed=seed, compat_batch_as_time=compat_batch_as_time, chunk_steps=chunk_steps, mesh=mesh, resume=resume, net_dims=net_dims))
 
     a2c_params = {"value": vparams, "policy": pparams}
     tx = adam(a2c_lr, a2c_params, cfg.freeze_embeddings)  # trainers.py:378
@@ -1532,7 +1547,7 @@ def test_a2c_network(
             real_f.flush(); gen_f.flush(); url_f.flush()
 
 
-def load_a2c_models(model_path: str, train_data: CocoData, network_paths: Dict[str, str], bidirectional: bool, mesh=None):
+def load_a2c_models(model_path: str, train_data: CocoData, network_paths: Dict[str, str], bidirectional: bool, mesh=None, net_dims: Optional[Dict[str, int]] = None):
     """Load a finished A2C model for testing (utilities.py:299-323):
     policy and value nets from their own checkpoints, then the joint
     a2c checkpoint layered on top.
@@ -1541,7 +1556,7 @@ def load_a2c_models(model_path: str, train_data: CocoData, network_paths: Dict[s
     broadcasts (:func:`_sync_load`) — ranks branching on LOCAL file
     existence would disagree without a shared filesystem and hang the
     first sharded-eval collective."""
-    cfg = _cfg_for(train_data, bidirectional)
+    cfg = _cfg_for(train_data, bidirectional, net_dims)
 
     def load():
         pparams = _load_or_fail("policy", network_paths["policy_network"], cfg, train_data, bidirectional)

@@ -88,7 +88,7 @@ def test_best_loss_checkpoint_saves_pre_update_weights(tmp_path, monkeypatch):
 
     monkeypatch.setattr(
         loops, "_cfg_for",
-        lambda d, b: NC.for_vocab(d.word_to_idx, d.embeddings, bidirectional=b,
+        lambda d, b, nd=None: NC.for_vocab(d.word_to_idx, d.embeddings, bidirectional=b,
                                   input_dim=16, wordvec_dim=8, hidden_dim=8),
     )
     paths = {"policy_network": str(tmp_path / "policyNetwork.ckpt")}
@@ -206,3 +206,40 @@ def test_forced_fused_flags_error_on_incompatible_modes(tmp_path):
             epochs=1, batch_size=8, fused_chain=True,
             mesh=make_mesh((8,), ("data",)),
         )
+
+
+def test_cfg_for_net_dims_override_and_embedding_precedence():
+    """--input_dim/--wordvec_dim/--hidden_dim surface the reference's
+    hard-coded architecture constants (models.py:17-18) as config; a
+    pretrained embedding table fixes wordvec_dim (models.py:61-65), so
+    that one override is dropped when vectors ship with the data."""
+    import image_captioning_through_rl_tpu.train.loops as loops
+    from image_captioning_through_rl_tpu.data.coco import CocoData
+
+    w2i = {f"w{i}": i for i in range(10)}
+    base = dict(word_to_idx=w2i, idx_to_word={v: k for k, v in w2i.items()},
+                train_features=np.zeros((2, 64), np.float32),
+                train_captions=np.zeros((2, 17), np.int32),
+                train_captions_lens=np.full(2, 3, np.int32),
+                val_captions_lens=np.full(2, 3, np.int32),
+                train_image_idxs=np.zeros(2, np.int64),
+                val_features=np.zeros((2, 64), np.float32),
+                val_captions=np.zeros((2, 17), np.int32),
+                val_image_idxs=np.zeros(2, np.int64),
+                train_urls=np.array(["u"] * 2), val_urls=np.array(["u"] * 2))
+    data = CocoData(embeddings=None, **base)
+
+    cfg = loops._cfg_for(data, False,
+                         {"input_dim": 64, "wordvec_dim": 24, "hidden_dim": 48})
+    assert (cfg.input_dim, cfg.wordvec_dim, cfg.hidden_dim) == (64, 24, 48)
+
+    # defaults untouched when no overrides ride along
+    cfg0 = loops._cfg_for(data, False, None)
+    d = NetConfig(vocab_size=1)
+    assert (cfg0.input_dim, cfg0.wordvec_dim, cfg0.hidden_dim) == (
+        d.input_dim, d.wordvec_dim, d.hidden_dim)
+
+    # pretrained vectors win over a conflicting --wordvec_dim
+    data_emb = CocoData(embeddings=np.zeros((10, 32), np.float32), **base)
+    cfg2 = loops._cfg_for(data_emb, False, {"wordvec_dim": 24, "hidden_dim": 48})
+    assert cfg2.wordvec_dim == 32 and cfg2.hidden_dim == 48

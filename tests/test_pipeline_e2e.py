@@ -46,7 +46,7 @@ def test_full_pipeline_train_test_score_reload(coco_dir, tmp_path, monkeypatch):
     import image_captioning_through_rl_tpu.train.loops as loops
     from image_captioning_through_rl_tpu.config import NetConfig
 
-    def tiny_cfg(data, bidirectional):
+    def tiny_cfg(data, bidirectional, net_dims=None):
         return NetConfig.for_vocab(
             data.word_to_idx, data.embeddings, bidirectional=bidirectional,
             input_dim=32, wordvec_dim=16, hidden_dim=16,
@@ -108,7 +108,7 @@ def test_curriculum_pipeline(coco_dir, tmp_path, monkeypatch):
     import image_captioning_through_rl_tpu.train.loops as loops
     from image_captioning_through_rl_tpu.config import NetConfig
 
-    def tiny_cfg(data, bidirectional):
+    def tiny_cfg(data, bidirectional, net_dims=None):
         return NetConfig.for_vocab(
             data.word_to_idx, data.embeddings, bidirectional=bidirectional,
             input_dim=32, wordvec_dim=16, hidden_dim=16,
@@ -157,7 +157,7 @@ def test_spmd_pipeline(coco_dir, tmp_path, monkeypatch):
     import image_captioning_through_rl_tpu.train.loops as loops
     from image_captioning_through_rl_tpu.config import NetConfig
 
-    def tiny_cfg(data, bidirectional):
+    def tiny_cfg(data, bidirectional, net_dims=None):
         return NetConfig.for_vocab(
             data.word_to_idx, data.embeddings, bidirectional=bidirectional,
             input_dim=32, wordvec_dim=16, hidden_dim=16,

@@ -57,7 +57,7 @@ def test_step_timing_meter_opt_in(tmp_path, monkeypatch):
 
     monkeypatch.setattr(
         loops, "_cfg_for",
-        lambda d, b: NC.for_vocab(d.word_to_idx, d.embeddings, bidirectional=b,
+        lambda d, b, nd=None: NC.for_vocab(d.word_to_idx, d.embeddings, bidirectional=b,
                                   input_dim=16, wordvec_dim=8, hidden_dim=8),
     )
     fixture = make_synthetic_coco(str(tmp_path / "coco"), num_train_images=4,

@@ -69,7 +69,7 @@ def main(argv=None) -> None:
 
     from ..data.pca import PCAProjection, fit_pca
     from ..models import vgg
-    from ..utils.io import enable_persistent_compile_cache
+    from ..utils.io import atomic_path, enable_persistent_compile_cache
     from ..utils.logging import print_green
 
     enable_persistent_compile_cache()
@@ -150,13 +150,15 @@ def main(argv=None) -> None:
         # mode that materializes features in RAM
         feats = vgg.extract_features(params, paths, **extract_kwargs
                                      ).astype(np.float32)
-        with h5py.File(raw_path, "w") as f:
-            f["features"] = feats
+        with atomic_path(raw_path) as tmp:
+            with h5py.File(tmp, "w") as f:
+                f["features"] = feats
         print_green(f"[Extract] wrote {raw_path}")
         proj = fit_pca(feats, k=args.pca_components)
         proj.save(npz_path)
-        with h5py.File(pca_path, "w") as f:
-            f["features"] = np.asarray(proj.apply(feats), np.float32)
+        with atomic_path(pca_path) as tmp:
+            with h5py.File(tmp, "w") as f:
+                f["features"] = np.asarray(proj.apply(feats), np.float32)
         print_green(f"[Extract] wrote {pca_path}")
     else:
         # stream blocks straight into the h5 tables: RAM stays bounded
@@ -165,12 +167,17 @@ def main(argv=None) -> None:
         import contextlib
 
         with contextlib.ExitStack() as stack:
-            fraw = stack.enter_context(h5py.File(raw_path, "w"))
+            # atomic_path enters FIRST so the h5 handle closes before
+            # the publish rename (ExitStack unwinds in reverse); a
+            # crash mid-stream publishes nothing
+            raw_tmp = stack.enter_context(atomic_path(raw_path))
+            fraw = stack.enter_context(h5py.File(raw_tmp, "w"))
             raw_d = fraw.create_dataset(
                 "features", (len(paths), 4096), dtype="f4")
             pca_d = None
             if proj is not None:
-                fpca = stack.enter_context(h5py.File(pca_path, "w"))
+                pca_tmp = stack.enter_context(atomic_path(pca_path))
+                fpca = stack.enter_context(h5py.File(pca_tmp, "w"))
                 pca_d = fpca.create_dataset(
                     "features",
                     (len(paths), int(proj.components.shape[1])), dtype="f4")

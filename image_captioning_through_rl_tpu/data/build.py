@@ -37,7 +37,7 @@ from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 import numpy as np
 
 from .. import END_ID, MAX_SEQ_LEN, NULL_ID, START_ID, UNK_ID
-from ..utils.io import atomic_write
+from ..utils.io import atomic_path, atomic_write
 
 SPECIAL_TOKENS = ("<NULL>", "<START>", "<END>", "<UNK>")
 
@@ -208,11 +208,14 @@ def build_bundle(
                         truncate, va_files, va_urls)
 
     os.makedirs(out_dir, exist_ok=True)
-    with h5py.File(os.path.join(out_dir, "coco2014_captions.h5"), "w") as f:
-        f["train_captions"] = train.captions
-        f["train_image_idxs"] = train.image_idxs
-        f["val_captions"] = val.captions
-        f["val_image_idxs"] = val.image_idxs
+    # atomic publish: a crash mid-build must not leave a truncated h5
+    # next to a stale-but-valid vocab from a previous run
+    with atomic_path(os.path.join(out_dir, "coco2014_captions.h5")) as tmp:
+        with h5py.File(tmp, "w") as f:
+            f["train_captions"] = train.captions
+            f["train_image_idxs"] = train.image_idxs
+            f["val_captions"] = val.captions
+            f["val_image_idxs"] = val.image_idxs
 
     idx_to_word = [None] * len(word_to_idx)
     for w, i in word_to_idx.items():

@@ -124,11 +124,20 @@ def load_orbax(template, directory: str):
 _TRAIN_STATE_VERSION = 1
 
 
-def _key_data(key) -> np.ndarray:
-    """Raw uint32 key data for either legacy or typed jax PRNG keys."""
+def _key_data(key):
+    """``(raw uint32 data, impl name or None)`` for either legacy or
+    typed jax PRNG keys — the impl name rides in the payload so restore
+    can re-wrap symmetrically (a typed key restored as bare uint32 data
+    would break ``jax.random.split`` in the resumed loop)."""
     if jnp.issubdtype(getattr(key, "dtype", None), jax.dtypes.prng_key):
-        return np.asarray(jax.random.key_data(key))
-    return np.asarray(key)
+        return (np.asarray(jax.random.key_data(key)),
+                str(jax.random.key_impl(key)))
+    return np.asarray(key), None
+
+
+def _restore_key(data, impl):
+    k = jnp.asarray(data)
+    return jax.random.wrap_key_data(k, impl=impl) if impl else k
 
 
 def save_train_state(path: str, params, opt_state, key, meta: dict) -> None:
@@ -141,11 +150,12 @@ def save_train_state(path: str, params, opt_state, key, meta: dict) -> None:
     """
     import json
 
-    meta = dict(meta, version=_TRAIN_STATE_VERSION)
+    key_data, key_impl = _key_data(key)
+    meta = dict(meta, version=_TRAIN_STATE_VERSION, key_impl=key_impl)
     payload = {
         "params": jax.tree.map(np.asarray, params),
         "opt_state": jax.tree.map(np.asarray, opt_state),
-        "key": _key_data(key),
+        "key": key_data,
         "meta": json.dumps(meta),
     }
     with atomic_write(path) as f:
@@ -172,6 +182,7 @@ def train_state_from_bytes(data: bytes, params_template, opt_state_template,
             f"supported {_TRAIN_STATE_VERSION}")
     if meta_check is not None:
         meta_check(meta)
+    _check_state_shapes(params_template, raw["params"])
     return {
         "params": jax.tree.map(
             jnp.asarray,
@@ -180,9 +191,36 @@ def train_state_from_bytes(data: bytes, params_template, opt_state_template,
             jnp.asarray,
             serialization.from_state_dict(opt_state_template,
                                           raw["opt_state"])),
-        "key": jnp.asarray(raw["key"]),
+        "key": _restore_key(raw["key"], meta.get("key_impl")),
         "meta": meta,
     }
+
+
+def _check_state_shapes(template, restored) -> None:
+    """Raise a clear architecture diagnosis when a snapshot's param
+    shapes disagree with the run's config (``from_state_dict`` copies
+    without shape checks, so e.g. ``--resume --hidden_dim 256`` against
+    a 512-dim snapshot would otherwise restore wrong-shaped params and
+    fail opaquely deep in jit tracing)."""
+    tmpl = serialization.to_state_dict(template)
+
+    def walk(t, r, path):
+        if isinstance(t, dict):
+            for k in t:
+                if isinstance(r, dict) and k in r:
+                    walk(t[k], r[k], path + (k,))
+            return
+        ts, rs = np.shape(t), np.shape(r)
+        if ts != rs:
+            name = "/".join(path)
+            raise ValueError(
+                f"train-state param {name!r} has shape {rs}, but this "
+                f"run's architecture expects {ts} — the snapshot was "
+                f"taken with different network dims (check --input_dim/"
+                f"--wordvec_dim/--hidden_dim/--bidirectional and the "
+                f"vocabulary)")
+
+    walk(tmpl, restored, ())
 
 
 def load_train_state(path: str, params_template, opt_state_template,

@@ -30,7 +30,10 @@ class TrainingDiverged(RuntimeError):
 
 
 def guard_enabled() -> bool:
-    return not os.environ.get(_ENV_DISABLE)
+    # "0"/""/unset keep the guard armed — only an affirmative value
+    # disables it (a wrapper exporting ICRL_NO_NAN_GUARD=0 must not
+    # silently turn the guard OFF).
+    return os.environ.get(_ENV_DISABLE, "0").lower() in ("", "0", "false", "no")
 
 
 def check_finite(

@@ -755,6 +755,11 @@ def train_a2c_network(
         # checkpoint the reference would load here
         def _sub(kind, train_fn):
             path = network_paths[f"{kind}_network"]
+            # the exists probe costs one int32 broadcast at startup; the
+            # full snapshot is still read/broadcast once (inside
+            # train_fn's _resume_pretrainer). If the file vanishes
+            # between probe and load, the trainer falls back to
+            # training from scratch — safe.
             if resume and _exists_sync(path + ".trainstate", multiprocess):
                 return train_fn()
             try:

@@ -45,6 +45,30 @@ def atomic_write(path: str):
         raise
 
 
+@_contextlib.contextmanager
+def atomic_path(path: str):
+    """Like :func:`atomic_write`, but yields a temp *path* instead of an
+    open handle, for writers that need a filename (h5py, np.savez).
+    Same contract: unique temp in the target dir, umask-governed mode,
+    ``os.replace`` publish, nothing published on error."""
+    import tempfile
+
+    d = os.path.dirname(path) or "."
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, prefix=os.path.basename(path) + ".tmp.")
+    os.close(fd)
+    try:
+        yield tmp
+        os.chmod(tmp, 0o666 & ~UMASK)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
 def enable_persistent_compile_cache() -> None:
     """Point JAX at a persistent compilation cache so repeated CLI runs
     skip recompiles (a VGG16 conv compile costs minutes on a

@@ -81,7 +81,7 @@ def main() -> None:
     from image_captioning_through_rl_tpu.config import NetConfig as NC
     from image_captioning_through_rl_tpu.data import load_data, make_synthetic_coco
 
-    loops._cfg_for = lambda d, b: NC.for_vocab(
+    loops._cfg_for = lambda d, b, nd=None: NC.for_vocab(
         d.word_to_idx, d.embeddings, bidirectional=b,
         input_dim=16, wordvec_dim=8, hidden_dim=8,
     )

@@ -234,7 +234,7 @@ def test_raw_coco_to_trained_captioner_e2e(tmp_path, monkeypatch):
     from image_captioning_through_rl_tpu.cli.main import build_arg_parser, main
     from image_captioning_through_rl_tpu.config import NetConfig
 
-    def tiny_cfg(data, bidirectional):
+    def tiny_cfg(data, bidirectional, net_dims=None):
         return NetConfig.for_vocab(
             data.word_to_idx, data.embeddings, bidirectional=bidirectional,
             input_dim=4, wordvec_dim=8, hidden_dim=8,

@@ -120,7 +120,7 @@ def _mini_cfg(monkeypatch):
 
     monkeypatch.setattr(
         loops, "_cfg_for",
-        lambda d, b: NetConfig.for_vocab(
+        lambda d, b, nd=None: NetConfig.for_vocab(
             d.word_to_idx, d.embeddings, bidirectional=b,
             input_dim=16, wordvec_dim=8, hidden_dim=8),
     )

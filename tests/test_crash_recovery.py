@@ -48,7 +48,10 @@ def test_cli_sigkill_resume(tmp_path):
         str(tmp_path / "coco"), num_train_images=24, num_val_images=8,
         captions_per_image=2, vocab_size=30, feature_dim=32, seed=9)
     env = _env()
-    epochs = 30  # enough A2C epochs that the kill lands mid-run
+    epochs = 10  # enough A2C epochs that the kill lands mid-run
+    # (the SIGKILL fires as soon as the FIRST a2c snapshot appears, so
+    # any epoch count that keeps the process alive past epoch 1 works;
+    # 10 keeps the three CLI runs ~3x cheaper than 30 in the suite)
 
     # --- uninterrupted oracle run ---
     mp_a = str(tmp_path / "mpA")

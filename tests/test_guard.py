@@ -34,6 +34,15 @@ def test_check_finite_env_escape_hatch(monkeypatch):
     check_finite(float("nan"), "X", "here")  # reference behavior: no raise
 
 
+@pytest.mark.parametrize("val", ["0", "", "false", "no"])
+def test_guard_stays_armed_on_falsy_env(monkeypatch, val):
+    """ICRL_NO_NAN_GUARD=0 (a wrapper's 'do not disable') must keep the
+    guard ON — only an affirmative value disables it."""
+    monkeypatch.setenv("ICRL_NO_NAN_GUARD", val)
+    with pytest.raises(TrainingDiverged):
+        check_finite(float("nan"), "X", "here")
+
+
 def test_check_finite_dumps_weights(tmp_path):
     tree = {"w": jnp.arange(4.0)}
     path = str(tmp_path / "net.ckpt.diverged")

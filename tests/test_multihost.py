@@ -74,7 +74,7 @@ def _single_process_trainer(tmp_path, monkeypatch):
 
     monkeypatch.setattr(
         loops, "_cfg_for",
-        lambda d, b: NC.for_vocab(d.word_to_idx, d.embeddings, bidirectional=b,
+        lambda d, b, nd=None: NC.for_vocab(d.word_to_idx, d.embeddings, bidirectional=b,
                                   input_dim=16, wordvec_dim=8, hidden_dim=8),
     )
     fixture = make_synthetic_coco(str(tmp_path / "coco_ref"), num_train_images=8,
@@ -255,7 +255,7 @@ def test_mesh_trainer_single_process_matches_plain(tmp_path, monkeypatch):
 
     monkeypatch.setattr(
         loops, "_cfg_for",
-        lambda d, b: NC.for_vocab(d.word_to_idx, d.embeddings, bidirectional=b,
+        lambda d, b, nd=None: NC.for_vocab(d.word_to_idx, d.embeddings, bidirectional=b,
                                   input_dim=16, wordvec_dim=8, hidden_dim=8),
     )
     fixture = make_synthetic_coco(str(tmp_path / "coco"), num_train_images=8,
@@ -326,7 +326,7 @@ def test_mesh_trainer_bidirectional_runs(tmp_path, monkeypatch):
 
     monkeypatch.setattr(
         loops, "_cfg_for",
-        lambda d, b: NC.for_vocab(d.word_to_idx, d.embeddings, bidirectional=b,
+        lambda d, b, nd=None: NC.for_vocab(d.word_to_idx, d.embeddings, bidirectional=b,
                                   input_dim=16, wordvec_dim=8, hidden_dim=8),
     )
     fixture = make_synthetic_coco(str(tmp_path / "coco"), num_train_images=4,
@@ -421,7 +421,7 @@ def test_mesh_value_trainer_single_process_matches_plain(tmp_path, monkeypatch):
     from image_captioning_through_rl_tpu.train import checkpoint as ckpt
 
     cfg = NC(vocab_size=30, input_dim=16, wordvec_dim=8, hidden_dim=8)
-    monkeypatch.setattr(loops, "_cfg_for", lambda d, b: cfg)
+    monkeypatch.setattr(loops, "_cfg_for", lambda d, b, nd=None: cfg)
     fixture = make_synthetic_coco(str(tmp_path / "coco"), num_train_images=8,
                                   num_val_images=4, vocab_size=30, feature_dim=16,
                                   seed=6)

@@ -86,6 +86,42 @@ def test_train_state_version_gate(tmp_path, monkeypatch):
         ckpt.load_train_state(path, params, opt_state)
 
 
+def test_train_state_typed_key_roundtrip(tmp_path):
+    """A typed jax PRNG key restores as a TYPED key (wrap_key_data with
+    the saved impl), not bare uint32 data — jax.random.split on the
+    restored key must work in the resumed loop."""
+    params, _, tx, opt_state = _fresh()
+    key = jax.random.split(jax.random.key(3))[0]  # typed (new-style)
+    path = str(tmp_path / "a2c.trainstate")
+    ckpt.save_train_state(path, params, opt_state, key,
+                          {"kind": "a2c", "epoch_done": 1})
+    got = ckpt.load_train_state(path, params, opt_state)
+    assert jnp.issubdtype(got["key"].dtype, jax.dtypes.prng_key)
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(got["key"])),
+        np.asarray(jax.random.key_data(key)))
+    # and the resumed stream continues identically
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(jax.random.split(got["key"]))),
+        np.asarray(jax.random.key_data(jax.random.split(key))))
+
+
+def test_train_state_rejects_wrong_architecture(tmp_path):
+    """Resuming with different net dims raises a clear architecture
+    diagnosis instead of silently restoring wrong-shaped params
+    (from_state_dict copies without shape checks)."""
+    params, _, tx, opt_state = _fresh()
+    path = str(tmp_path / "a2c.trainstate")
+    ckpt.save_train_state(path, params, opt_state, jax.random.PRNGKey(0),
+                          {"kind": "a2c", "epoch_done": 1})
+    big = NetConfig(vocab_size=VOCAB, input_dim=10, wordvec_dim=12,
+                    hidden_dim=28, max_seq_len=9)
+    p_t = a2c.init(jax.random.PRNGKey(1), big)
+    o_t = tx.init(p_t)
+    with pytest.raises(ValueError, match="architecture"):
+        ckpt.load_train_state(path, p_t, o_t)
+
+
 # ---- plain A2C: bit-identical resume ----
 
 
@@ -214,7 +250,7 @@ def test_curriculum_rejects_mismatched_levels(data, tmp_path):
 
 def test_train_a2c_network_resume_roundtrip(data, tmp_path, capsys,
                                             monkeypatch):
-    monkeypatch.setattr(loops, "_cfg_for", lambda d, b: CFG)
+    monkeypatch.setattr(loops, "_cfg_for", lambda d, b, nd=None: CFG)
     paths = {k: str(tmp_path / f"{k}.ckpt")
              for k in ("reward_network", "policy_network", "value_network",
                        "a2c_network")}
@@ -249,7 +285,7 @@ def test_train_a2c_network_resume_roundtrip(data, tmp_path, capsys,
 
 def test_train_a2c_network_weights_only_fallback(data, tmp_path, capsys,
                                                  monkeypatch):
-    monkeypatch.setattr(loops, "_cfg_for", lambda d, b: CFG)
+    monkeypatch.setattr(loops, "_cfg_for", lambda d, b, nd=None: CFG)
     paths = {k: str(tmp_path / f"{k}.ckpt")
              for k in ("reward_network", "policy_network", "value_network",
                        "a2c_network")}
@@ -283,7 +319,7 @@ def _run_policy(data, tmp_path, epochs, resume=False, tag="p"):
 
 
 def test_policy_pretrainer_resume_bit_identical(data, tmp_path, monkeypatch):
-    monkeypatch.setattr(loops, "_cfg_for", lambda d, b: CFG)
+    monkeypatch.setattr(loops, "_cfg_for", lambda d, b, nd=None: CFG)
     full = _run_policy(data, tmp_path, epochs=3, tag="pfull")
     _run_policy(data, tmp_path, epochs=1, tag="psplit")
     resumed = _run_policy(data, tmp_path, epochs=3, resume=True, tag="psplit")
@@ -292,7 +328,7 @@ def test_policy_pretrainer_resume_bit_identical(data, tmp_path, monkeypatch):
 
 def test_policy_pretrainer_chunked_resume(data, tmp_path, monkeypatch):
     """Same through the chunked-dispatch path (the default)."""
-    monkeypatch.setattr(loops, "_cfg_for", lambda d, b: CFG)
+    monkeypatch.setattr(loops, "_cfg_for", lambda d, b, nd=None: CFG)
 
     def run(epochs, resume=False, tag="pc"):
         paths = {"policy_network": str(tmp_path / f"{tag}.ckpt")}
@@ -309,7 +345,7 @@ def test_policy_pretrainer_chunked_resume(data, tmp_path, monkeypatch):
 def test_value_pretrainer_resume_restores_py_rng(data, tmp_path, monkeypatch):
     """The value trainer's stdlib prefix-length stream rides in the
     snapshot's extra slot; resume must continue it mid-stream."""
-    monkeypatch.setattr(loops, "_cfg_for", lambda d, b: CFG)
+    monkeypatch.setattr(loops, "_cfg_for", lambda d, b, nd=None: CFG)
     from image_captioning_through_rl_tpu.models import policy as pol
 
     def paths_for(tag):
@@ -336,7 +372,7 @@ def test_value_pretrainer_resume_restores_py_rng(data, tmp_path, monkeypatch):
 
 def test_pretrainer_resume_without_snapshot_is_fresh(data, tmp_path,
                                                      monkeypatch):
-    monkeypatch.setattr(loops, "_cfg_for", lambda d, b: CFG)
+    monkeypatch.setattr(loops, "_cfg_for", lambda d, b, nd=None: CFG)
     a = _run_policy(data, tmp_path, epochs=1, tag="nf")
     os.remove(str(tmp_path / "nf.ckpt.trainstate"))
     b = _run_policy(data, tmp_path, epochs=1, resume=True, tag="nf2")
@@ -344,7 +380,7 @@ def test_pretrainer_resume_without_snapshot_is_fresh(data, tmp_path,
 
 
 def test_pretrainer_rejects_wrong_tag(data, tmp_path, monkeypatch):
-    monkeypatch.setattr(loops, "_cfg_for", lambda d, b: CFG)
+    monkeypatch.setattr(loops, "_cfg_for", lambda d, b, nd=None: CFG)
     _run_policy(data, tmp_path, epochs=1, tag="wt")
     os.rename(str(tmp_path / "wt.ckpt.trainstate"),
               str(tmp_path / "wt2.ckpt.trainstate"))

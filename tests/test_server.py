@@ -182,7 +182,7 @@ def test_server_cli_main_serves_from_checkpoints(tmp_path, rng_np, monkeypatch):
     ckpt.save_pytree({"policy": pp, "value": vp}, str(pre / "a2cNetwork.ckpt"))
 
     # the module's load path needs the fixture-dim cfg (CLI-test pattern)
-    monkeypatch.setattr(loops, "_cfg_for", lambda d, b: cfg)
+    monkeypatch.setattr(loops, "_cfg_for", lambda d, b, nd=None: cfg)
     srv = server_mod.main([
         "--model", str(pre / "a2cNetwork.ckpt"),
         "--pretrained_path", str(pre),
@@ -231,7 +231,7 @@ def test_server_cli_forwards_vgg_bf16(tmp_path, monkeypatch):
     ckpt.save_pytree(pp, str(pre / "policyNetwork.ckpt"))
     ckpt.save_pytree(vp, str(pre / "valueNetwork.ckpt"))
     ckpt.save_pytree({"policy": pp, "value": vp}, str(pre / "a2cNetwork.ckpt"))
-    monkeypatch.setattr(loops, "_cfg_for", lambda d, b: cfg)
+    monkeypatch.setattr(loops, "_cfg_for", lambda d, b, nd=None: cfg)
 
     seen = {}
 

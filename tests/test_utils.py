@@ -112,3 +112,32 @@ def test_atomic_write_contract(tmp_path):
         pass
     # no temp or partial file published
     assert sorted(x.name for x in (tmp_path / "sub").iterdir()) == ["out.bin"]
+
+
+def test_atomic_path_contract(tmp_path):
+    """The path-yielding variant (for h5py/np.savez writers) shares the
+    atomic_write contract: complete publish, umask perms, nothing left
+    behind on error."""
+    import os
+    import stat
+
+    from image_captioning_through_rl_tpu.utils.io import UMASK, atomic_path
+
+    p = tmp_path / "sub" / "out.h5"
+    with atomic_path(str(p)) as tmp:
+        with open(tmp, "wb") as f:
+            f.write(b"h5payload")
+    assert p.read_bytes() == b"h5payload"
+    assert stat.S_IMODE(os.stat(p).st_mode) == 0o666 & ~UMASK
+
+    class Boom(Exception):
+        pass
+
+    try:
+        with atomic_path(str(tmp_path / "sub" / "bad.h5")) as tmp:
+            with open(tmp, "wb") as f:
+                f.write(b"partial")
+            raise Boom()
+    except Boom:
+        pass
+    assert sorted(x.name for x in (tmp_path / "sub").iterdir()) == ["out.h5"]

@@ -102,9 +102,36 @@ def setup(args):
     return log_dir, save_paths, image_caption_data, network_paths
 
 
+def _record_run_config(args, log_dir: str) -> None:
+    """Write the RESOLVED flag set to ``<log_dir>/run_config.json`` so
+    every run carries replayable provenance: pass the file back via
+    ``--config`` to reproduce the run (explicit flags still win). The
+    reference records nothing about a run's configuration beyond what
+    the log-dir name encodes (SURVEY §5 config: argparse + buried
+    constants).
+
+    ``--test_model`` eval runs reuse the ORIGINAL run's log dir
+    (setup's reference-inherited rule above), so they record to
+    ``eval_config.json`` instead — the training run's provenance must
+    survive later evaluations of its checkpoint."""
+    import json
+
+    from ..parallel import is_main_process
+    from ..utils.io import atomic_write
+
+    if not is_main_process():
+        return
+    reused_dir = os.path.isdir(os.path.split(args.test_model)[0])
+    name = "eval_config.json" if reused_dir else "run_config.json"
+    resolved = {k: v for k, v in sorted(vars(args).items()) if k != "config"}
+    with atomic_write(os.path.join(log_dir, name)) as f:
+        f.write(json.dumps(resolved, indent=2).encode() + b"\n")
+
+
 def main(args):
     log_dir, save_paths, image_caption_data, network_paths = setup(args)
     print_green(f"[Info] Saving Logs in dir: {log_dir}")
+    _record_run_config(args, log_dir)
 
     max_train = None if args.training_size == 0 else args.training_size
     print_green(f"[Info] Loading COCO dataset {max_train or ''}")
@@ -295,8 +322,57 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "parallel.mesh.maybe_init_distributed). Each process "
                         "uploads only its shard of every batch; process 0 "
                         "writes the logs/checkpoints")
+    p.add_argument("--config", type=str, default="",
+                   help="JSON file of flag values used as DEFAULTS (explicit "
+                        "command-line flags still win). Every run writes its "
+                        "resolved flags to <log_dir>/run_config.json, which "
+                        "replays through this option")
     return p
 
 
+def parse_args_with_config(parser: argparse.ArgumentParser, argv=None):
+    """Parse ``argv`` honoring ``--config``: the JSON file's values are
+    installed as parser defaults before the real parse, so precedence is
+    command line > config file > built-in defaults. Unknown keys and
+    mistyped values fail fast with the offending key named."""
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--config", type=str, default="")
+    ns, _ = pre.parse_known_args(argv)
+    if ns.config:
+        import json
+
+        with open(ns.config) as f:
+            try:
+                cfg = json.load(f)
+            except json.JSONDecodeError as e:
+                parser.error(f"--config {ns.config}: not valid JSON ({e})")
+        if not isinstance(cfg, dict):
+            parser.error(f"--config {ns.config}: expected a JSON object of "
+                         f"flag values, got {type(cfg).__name__}")
+        by_dest = {a.dest: a for a in parser._actions}
+        for key, val in cfg.items():
+            act = by_dest.get(key)
+            if act is None or key in ("help", "config"):
+                parser.error(f"--config {ns.config}: unknown key {key!r} "
+                             f"(run --help for the flag list)")
+            if isinstance(act, (argparse._StoreTrueAction,
+                                argparse._StoreFalseAction)):
+                if not isinstance(val, bool):
+                    parser.error(f"--config {ns.config}: key {key!r} must be "
+                                 f"a JSON boolean, got {val!r}")
+            elif act.type is not None and val is not None:
+                try:
+                    cfg[key] = act.type(val)
+                except (TypeError, ValueError):
+                    parser.error(f"--config {ns.config}: key {key!r}: "
+                                 f"{val!r} is not a valid "
+                                 f"{getattr(act.type, '__name__', act.type)}")
+            if act.choices is not None and cfg[key] not in act.choices:
+                parser.error(f"--config {ns.config}: key {key!r}: "
+                             f"{cfg[key]!r} not in {sorted(act.choices)}")
+        parser.set_defaults(**cfg)
+    return parser.parse_args(argv)
+
+
 def run() -> None:
-    main(build_arg_parser().parse_args())
+    main(parse_args_with_config(build_arg_parser()))

@@ -66,6 +66,10 @@ def test_full_pipeline_train_test_score_reload(coco_dir, tmp_path, monkeypatch):
     assert "image_url.txt" in files
     assert "results.txt" in files
     assert "a2cNetwork.ckpt" in files
+    # run provenance: the resolved flag set rides with the artifacts
+    import json as _json
+    with open(os.path.join(log_dir, "run_config.json")) as f:
+        assert _json.load(f)["epochs"] == 1
     with open(os.path.join(log_dir, "results.txt")) as f:
         results = f.read()
     assert "Bleu_1" in results and "CIDEr" in results

@@ -20,25 +20,43 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def timed(fn, iters=20, warmup=10):
+def _sync(out):
     # sync with a TINY dependent-slice readback: the tunnel reads back
     # at ~50 MB/s, so np.asarray of a [32768,2048] output would swamp
     # the compute being measured by ~1000x
-    def sync(out):
-        np.asarray(jax.tree.leaves(out)[0][:1, :1])
+    np.asarray(jax.tree.leaves(out)[0][:1, :1])
 
+
+def _window_ms(fn, iters):
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    _sync(out)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def _calibrate(fn, iters=20, warmup=10):
     for _ in range(warmup):
         out = fn()
-    sync(out)
+    _sync(out)
     while True:
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn()
-        sync(out)
-        dt = time.perf_counter() - t0
+        dt = _window_ms(fn, iters) * iters / 1e3
         if dt >= 0.5 or iters >= 4096:
-            return dt / iters * 1e3
+            return iters
         iters = min(4096, max(iters * 2, int(iters * 0.6 / max(dt, 1e-3)) + 1))
+
+
+def timed_round_robin(variants, rounds=5):
+    """CLAUDE.md A/B protocol: one process, interleaved round-robin
+    windows, per-variant MINIMUM — a drift spike during one variant's
+    window cannot flip the verdict. ``variants``: {name: fn}. Returns
+    {name: ms}."""
+    iters = {name: _calibrate(fn) for name, fn in variants.items()}
+    best = {name: float("inf") for name in variants}
+    for _ in range(rounds):
+        for name, fn in variants.items():
+            best[name] = min(best[name], _window_ms(fn, iters[name]))
+    return best
 
 
 def dot_i8(a, b):
@@ -80,13 +98,15 @@ def main():
         f_qdot = jax.jit(quant_dot)
 
         gf = 2 * m * k * n / 1e9
-        t16 = timed(lambda: f_bf16(a16, b16))
-        t8 = timed(lambda: f_i8(a8, b8))
-        tq = timed(lambda: f_qdot(af, b8, bscale))
+        t = timed_round_robin({
+            "bf16": lambda: f_bf16(a16, b16),
+            "int8": lambda: f_i8(a8, b8),
+            "qdot": lambda: f_qdot(af, b8, bscale),
+        })
         print(f"{name}: [{m},{k}]x[{k},{n}]  {gf:.1f} GF")
-        print(f"  bf16            : {t16:7.3f} ms  {gf / t16 * 1e3:7.0f} GF/s")
-        print(f"  int8 (static)   : {t8:7.3f} ms  {gf / t8 * 1e3:7.0f} GF/s")
-        print(f"  int8 + dyn quant: {tq:7.3f} ms  {gf / tq * 1e3:7.0f} GF/s")
+        print(f"  bf16            : {t['bf16']:7.3f} ms  {gf / t['bf16'] * 1e3:7.0f} GF/s")
+        print(f"  int8 (static)   : {t['int8']:7.3f} ms  {gf / t['int8'] * 1e3:7.0f} GF/s")
+        print(f"  int8 + dyn quant: {t['qdot']:7.3f} ms  {gf / t['qdot'] * 1e3:7.0f} GF/s")
 
 
 if __name__ == "__main__":

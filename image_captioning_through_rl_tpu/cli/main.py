@@ -257,15 +257,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="A2C training epochs")
     p.add_argument("--batch_size", type=int, default=512,
                    help="Episodes per A2C update (also the pretraining minibatch size)")
-    p.add_argument("--retrain", action="store_true", default=False,
+    p.add_argument("--retrain", action=argparse.BooleanOptionalAction, default=False,
                    help="Train the reward, policy and value sub-networks from "
                         "scratch instead of loading their checkpoints")
-    p.add_argument("--postprocess", action="store_true", default=False,
+    p.add_argument("--postprocess", action=argparse.BooleanOptionalAction, default=False,
                    help="After scoring, rank caption pairs, save the top five and "
                         "fetch their source images")
-    p.add_argument("--curriculum", action="store_true", default=False,
+    p.add_argument("--curriculum", action=argparse.BooleanOptionalAction, default=False,
                    help="Run the staged-rollout (curriculum) variant of A2C training")
-    p.add_argument("--bidirectional", action="store_true", default=False,
+    p.add_argument("--bidirectional", action=argparse.BooleanOptionalAction, default=False,
                    help="Build every recurrent encoder bidirectionally")
     p.add_argument("--test_model", type=str, default="",
                    help="Path to a finished A2C checkpoint to evaluate instead of "
@@ -284,15 +284,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
     # TPU-framework additions
     p.add_argument("--data_dir", type=str, default=BASE_DIR, help="Dataset directory")
     p.add_argument("--seed", type=int, default=0, help="Global RNG seed")
-    p.add_argument("--faithful_beam", action="store_true", default=False,
+    p.add_argument("--faithful_beam", action=argparse.BooleanOptionalAction, default=False,
                    help="Reference-exact decoding: batch-mean shared beam (Q2) "
                         "with stateful value encoding threaded through eval (Q1)")
-    p.add_argument("--compat_dump", action="store_true", default=False,
+    p.add_argument("--compat_dump", action=argparse.BooleanOptionalAction, default=False,
                    help="Write caption dumps with the reference's merged slice "
                         "boundaries (no trailing newline per slice, quirk Q13)")
-    p.add_argument("--compat_batch_as_time", action="store_true", default=False,
+    p.add_argument("--compat_batch_as_time", action=argparse.BooleanOptionalAction, default=False,
                    help="Reference-exact batch-as-time value/reward encoders (quirk Q1)")
-    p.add_argument("--resume", action="store_true", default=False,
+    p.add_argument("--resume", action=argparse.BooleanOptionalAction, default=False,
                    help="Continue an interrupted run from its per-epoch "
                         "full-state snapshot (weights + Adam moments + RNG "
                         "streams + epoch/level position) bit-identically — "
@@ -303,7 +303,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="Minibatch updates per device dispatch (jitted "
                         "scan with on-device best-loss bookkeeping); 1 "
                         "restores per-step dispatch")
-    p.add_argument("--fused_rollout", action="store_true", default=False,
+    p.add_argument("--fused_rollout", action=argparse.BooleanOptionalAction, default=False,
                    help="Force the fused Pallas rollout kernels for A2C training "
                         "(TPU, unidirectional; ~1.5x the XLA step). Default is "
                         "auto: probe once, use them when they verify")
@@ -315,7 +315,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "pretrained vectors override it)")
     p.add_argument("--hidden_dim", type=int, default=None,
                    help="RNN hidden dimension (default 512)")
-    p.add_argument("--spmd", action="store_true", default=False,
+    p.add_argument("--spmd", action=argparse.BooleanOptionalAction, default=False,
                    help="Train and evaluate over a data-sharded mesh spanning "
                         "every device of the job — all local chips, and all "
                         "hosts when the multi-host launch env is set (see "
@@ -355,7 +355,8 @@ def parse_args_with_config(parser: argparse.ArgumentParser, argv=None):
             if act is None or key in ("help", "config"):
                 parser.error(f"--config {ns.config}: unknown key {key!r} "
                              f"(run --help for the flag list)")
-            if isinstance(act, (argparse._StoreTrueAction,
+            if isinstance(act, (argparse.BooleanOptionalAction,
+                                argparse._StoreTrueAction,
                                 argparse._StoreFalseAction)):
                 if not isinstance(val, bool):
                     parser.error(f"--config {ns.config}: key {key!r} must be "

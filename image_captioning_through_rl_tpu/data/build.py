@@ -75,6 +75,10 @@ def build_vocab(
             if c >= min_count and w not in SPECIAL_TOKENS]
     kept.sort(key=lambda w: (-counts[w], first[w]))
     if max_words is not None:
+        if max_words < 0:
+            # kept[:negative] would silently DROP the |max_words| rarest
+            # words and keep the rest — the opposite of the cap
+            raise ValueError(f"max_words must be >= 0, got {max_words}")
         kept = kept[:max_words]
     vocab = {w: i for i, w in enumerate(SPECIAL_TOKENS)}
     for w in kept:
@@ -109,6 +113,7 @@ class SplitBuild:
     file_names: List[str]  # feature-extraction order (sorted image id)
     urls: List[str]
     n_dropped: int  # captions over length (when not truncating)
+    n_empty: int = 0  # captions that tokenized to zero words (dropped)
 
 
 def _parse_split(
@@ -151,9 +156,16 @@ def _encode_split(
     file_names: List[str],
     urls: List[str],
 ) -> SplitBuild:
-    rows, idxs, dropped = [], [], 0
+    rows, idxs, dropped, empty = [], [], 0, 0
     body = max_len - 2
     for toks, img_row in zip(token_lists, image_rows):
+        if not toks:
+            # punctuation/whitespace-only captions exist in the real
+            # annotation files; a contentless <START><END> row would
+            # silently enter training (and caplen=2 confuses the
+            # curriculum windows) — drop and count it
+            empty += 1
+            continue
         if len(toks) > body:
             if not truncate:
                 dropped += 1
@@ -174,6 +186,7 @@ def _encode_split(
         file_names=file_names,
         urls=urls,
         n_dropped=dropped,
+        n_empty=empty,
     )
 
 
@@ -239,4 +252,6 @@ def build_bundle(
         "val_images": len(val.file_names),
         "train_dropped": train.n_dropped,
         "val_dropped": val.n_dropped,
+        "train_empty": train.n_empty,
+        "val_empty": val.n_empty,
     }

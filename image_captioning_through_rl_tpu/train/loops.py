@@ -44,7 +44,7 @@ from ..models import reward as reward_mod
 from ..models import value as value_mod
 from ..utils.io import append_results, global_minibatch_number
 from ..parallel.mesh import is_main_process
-from ..utils.logging import make_metrics_writer, print_green
+from ..utils.logging import make_metrics_writer, print_green, print_red
 from . import checkpoint as ckpt
 from . import steps
 from .guard import check_finite
@@ -182,6 +182,7 @@ def _drive_best_loss_training(
     start_epoch: int = 0,
     resume_best: Optional[float] = None,
     extra_state_fn=None,
+    fused_used: Optional[bool] = None,
 ):
     """Shared epoch driver for the three best-loss-checkpointed
     pretrainers (reference trainers.py:160-197, 225-257, 280-309).
@@ -216,6 +217,10 @@ def _drive_best_loss_training(
                 {"kind": "best_loss", "tag": tag, "epoch_done": epoch + 1,
                  "best": state["best"],
                  "rng_state": rng.bit_generator.state,
+                 # the probed kernel choice: resume pins it so a
+                 # weight-dependent re-probe can't flip compilers
+                 # mid-run (see _resume_pin_fused)
+                 "fused": fused_used,
                  "extra": None if extra_state_fn is None
                  else extra_state_fn()})
 
@@ -347,19 +352,30 @@ def train_reward_network(
     tx = adam(lr, params, cfg.freeze_embeddings)
     opt_state = tx.init(params)
     train_state_path = network_paths["reward_network"] + ".trainstate"
-    params, opt_state, start_epoch, resume_best = _resume_pretrainer(
-        resume, train_state_path, "Reward Network-loss", params, opt_state,
-        rng, mesh is not None and jax.process_count() > 1)
+    params, opt_state, start_epoch, resume_best, resume_fused = \
+        _resume_pretrainer(
+            resume, train_state_path, "Reward Network-loss", params,
+            opt_state, rng, mesh is not None and jax.process_count() > 1)
+    if start_epoch >= epochs and mesh is None:
+        # already complete: skip the kernel probe + step compilation
+        print_green(f"[Training] Reward Network already trained "
+                    f"({start_epoch}/{epochs} epochs) — nothing to resume")
+        writer.close()
+        return params
     if compat_batch_as_time or cfg.bidirectional or mesh is not None:
         _forced_fused_conflict(fused_chain, "fused_chain",
                                "with compat/bidirectional/mesh")
         fused_chain = False
     elif fused_chain is None:
-        fused_chain = _probe_fused_pair(
-            lambda p, f, c: steps.reward_loss_fused(p, cfg, f, c),
-            lambda p, f, c: steps.reward_loss(p, cfg, f, c), cfg, params)
-        print_green(f"[Training] fused GRU-chain kernels "
-                    f"{'verified — Pallas VSE step' if fused_chain else 'unavailable — XLA VSE step'}")
+        fused_chain = _resume_pin_fused(
+            resume_fused,
+            lambda: _probe_fused_pair(
+                lambda p, f, c: steps.reward_loss_fused(p, cfg, f, c),
+                lambda p, f, c: steps.reward_loss(p, cfg, f, c), cfg, params),
+            "VSE step",
+            announce=lambda f: print_green(
+                f"[Training] fused GRU-chain kernels "
+                f"{'verified — Pallas VSE step' if f else 'unavailable — XLA VSE step'}"))
     step = steps.make_reward_step(cfg, tx, compat=compat_batch_as_time, fused=fused_chain)
     chunk = None
     if mesh is not None:
@@ -386,7 +402,7 @@ def train_reward_network(
         network_paths["reward_network"], writer, epochs, batch_size, rng,
         train_data, tables, params, opt_state, step, chunk, chunk_steps,
         train_state_path=train_state_path, start_epoch=start_epoch,
-        resume_best=resume_best,
+        resume_best=resume_best, fused_used=fused_chain,
     )
     writer.close()
     return params
@@ -422,17 +438,25 @@ def train_policy_network(
     tx = adam(lr, params, cfg.freeze_embeddings)
     opt_state = tx.init(params)
     train_state_path = network_paths["policy_network"] + ".trainstate"
-    params, opt_state, start_epoch, resume_best = _resume_pretrainer(
-        resume, train_state_path, "Policy Network-loss", params, opt_state,
-        rng, mesh is not None and jax.process_count() > 1)
+    params, opt_state, start_epoch, resume_best, resume_fused = \
+        _resume_pretrainer(
+            resume, train_state_path, "Policy Network-loss", params,
+            opt_state, rng, mesh is not None and jax.process_count() > 1)
+    if start_epoch >= epochs and mesh is None:
+        print_green(f"[Training] Policy Network already trained "
+                    f"({start_epoch}/{epochs} epochs) — nothing to resume")
+        writer.close()
+        return params
     if cfg.bidirectional or mesh is not None:
         _forced_fused_conflict(fused_chain, "fused_chain",
                                "with bidirectional/mesh")
         fused_chain = False
     elif fused_chain is None:
-        fused_chain = _probe_fused_policy(cfg, params)
-        print_green(f"[Training] fused LSTM-chain kernels "
-                    f"{'verified — Pallas XE step' if fused_chain else 'unavailable — XLA XE step'}")
+        fused_chain = _resume_pin_fused(
+            resume_fused, lambda: _probe_fused_policy(cfg, params), "XE step",
+            announce=lambda f: print_green(
+                f"[Training] fused LSTM-chain kernels "
+                f"{'verified — Pallas XE step' if f else 'unavailable — XLA XE step'}"))
     step = steps.make_policy_step(cfg, tx, fused=fused_chain)
     chunk = None
     if mesh is not None:
@@ -459,7 +483,7 @@ def train_policy_network(
         network_paths["policy_network"], writer, epochs, batch_size, rng,
         train_data, tables, params, opt_state, step, chunk, chunk_steps,
         train_state_path=train_state_path, start_epoch=start_epoch,
-        resume_best=resume_best,
+        resume_best=resume_best, fused_used=fused_chain,
     )
     writer.close()
     return params
@@ -503,16 +527,26 @@ def train_value_network(
         py_rng.setstate((s[0], tuple(s[1]), s[2]))
 
     train_state_path = network_paths["value_network"] + ".trainstate"
-    params, opt_state, start_epoch, resume_best = _resume_pretrainer(
-        resume, train_state_path, "Value Network-loss", params, opt_state,
-        rng, mesh is not None and jax.process_count() > 1,
-        set_extra=_set_py_rng)
+    params, opt_state, start_epoch, resume_best, resume_fused = \
+        _resume_pretrainer(
+            resume, train_state_path, "Value Network-loss", params, opt_state,
+            rng, mesh is not None and jax.process_count() > 1,
+            set_extra=_set_py_rng)
+    if start_epoch >= epochs and mesh is None:
+        print_green(f"[Training] Value Network already trained "
+                    f"({start_epoch}/{epochs} epochs) — nothing to resume")
+        writer.close()
+        return params
     if compat_batch_as_time or cfg.bidirectional or mesh is not None:
         fused_chain = False
     else:  # auto: probe the REAL fused value step (chain + fused rollout)
-        fused_chain = _probe_fused_value(cfg, params, pparams, rparams)
-        print_green(f"[Training] fused value-step kernels "
-                    f"{'verified — Pallas value step' if fused_chain else 'unavailable — XLA value step'}")
+        fused_chain = _resume_pin_fused(
+            resume_fused,
+            lambda: _probe_fused_value(cfg, params, pparams, rparams),
+            "value step",
+            announce=lambda f: print_green(
+                f"[Training] fused value-step kernels "
+                f"{'verified — Pallas value step' if f else 'unavailable — XLA value step'}"))
     step = steps.make_value_step(cfg, tx, compat=compat_batch_as_time, fused=fused_chain)
     batcher = None
     if mesh is not None:
@@ -550,7 +584,7 @@ def train_value_network(
         network_paths["value_network"], writer, epochs, batch_size, rng,
         train_data, tables, params, opt_state, single_step, chunk, chunk_steps,
         train_state_path=train_state_path, start_epoch=start_epoch,
-        resume_best=resume_best,
+        resume_best=resume_best, fused_used=fused_chain,
         extra_state_fn=lambda: list(py_rng.getstate()),
     )
     writer.close()
@@ -664,13 +698,15 @@ def _resume_pretrainer(resume: bool, train_state_path: str, tag: str,
                        multiprocess: bool, set_extra=None):
     """Restore a pretrainer's full train state (exact resume).
 
-    Returns ``(params, opt_state, start_epoch, resume_best)`` — the
-    fresh inputs unchanged when ``resume`` is off or no snapshot exists.
-    ``set_extra`` consumes the snapshot's trainer-specific RNG extra
-    (the value trainer's stdlib prefix stream).
+    Returns ``(params, opt_state, start_epoch, resume_best,
+    resume_fused)`` — the fresh inputs unchanged (and ``resume_fused``
+    None) when ``resume`` is off or no snapshot exists. ``set_extra``
+    consumes the snapshot's trainer-specific RNG extra (the value
+    trainer's stdlib prefix stream); ``resume_fused`` is the original
+    run's probed kernel choice (see :func:`_resume_pin_fused`).
     """
     if not resume:
-        return params, opt_state, 0, None
+        return params, opt_state, 0, None, None
 
     def meta_check(meta):  # pre-parse: a wrong-network snapshot must
         # raise this diagnosis, not a template-structure mismatch
@@ -682,14 +718,44 @@ def _resume_pretrainer(resume: bool, train_state_path: str, tag: str,
     rs = _load_train_state_sync(train_state_path, params, opt_state,
                                 multiprocess, meta_check)
     if rs is None:
-        return params, opt_state, 0, None
+        return params, opt_state, 0, None, None
     meta = rs["meta"]
     rng.bit_generator.state = meta["rng_state"]
     if set_extra is not None and meta.get("extra") is not None:
         set_extra(meta["extra"])
     print_green(f"[Training] resumed full {tag.replace('-loss', '')} train "
                 f"state (epoch {meta['epoch_done']} done)")
-    return rs["params"], rs["opt_state"], meta["epoch_done"], meta["best"]
+    return (rs["params"], rs["opt_state"], meta["epoch_done"], meta["best"],
+            meta.get("fused"))
+
+
+def _resume_pin_fused(resume_fused, probe_fn, what: str,
+                      announce=None) -> bool:
+    """Kernel choice for an auto (``fused=None``) trainer honoring a
+    resumed snapshot's recorded choice.
+
+    The Pallas and XLA steps round bf16 accumulations in different
+    orders, so flipping compilers mid-run breaks the bit-identical
+    resume contract. The original run's probe verdict is weight-
+    dependent (trained weights can verify where random init did not),
+    so re-probing on resume could silently flip: a recorded False pins
+    the XLA step WITHOUT probing; a recorded True still probes — the
+    verify canary must pass on THIS machine — and warns loudly if the
+    kernels no longer verify. Fresh runs (``resume_fused`` None,
+    including pre-pinning snapshots) just probe."""
+    if resume_fused is False:
+        print_green(f"[Training] resumed snapshot pins the XLA {what} "
+                    f"(kernel choice recorded by the original run)")
+        return False
+    fused = probe_fn()
+    if announce is not None:
+        announce(fused)
+    if resume_fused is True and not fused:
+        print_red(f"[Training] WARNING: the interrupted run trained with "
+                  f"the fused Pallas {what}, but the kernels do not verify "
+                  f"on this machine — continuing with the XLA step; the "
+                  f"continuation is NOT bit-identical to the original run")
+    return fused
 
 
 def _load_or_fail_sync(kind: str, path: str, cfg: NetConfig, data: CocoData,
@@ -1125,7 +1191,7 @@ def a2c_training(
     writer = make_metrics_writer(plot_dir if is_main_process() else None)
     rng = np.random.default_rng(seed + 3)
     key = jax.random.PRNGKey(seed + 3)
-    start_epoch, resume_best = 0, None
+    start_epoch, resume_best, resume_fused = 0, None, None
     if resume_state is not None:
         meta = resume_state["meta"]
         if meta.get("kind") != "a2c":
@@ -1137,14 +1203,24 @@ def a2c_training(
         key = resume_state["key"]
         rng.bit_generator.state = meta["rng_state"]
         start_epoch, resume_best = meta["epoch_done"], meta["best"]
+        resume_fused = meta.get("fused")
+    if start_epoch >= epochs and mesh is None:
+        print_green(f"[Training] A2C Network already trained "
+                    f"({start_epoch}/{epochs} epochs) — nothing to resume")
+        writer.close()
+        return a2c_params
     if compat_batch_as_time or cfg.bidirectional or mesh is not None:
         _forced_fused_conflict(fused_rollout, "--fused_rollout",
                                "with compat/bidirectional/--spmd")
         fused_rollout = False
     elif fused_rollout is None:  # auto: fused kernels when they verify
-        fused_rollout = _probe_fused_rollout(cfg, a2c_params, reward_params)
-        print_green(f"[Training] fused rollout kernels "
-                    f"{'verified — training with Pallas rollout' if fused_rollout else 'unavailable — XLA rollout'}")
+        fused_rollout = _resume_pin_fused(
+            resume_fused,
+            lambda: _probe_fused_rollout(cfg, a2c_params, reward_params),
+            "rollout",
+            announce=lambda f: print_green(
+                f"[Training] fused rollout kernels "
+                f"{'verified — training with Pallas rollout' if f else 'unavailable — XLA rollout'}"))
     step = steps.make_a2c_step(cfg, tx, per_step_mean=False, compat=compat_batch_as_time,
                                donate=True, fused=fused_rollout)
     batcher = None
@@ -1212,6 +1288,7 @@ def a2c_training(
                     train_state_path, a2c_params, opt_state, key,
                     {"kind": "a2c", "epoch_done": epoch + 1,
                      "best": state["best"],
+                     "fused": fused_rollout,
                      "rng_state": rng.bit_generator.state})
     writer.close()
     return a2c_params
@@ -1259,7 +1336,7 @@ def a2c_curriculum_training(
     rng = np.random.default_rng(seed + 4)
     key = jax.random.PRNGKey(seed + 4)
     curriculum = list(curriculum)
-    start_level, start_epoch, resume_best = 0, 0, None
+    start_level, start_epoch, resume_best, resume_fused = 0, 0, None, None
     if resume_state is not None:
         meta = resume_state["meta"]
         if meta.get("kind") != "a2c_curriculum":
@@ -1276,18 +1353,27 @@ def a2c_curriculum_training(
         rng.bit_generator.state = meta["rng_state"]
         start_level, start_epoch = meta["level_idx"], meta["epoch_done"]
         resume_best = meta["best"]
+        resume_fused = meta.get("fused")
         if start_epoch >= epochs:  # resumed at a level boundary
             start_level, start_epoch, resume_best = start_level + 1, 0, None
+    if start_level >= len(curriculum) and mesh is None:
+        print_green(f"[Training] curriculum already complete "
+                    f"({len(curriculum)} levels) — nothing to resume")
+        writer.close()
+        return a2c_params
     if compat_batch_as_time or cfg.bidirectional or mesh is not None:
         _forced_fused_conflict(fused_rollout, "--fused_rollout",
                                "with compat/bidirectional/--spmd")
         fused_rollout = False
     elif fused_rollout is None:  # auto: fused kernels when they verify
-        fused_rollout = _probe_fused_rollout(
-            cfg, a2c_params, reward_params, per_step_mean=True, curriculum=True
-        )
-        print_green(f"[Training] fused rollout kernels "
-                    f"{'verified — training with Pallas rollout' if fused_rollout else 'unavailable — XLA rollout'}")
+        fused_rollout = _resume_pin_fused(
+            resume_fused,
+            lambda: _probe_fused_rollout(cfg, a2c_params, reward_params,
+                                         per_step_mean=True, curriculum=True),
+            "rollout",
+            announce=lambda f: print_green(
+                f"[Training] fused rollout kernels "
+                f"{'verified — training with Pallas rollout' if f else 'unavailable — XLA rollout'}"))
     step = steps.make_a2c_step(cfg, tx, per_step_mean=True, compat=compat_batch_as_time,
                                donate=True, fused=fused_rollout)
     batcher = None
@@ -1359,6 +1445,7 @@ def a2c_curriculum_training(
                         {"kind": "a2c_curriculum", "curriculum": curriculum,
                          "level_idx": level_idx, "epoch_done": epoch + 1,
                          "best": state["best"],
+                         "fused": fused_rollout,
                          "rng_state": rng.bit_generator.state})
     writer.close()
     return a2c_params

@@ -169,6 +169,31 @@ def test_truncate_mode_keeps_overlength(tmp_path):
     assert row[0] == START_ID and row[MAX_SEQ_LEN - 1] == END_ID
 
 
+def test_negative_max_words_rejected():
+    """kept[:negative] would keep everything BUT the rarest N words —
+    the opposite of the documented cap; reject it loudly."""
+    with pytest.raises(ValueError, match="max_words"):
+        build_vocab([["a", "b", "c"]], max_words=-2)
+
+
+def test_empty_caption_dropped_and_counted(tmp_path):
+    """Punctuation/whitespace-only captions (real COCO has them) must
+    not become contentless <START><END> rows."""
+    ann = _fake_annotations("train", 1, [
+        (0, "a cat sits"), (0, "..."), (0, "  !! ")])
+    va = _fake_annotations("val", 1, [(0, "a cat")])
+    tr_p, va_p = tmp_path / "tr.json", tmp_path / "va.json"
+    tr_p.write_text(json.dumps(ann))
+    va_p.write_text(json.dumps(va))
+    stats = build_bundle(str(tr_p), str(va_p), str(tmp_path / "b"),
+                         min_count=1)
+    assert stats["train_captions"] == 1
+    assert stats["train_empty"] == 2 and stats["val_empty"] == 0
+    with h5py.File(str(tmp_path / "b" / "coco2014_captions.h5")) as f:
+        rows = np.asarray(f["train_captions"])
+    assert rows.shape[0] == 1 and rows[0][1] != END_ID  # real body
+
+
 def test_unknown_image_id_raises(tmp_path):
     ann = _fake_annotations("train", 1, [(0, "a cat")])
     ann["annotations"][0]["image_id"] = 999

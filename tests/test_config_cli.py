@@ -35,6 +35,17 @@ def test_config_sets_defaults_cli_wins(tmp_path):
     assert ns.epochs == 2 and ns.batch_size == 16
 
 
+def test_config_true_boolean_overridable_with_no_flag(tmp_path):
+    """A config file setting a boolean true must still lose to an
+    explicit command-line negation (--no-curriculum etc.) — every
+    boolean on the main parser is a BooleanOptionalAction for exactly
+    this."""
+    cfg = _write_cfg(tmp_path, {"curriculum": True, "resume": True})
+    ns = parse_args_with_config(build_arg_parser(),
+                                ["--config", cfg, "--no-curriculum"])
+    assert ns.curriculum is False and ns.resume is True
+
+
 def test_config_unknown_key_rejected(tmp_path):
     cfg = _write_cfg(tmp_path, {"epocs": 7})
     with pytest.raises(SystemExit):

@@ -391,3 +391,101 @@ def test_pretrainer_rejects_wrong_tag(data, tmp_path, monkeypatch):
         loops.train_reward_network(
             data, paths, None, False, epochs=1, batch_size=6, seed=2,
             chunk_steps=1, resume=True)
+
+
+# ---- kernel-choice pinning + completed-run early exit ----
+
+
+def test_snapshot_records_kernel_choice(data, tmp_path, monkeypatch):
+    """Per-epoch snapshots carry the probed fused-kernel verdict so a
+    resume can pin it (the probe is weight-dependent — re-probing on
+    trained weights could flip compilers mid-run)."""
+    monkeypatch.setattr(loops, "_cfg_for", lambda d, b, nd=None: CFG)
+    _run_policy(data, tmp_path, epochs=1, tag="kc")
+    params, _, tx, opt_state = _fresh()
+    # raw read via the public loader (CPU runs record fused=False)
+    got = ckpt.load_train_state(
+        str(tmp_path / "kc.ckpt.trainstate"),
+        loops.policy_mod.init(jax.random.PRNGKey(0), CFG),
+        tx.init(loops.policy_mod.init(jax.random.PRNGKey(0), CFG)))
+    assert got["meta"]["fused"] is False
+
+
+def test_resume_pins_recorded_xla_choice(data, tmp_path, monkeypatch):
+    """A snapshot recording fused=False must pin the XLA step on resume
+    WITHOUT re-probing — a probe that suddenly verifies on the trained
+    weights would otherwise flip the continuation to differently-rounded
+    Pallas updates."""
+    monkeypatch.setattr(loops, "_cfg_for", lambda d, b, nd=None: CFG)
+    _run_policy(data, tmp_path, epochs=1, tag="pin")
+
+    def probe_must_not_run(*a, **k):
+        raise AssertionError("resume must not re-probe a recorded choice")
+
+    monkeypatch.setattr(loops, "_probe_fused_policy", probe_must_not_run)
+    resumed = _run_policy(data, tmp_path, epochs=2, resume=True, tag="pin")
+    assert resumed is not None  # completed through the pinned XLA path
+
+
+def test_resume_warns_when_recorded_fused_stops_verifying(
+        data, tmp_path, monkeypatch, capsys):
+    """fused=True recorded but the kernels no longer verify here: the
+    resume continues on XLA and says loudly that bit-identity is gone."""
+    monkeypatch.setattr(loops, "_cfg_for", lambda d, b, nd=None: CFG)
+    _run_policy(data, tmp_path, epochs=1, tag="fw")
+    path = str(tmp_path / "fw.ckpt.trainstate")
+    tmpl = loops.policy_mod.init(jax.random.PRNGKey(0), CFG)
+    tx = optim.adam(1e-3)
+    got = ckpt.load_train_state(path, tmpl, tx.init(tmpl))
+    # rewrite the snapshot as if the original run had verified Pallas
+    ckpt.save_train_state(path, got["params"], got["opt_state"], got["key"],
+                          dict(got["meta"], fused=True))
+    monkeypatch.setattr(loops, "_probe_fused_policy", lambda *a, **k: False)
+    capsys.readouterr()
+    _run_policy(data, tmp_path, epochs=2, resume=True, tag="fw")
+    out = capsys.readouterr().out
+    assert "NOT bit-identical" in out
+
+
+def test_completed_pretrainer_resume_skips_probe_and_loop(
+        data, tmp_path, monkeypatch, capsys):
+    """Resuming a trainer whose snapshot already covers the requested
+    epochs returns the restored weights immediately — no kernel probe,
+    no step compilation (the --resume-after-A2C-crash startup path pays
+    this three times otherwise)."""
+    monkeypatch.setattr(loops, "_cfg_for", lambda d, b, nd=None: CFG)
+    done = _run_policy(data, tmp_path, epochs=2, tag="cp")
+
+    def probe_must_not_run(*a, **k):
+        raise AssertionError("completed trainer must not probe")
+
+    monkeypatch.setattr(loops, "_probe_fused_policy", probe_must_not_run)
+    monkeypatch.setattr(loops.steps, "make_policy_step", probe_must_not_run)
+    capsys.readouterr()
+    again = _run_policy(data, tmp_path, epochs=2, resume=True, tag="cp")
+    assert "nothing to resume" in capsys.readouterr().out
+    _trees_equal(done, again)
+
+
+def test_completed_a2c_resume_skips_probe(data, tmp_path, monkeypatch,
+                                          capsys):
+    monkeypatch.setattr(loops, "_cfg_for", lambda d, b, nd=None: CFG)
+    params, rparams, tx, opt_state = _fresh()
+    path = str(tmp_path / "a2cdone.trainstate")
+
+    def run(epochs, resume_state=None):
+        return loops.a2c_training(
+            data, params, rparams, tx, opt_state, CFG, None,
+            [str(tmp_path / "m.ckpt")],
+            batch_size=6, epochs=epochs, seed=3, chunk_steps=1,
+            train_state_path=path, resume_state=resume_state)
+
+    run(2)
+    rs = ckpt.load_train_state(path, params, opt_state)
+    monkeypatch.setattr(
+        loops, "_probe_fused_rollout",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("no probe")))
+    capsys.readouterr()
+    out_params = run(2, resume_state=rs)
+    assert "nothing to resume" in capsys.readouterr().out
+    _trees_equal(out_params, rs["params"])

@@ -188,28 +188,41 @@ def main(args):
             mesh=mesh, net_dims=net_dims)  # multi-host: rank-0 load + broadcast, no local branching
         print_green("[Info] A2C Network loaded")
     else:
+        import contextlib
+
         curriculum = CURRICULUM_LEVELS if args.curriculum else None
+        prof = contextlib.nullcontext()
+        if args.profile_dir:
+            # device trace of the whole training phase, viewable in
+            # TensorBoard's profile plugin / Perfetto (utils.profiling;
+            # note: hangs on tunneled axon backends — CLAUDE.md)
+            from ..utils.profiling import trace
+
+            prof = trace(args.profile_dir)
+            print_green(f"[Info] Profiling to: {args.profile_dir}")
         print_green("[Info] Training A2C Network")
-        a2c_params, _, cfg = train_a2c_network(
-            train_data=data,
-            save_paths=save_paths,
-            network_paths=network_paths,
-            plot_dir=log_dir,
-            epochs=args.epochs,
-            batch_size=args.batch_size,
-            bidirectional=args.bidirectional,
-            retrain_all=args.retrain,
-            curriculum=curriculum,
-            seed=args.seed,
-            compat_batch_as_time=args.compat_batch_as_time,
-            resume=args.resume,
-            # flag forces the kernels on; default = auto-probe (fused on
-            # TPU after loss agreement with the XLA rollout, else XLA)
-            fused_rollout=True if args.fused_rollout else None,
-            chunk_steps=args.chunk_steps,
-            mesh=mesh,
-            net_dims=net_dims,
-        )
+        with prof:
+            a2c_params, _, cfg = train_a2c_network(
+                train_data=data,
+                save_paths=save_paths,
+                network_paths=network_paths,
+                plot_dir=log_dir,
+                epochs=args.epochs,
+                batch_size=args.batch_size,
+                bidirectional=args.bidirectional,
+                retrain_all=args.retrain,
+                curriculum=curriculum,
+                seed=args.seed,
+                compat_batch_as_time=args.compat_batch_as_time,
+                resume=args.resume,
+                # flag forces the kernels on; default = auto-probe (fused
+                # on TPU after loss agreement with the XLA rollout, else
+                # XLA)
+                fused_rollout=True if args.fused_rollout else None,
+                chunk_steps=args.chunk_steps,
+                mesh=mesh,
+                net_dims=net_dims,
+            )
         print_green("[Info] A2C Network trained")
 
     print_green("[Info] Testing A2C Network")
@@ -322,6 +335,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "parallel.mesh.maybe_init_distributed). Each process "
                         "uploads only its shard of every batch; process 0 "
                         "writes the logs/checkpoints")
+    p.add_argument("--profile_dir", type=str, default="",
+                   help="Capture a jax.profiler device trace of the training "
+                        "phase into this directory (TensorBoard profile "
+                        "plugin / Perfetto)")
     p.add_argument("--config", type=str, default="",
                    help="JSON file of flag values used as DEFAULTS (explicit "
                         "command-line flags still win). Every run writes its "

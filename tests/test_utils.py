@@ -141,3 +141,26 @@ def test_atomic_path_contract(tmp_path):
     except Boom:
         pass
     assert sorted(x.name for x in (tmp_path / "sub").iterdir()) == ["out.h5"]
+
+
+def test_trace_writes_device_trace(tmp_path):
+    """utils.profiling.trace captures a loadable profiler trace (CPU
+    here; the axon tunnel hangs start_trace — documented, TPU-pod
+    deployments use real backends). Reached from the CLI via
+    --profile_dir."""
+    import jax
+    import jax.numpy as jnp
+
+    from image_captioning_through_rl_tpu.utils.profiling import trace
+
+    with trace(str(tmp_path)):
+        jnp.dot(jnp.ones((8, 8)), jnp.ones((8, 8))).block_until_ready()
+    produced = [p for p in tmp_path.rglob("*") if p.is_file()]
+    assert produced, "no trace artifacts written"
+
+
+def test_profile_dir_flag_exists():
+    from image_captioning_through_rl_tpu.cli.main import build_arg_parser
+
+    ns = build_arg_parser().parse_args(["--profile_dir", "/tmp/x"])
+    assert ns.profile_dir == "/tmp/x"

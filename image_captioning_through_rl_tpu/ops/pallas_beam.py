@@ -57,9 +57,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_decode import VMEM_LIMIT, _lstm_gate_split, _round_up
-
-_NEG = -1e30
+from .pallas_decode import _NEG, VMEM_LIMIT, _lstm_gate_split, _round_up
 
 
 def _lstm_step(x, h, c, wi, wh, b, hidden):

@@ -15,7 +15,7 @@ in VMEM (loaded once per batch tile, not once per token):
     ``fori_loop``; the only HBM traffic after the tile loads is the
     ``[B, T]`` token output;
   * weights can be stored bf16 (halves VMEM and doubles MXU rate) with
-    f32 accumulation; padded vocab columns get a -1e9 head bias so
+    f32 accumulation; padded vocab columns get a _NEG head bias so
     argmax never selects them.
 
 Greedy argmax is tolerant of bf16 weight rounding; the float32 variant
@@ -37,6 +37,11 @@ from jax.experimental.pallas import tpu as pltpu
 # this package compiles with this raised budget (bigger batch tiles, no
 # 16 MiB cliffs) while staying far below the physical capacity.
 VMEM_LIMIT = 64 * 1024 * 1024
+
+# Padded-vocab-column suppression bias: one sentinel shared by every
+# decode/rollout kernel so the "a padded column must never win
+# argmax/top-k" invariant uses a single constant.
+_NEG = -1e30
 
 
 def _round_up(x: int, m: int) -> int:
@@ -143,7 +148,7 @@ def fused_greedy_decode(
 
     emb = jnp.zeros((vp, emb_dim), wd).at[:vocab].set(params["embedding"].astype(wd))
     wo = jnp.zeros((hidden, vp), wd).at[:, :vocab].set(params["head"]["w"].astype(wd))
-    bo = jnp.full((1, vp), -1e9, jnp.float32).at[0, :vocab].set(
+    bo = jnp.full((1, vp), _NEG, jnp.float32).at[0, :vocab].set(
         params["head"]["b"].astype(jnp.float32)
     )
     wc = params["cnn2linear"]["w"].astype(wd)

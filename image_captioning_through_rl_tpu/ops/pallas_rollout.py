@@ -54,10 +54,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_decode import VMEM_LIMIT as _VMEM_LIMIT
-from .pallas_decode import _lstm_gate_split, _pad_rows, _round_up
+from .pallas_decode import _NEG, _lstm_gate_split, _pad_rows, _round_up
 from .pallas_lstm import _specs
-
-_NEG = -1e30
 
 
 def _lstm_gates(xh, w, b, hidden):

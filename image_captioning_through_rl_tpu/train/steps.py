@@ -37,6 +37,7 @@ from ..ops.linalg import dense
 from ..ops.losses import a2c_losses, visual_semantic_embedding_loss, weighted_caption_xe_loss
 from ..ops.reward_ops import cosine_embedding_reward
 from ..ops.rnn import lstm_cell, lstm_scan
+from ..ops.sampling import log_prob_of, sample_categorical
 
 
 def batch_caption_lens(captions: jax.Array) -> jax.Array:
@@ -323,7 +324,6 @@ def value_episode_loss(vparams, cfg: NetConfig, pparams, rparams,
 
 
 def _make_value_step_compat(cfg: NetConfig, tx: optax.GradientTransformation):
-    import functools
 
     from ..decode.greedy import greedy_decode
 
@@ -350,7 +350,6 @@ def _make_value_step_compat(cfg: NetConfig, tx: optax.GradientTransformation):
 
 
 def _make_value_step_bidirectional(cfg: NetConfig, tx: optax.GradientTransformation):
-    import functools
 
     from ..decode.greedy import greedy_decode_full_prefix
 
@@ -557,10 +556,8 @@ def a2c_rollout_loss(
 
         # logits for position p come from the state that consumed 0..p-1
         logits = dense(pol_state[0], pparams["head"], precision=cfg.precision)
-        action = jax.random.categorical(key, logits, axis=-1)
-        logp = jnp.take_along_axis(
-            jax.nn.log_softmax(logits, axis=-1), action[:, None], axis=-1
-        )[:, 0]
+        action = sample_categorical(key, logits)
+        logp = log_prob_of(logits, action)
 
         # critic on the current prefix (before the action is appended)
         value = value_mod.value_from_state(vparams, cfg, features, val_state)[:, 0]
@@ -640,10 +637,8 @@ def a2c_rollout_loss_full(
     for p in range(1, t_max):
         value, logits = a2c_mod.forward(a2c_params, cfg, features, buf)
         key = step_keys[p - 1]
-        action = jax.random.categorical(key, logits, axis=-1)
-        logp = jnp.take_along_axis(
-            jax.nn.log_softmax(logits, axis=-1), action[:, None], axis=-1
-        )[:, 0]
+        action = sample_categorical(key, logits)
+        logp = log_prob_of(logits, action)
         token_in = jnp.where(p < curr_seq_len, captions[:, p], action)
         buf = jnp.concatenate([buf, token_in[:, None]], axis=1)
         # reward of prefix + action (the sampled one, as in the reference)
@@ -715,10 +710,8 @@ def a2c_rollout_loss_compat(
         )
         logits = pol.forward(a2c_params["policy"], cfg, features, buf)[:, -1, :]
         key = step_keys[p - 1]
-        action = jax.random.categorical(key, logits, axis=-1)
-        logp = jnp.take_along_axis(
-            jax.nn.log_softmax(logits, axis=-1), action[:, None], axis=-1
-        )[:, 0]
+        action = sample_categorical(key, logits)
+        logp = log_prob_of(logits, action)
         token_in = jnp.where(p < curr_seq_len, captions[:, p], action)
         buf = jnp.concatenate([buf, token_in[:, None]], axis=1)
         reward_prefix = jnp.concatenate([buf[:, :-1], action[:, None]], axis=1)

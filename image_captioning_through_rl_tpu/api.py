@@ -221,6 +221,61 @@ class Captioner:
             self._fused_verdict[key] = disp
         return disp(features, start)
 
+    def sample_tokens(
+        self,
+        features,
+        temperature: float = 1.0,
+        top_k: int = 0,
+        top_p: float = 1.0,
+        num_samples: int = 1,
+        seed: int = 0,
+    ) -> np.ndarray:
+        """Stochastic decode: token ids ``[N, T]`` (or ``[N, R, T]``
+        when ``num_samples=R > 1``) drawn from the filtered softmax
+        (:mod:`.decode.sample`). ``temperature=0`` is exact greedy.
+        Equal ``seed`` gives bit-identical captions; n-best lists run
+        as ONE batched scan. Serves single-device (sampling has no
+        sharded/fused path — it is already one scan of full-batch
+        matmuls, the same shape the greedy roofline showed MXU-bound).
+        """
+        cfg = self._cfg
+        if num_samples < 1:
+            raise ValueError(f"num_samples must be >= 1, got {num_samples}")
+        if temperature < 0:
+            raise ValueError(f"temperature must be >= 0, got {temperature}")
+        if not (0.0 < top_p <= 1.0):
+            raise ValueError(f"top_p must be in (0, 1], got {top_p}")
+        features = jnp.asarray(features, jnp.float32)
+        start = jnp.full((features.shape[0],), START_ID, jnp.int32)
+        if temperature == 0:
+            toks = self.caption_tokens(features, use_fused_kernel=False)
+            if num_samples > 1:  # greedy drafts are all identical
+                toks = np.repeat(toks[:, None, :], num_samples, axis=1)
+            return toks
+        from .decode.sample import sample_decode_n
+
+        use_top_p = top_p < 1.0  # 1.0 keeps all: skip the per-step sort
+        fn = self._get(("sample", top_k, use_top_p, num_samples), lambda: jax.jit(
+            lambda pp, f, s, key, temp, tp: sample_decode_n(
+                pp, cfg, f, s, key, num_samples,
+                temperature=temp, top_k=top_k,
+                top_p=tp if use_top_p else None,
+            )
+        ))
+        toks = np.asarray(fn(
+            self._policy, features, start,
+            jax.random.PRNGKey(seed), float(temperature), float(top_p),
+        ))
+        return toks[:, 0] if num_samples == 1 else toks
+
+    def sample_captions(self, features, num_samples: int = 1, **kw) -> List:
+        """Sampled caption strings: a flat list for ``num_samples=1``,
+        else one R-caption list per image."""
+        toks = self.sample_tokens(features, num_samples=num_samples, **kw)
+        if num_samples == 1:
+            return decode_captions(toks, self._idx_to_word)
+        return [decode_captions(row, self._idx_to_word) for row in toks]
+
     def caption(self, features, **kw) -> List[str]:
         """Caption strings for a feature batch."""
         return decode_captions(self.caption_tokens(features, **kw), self._idx_to_word)
@@ -233,6 +288,17 @@ class Captioner:
         front end (:func:`load_feature_extractor`). The reference
         never closes this loop (it consumes pre-extracted h5 features,
         utilities.py:61-73); here it is one call."""
+        return self.caption(
+            self._extract_checked(images, extractor, batch_size), **kw)
+
+    def sample_images(self, images, extractor: "FeatureExtractor",
+                      batch_size: int = 64, **kw) -> List:
+        """Stochastic :meth:`sample_captions` from raw images (the
+        sampling twin of :meth:`caption_images`)."""
+        return self.sample_captions(
+            self._extract_checked(images, extractor, batch_size), **kw)
+
+    def _extract_checked(self, images, extractor, batch_size):
         feats = extractor(images, batch_size=batch_size)
         if feats.shape[1] != self._cfg.input_dim:
             raise ValueError(
@@ -241,7 +307,7 @@ class Captioner:
                 "pass the matching PCA projection (or none, for raw fc7 "
                 "models) to load_feature_extractor"
             )
-        return self.caption(feats, **kw)
+        return feats
 
     def _get(self, key, make):
         if key not in self._jitted:

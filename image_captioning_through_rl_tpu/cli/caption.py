@@ -61,6 +61,21 @@ def main(argv=None) -> None:
                     help="0 = greedy; >0 = value-guided beam search")
     ap.add_argument("--faithful_beam", action="store_true",
                     help="reference-exact shared-beam decoding (quirk Q2/Q1)")
+    ap.add_argument("--sample", action="store_true",
+                    help="stochastic decode (softmax sampling) instead of "
+                         "greedy/beam; seeded, so runs reproduce")
+    ap.add_argument("--temperature", type=float, default=1.0,
+                    help="sampling temperature (0 = exact greedy)")
+    ap.add_argument("--top_k", type=int, default=0,
+                    help="sample only among the k highest-probability "
+                         "tokens per step (0 = whole vocabulary)")
+    ap.add_argument("--top_p", type=float, default=1.0,
+                    help="nucleus sampling: smallest token set holding "
+                         "this probability mass (1.0 = off)")
+    ap.add_argument("--num_samples", type=int, default=1,
+                    help="captions drawn per image (n-best list; output "
+                         "has this many lines per image)")
+    ap.add_argument("--sample_seed", type=int, default=0)
     ap.add_argument("--bidirectional", action="store_true")
     ap.add_argument("--batch_size", type=int, default=64)
     ap.add_argument("--out", default="", help="write captions here "
@@ -133,11 +148,24 @@ def main(argv=None) -> None:
                 f"| features {extractor.dim}-d | {len(paths)} images")
 
     cap = Captioner(params, cfg, idx_to_word)
-    captions = cap.caption_images(
-        paths, extractor, batch_size=args.batch_size,
-        beam_size=args.beam_size, faithful_beam=args.faithful_beam)
-
-    lines = [f"{p}\t{c}" for p, c in zip(paths, captions)]
+    if args.sample:
+        if args.beam_size:
+            ap.error("--sample and --beam_size are mutually exclusive")
+        captions = cap.sample_images(
+            paths, extractor, batch_size=args.batch_size,
+            temperature=args.temperature, top_k=args.top_k,
+            top_p=args.top_p, num_samples=args.num_samples,
+            seed=args.sample_seed)
+        if args.num_samples > 1:  # n-best: one line per draw, in order
+            lines = [f"{p}\t{c}" for p, row in zip(paths, captions)
+                     for c in row]
+        else:
+            lines = [f"{p}\t{c}" for p, c in zip(paths, captions)]
+    else:
+        captions = cap.caption_images(
+            paths, extractor, batch_size=args.batch_size,
+            beam_size=args.beam_size, faithful_beam=args.faithful_beam)
+        lines = [f"{p}\t{c}" for p, c in zip(paths, captions)]
     if args.out:
         with open(args.out, "w") as f:
             f.write("\n".join(lines) + "\n")

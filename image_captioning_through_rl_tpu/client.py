@@ -46,11 +46,18 @@ class CaptionClient:
             return json.loads(r.read())
 
     # ------------------------------------------------------------------
+    _SAMPLE_HEADERS = {"temperature": "X-Temperature", "top_k": "X-Top-K",
+                       "top_p": "X-Top-P", "num_samples": "X-Num-Samples",
+                       "seed": "X-Sample-Seed"}
+
     def caption(self, features, beam_size: int = 0,
-                binary: bool = True) -> List[str]:
+                binary: bool = True, sample: dict | None = None) -> List:
         """Caption pre-extracted feature rows ``[N, F]`` (or one ``[F]``
         row). ``binary=False`` falls back to the JSON payload (e.g. for
-        proxies that reject octet-stream bodies)."""
+        proxies that reject octet-stream bodies). ``sample`` switches to
+        stochastic decode — a dict with any of ``temperature`` /
+        ``top_k`` / ``top_p`` / ``num_samples`` / ``seed``; with
+        ``num_samples > 1`` each row answers with a list of captions."""
         feats = np.asarray(features, np.float32)
         if feats.ndim == 1:
             feats = feats[None, :]
@@ -64,16 +71,26 @@ class CaptionClient:
             headers = {"Content-Type": "application/octet-stream"}
             if beam_size:
                 headers["X-Beam-Size"] = str(beam_size)
+            if sample is not None:
+                unknown = set(sample) - set(self._SAMPLE_HEADERS)
+                if unknown:
+                    raise ValueError(f"unknown sample keys: {sorted(unknown)}")
+                for k, v in sample.items():
+                    headers[self._SAMPLE_HEADERS[k]] = str(v)
             body = np.ascontiguousarray(feats, dtype="<f4").tobytes()
         else:
             headers = {"Content-Type": "application/json"}
-            body = json.dumps({"features": feats.tolist(),
-                               "beam_size": beam_size}).encode()
+            payload = {"features": feats.tolist(), "beam_size": beam_size}
+            if sample is not None:
+                payload["sample"] = sample
+            body = json.dumps(payload).encode()
         return self._post(body, headers)["captions"]
 
-    def caption_images(self, images: Sequence, beam_size: int = 0) -> List[str]:
+    def caption_images(self, images: Sequence, beam_size: int = 0,
+                       sample: dict | None = None) -> List:
         """Caption raw image files: paths, open file objects, or bytes.
-        Requires a server started with ``--vgg_weights``."""
+        Requires a server started with ``--vgg_weights``. ``sample`` as
+        in :meth:`caption`."""
         blobs = []
         for im in images:
             if isinstance(im, (bytes, bytearray)):
@@ -84,8 +101,10 @@ class CaptionClient:
                 with open(im, "rb") as f:
                     raw = f.read()
             blobs.append(base64.b64encode(raw).decode("ascii"))
-        body = json.dumps({"images_b64": blobs,
-                           "beam_size": beam_size}).encode()
+        payload = {"images_b64": blobs, "beam_size": beam_size}
+        if sample is not None:
+            payload["sample"] = sample
+        body = json.dumps(payload).encode()
         return self._post(body, {"Content-Type": "application/json"})["captions"]
 
     def healthz(self) -> dict:

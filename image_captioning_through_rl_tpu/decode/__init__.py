@@ -1,9 +1,10 @@
-"""Caption decoding: greedy and value-guided beam search."""
+"""Caption decoding: greedy, value-guided beam search, and sampling."""
 
 from .greedy import greedy_decode, greedy_decode_full_prefix
 from .beam import beam_search
 from .beam_compat import beam_search_compat
 from .beam_full import beam_search_full_prefix
+from .sample import sample_decode, sample_decode_full_prefix, sample_decode_n
 from ..ops.pallas_decode import fused_greedy_decode
 
 __all__ = [
@@ -13,4 +14,7 @@ __all__ = [
     "beam_search",
     "beam_search_compat",
     "beam_search_full_prefix",
+    "sample_decode",
+    "sample_decode_full_prefix",
+    "sample_decode_n",
 ]

@@ -23,7 +23,12 @@ Design:
     ``application/octet-stream`` — raw little-endian f32 rows, beam
     size in ``X-Beam-Size`` — which skips the ~40 ms/64-row JSON float
     encode+parse tax) -> ``{"captions": [...]}``, ``GET /healthz``,
-    ``GET /stats``. Wire formats wrapped by :mod:`.client`; runbook in
+    ``GET /stats``. Stochastic decode rides the same endpoint: JSON
+    ``"sample": {"temperature": 0.8, "top_k": 0, "top_p": 0.9,
+    "num_samples": 1, "seed": 0}`` (or ``X-Temperature``/``X-Top-K``/
+    ``X-Top-P``/``X-Num-Samples``/``X-Sample-Seed`` headers on the
+    binary path); ``num_samples > 1`` returns one R-caption list per
+    row. Wire formats wrapped by :mod:`.client`; runbook in
     ``docs/SERVING.md``; measured numbers in BENCHMARKS.md
     "Serving tier".
 
@@ -53,15 +58,42 @@ import numpy as np
 from .api import Captioner
 
 
+_SAMPLE_KEYS = ("temperature", "top_k", "top_p", "num_samples", "seed")
+
+
+def _parse_sample(src: dict) -> tuple:
+    """Validate a sampling-config mapping (JSON object or header
+    strings) into the canonical ``(temperature, top_k, top_p,
+    num_samples, seed)`` tuple the batcher groups on."""
+    unknown = set(src) - set(_SAMPLE_KEYS)
+    if unknown:
+        raise ValueError(f"unknown sample keys: {sorted(unknown)} "
+                         f"(allowed: {list(_SAMPLE_KEYS)})")
+    t = float(src.get("temperature", 1.0))
+    k = int(src.get("top_k", 0))
+    p = float(src.get("top_p", 1.0))
+    r = int(src.get("num_samples", 1))
+    seed = int(src.get("seed", 0))
+    if t < 0:
+        raise ValueError(f"temperature must be >= 0, got {t}")
+    if not (0.0 < p <= 1.0):
+        raise ValueError(f"top_p must be in (0, 1], got {p}")
+    if r < 1:
+        raise ValueError(f"num_samples must be >= 1, got {r}")
+    return (t, k, p, r, seed)
+
+
 class _Pending:
-    __slots__ = ("features", "pixels", "beam_size", "event", "result",
-                 "error", "t_enq")
+    __slots__ = ("features", "pixels", "beam_size", "sample", "event",
+                 "result", "error", "t_enq")
 
     def __init__(self, features: Optional[np.ndarray], beam_size: int,
-                 pixels: Optional[np.ndarray] = None):
+                 pixels: Optional[np.ndarray] = None,
+                 sample: Optional[tuple] = None):
         self.features = features
         self.pixels = pixels  # raw [N, 224, 224, 3] awaiting extraction
         self.beam_size = beam_size
+        self.sample = sample  # (temp, top_k, top_p, num_samples, seed)
         self.event = threading.Event()
         self.result: Optional[List[str]] = None
         self.error: Optional[str] = None
@@ -217,6 +249,18 @@ class CaptionServer:
                     # away the reply (same reason the 413 path drains)
                     try:
                         beam = int(self.headers.get("X-Beam-Size", 0))
+                        hdr = {"temperature": "X-Temperature",
+                               "top_k": "X-Top-K", "top_p": "X-Top-P",
+                               "num_samples": "X-Num-Samples",
+                               "seed": "X-Sample-Seed"}
+                        src = {k: self.headers[h] for k, h in hdr.items()
+                               if h in self.headers}
+                        sample = _parse_sample(src) if src else None
+                        if sample is not None and beam:
+                            raise ValueError(
+                                "beam search and sampling are mutually "
+                                "exclusive (drop X-Beam-Size or the "
+                                "X-Temperature/... headers)")
                         want = server._cap._cfg.input_dim
                         if not raw or len(raw) % (4 * want):
                             raise ValueError(
@@ -228,11 +272,22 @@ class CaptionServer:
                     except Exception as e:
                         self._reply(400, {"error": f"{type(e).__name__}: {e}"})
                         return
-                    self._dispatch_and_reply(feats, beam, pixels)
+                    self._dispatch_and_reply(feats, beam, pixels, sample)
                     return
                 try:
                     req = json.loads(self.rfile.read(n))
                     beam = int(req.get("beam_size", 0))
+                    sample = None
+                    if "sample" in req:
+                        if not isinstance(req["sample"], dict):
+                            raise ValueError(
+                                "'sample' must be an object, e.g. "
+                                '{"temperature": 0.8, "top_p": 0.9}')
+                        sample = _parse_sample(req["sample"])
+                        if beam:
+                            raise ValueError(
+                                "beam_size and 'sample' are mutually "
+                                "exclusive")
                     feats = pixels = None
                     if "images_b64" in req:
                         if "features" in req:
@@ -275,13 +330,13 @@ class CaptionServer:
                 except Exception as e:  # malformed request
                     self._reply(400, {"error": f"{type(e).__name__}: {e}"})
                     return
-                self._dispatch_and_reply(feats, beam, pixels)
+                self._dispatch_and_reply(feats, beam, pixels, sample)
 
-            def _dispatch_and_reply(self, feats, beam, pixels):
+            def _dispatch_and_reply(self, feats, beam, pixels, sample=None):
                 if server._stop.is_set():
                     self._reply(503, {"error": "server stopping"})
                     return
-                pending = _Pending(feats, beam, pixels=pixels)
+                pending = _Pending(feats, beam, pixels=pixels, sample=sample)
                 server._queue.put(pending)
                 server._await(pending)
                 if pending.error == "server stopped":
@@ -376,12 +431,18 @@ class CaptionServer:
                     group = [p for p in group if p.features is not None]
                     if not group:
                         continue
-            # group by decode config (beam size): each config is its own
-            # compiled program, so mixed groups split into sub-batches
-            by_beam = {}
+            # group by decode config (beam size / sampling params): each
+            # config is its own compiled program, so mixed groups split
+            # into sub-batches. Sampled requests co-batch only with
+            # identical (temperature, top_k, top_p, num_samples, seed);
+            # note a row's draw depends on its position in the co-batch
+            # (the Gumbel stream is keyed per step across the whole
+            # batch), so under concurrent load equal-seed requests
+            # reproduce only per-dispatch, not per-row.
+            by_cfg = {}
             for p in group:
-                by_beam.setdefault(p.beam_size, []).append(p)
-            for beam, members in by_beam.items():
+                by_cfg.setdefault((p.beam_size, p.sample), []).append(p)
+            for (beam, sample), members in by_cfg.items():
                 try:
                     feats = np.concatenate([m.features for m in members], axis=0)
                     n = feats.shape[0]
@@ -396,7 +457,14 @@ class CaptionServer:
                             chunk = np.concatenate(
                                 [chunk, np.repeat(chunk[-1:], bucket - c, axis=0)],
                                 axis=0)
-                        captions += self._cap.caption(chunk, beam_size=beam)[:c]
+                        if sample is None:
+                            captions += self._cap.caption(
+                                chunk, beam_size=beam)[:c]
+                        else:
+                            t, k, tp, r, seed = sample
+                            captions += self._cap.sample_captions(
+                                chunk, temperature=t, top_k=k, top_p=tp,
+                                num_samples=r, seed=seed)[:c]
                 except Exception as e:
                     for m in members:
                         m.error = f"{type(e).__name__}: {e}"

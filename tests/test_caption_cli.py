@@ -167,3 +167,39 @@ def test_feature_extractor_array_input_matches_path_input(pipeline_dir):
     via_array = ext(load_image_batch(paths), batch_size=2)
     np.testing.assert_allclose(via_paths, via_array, rtol=2e-5, atol=2e-5)
     assert via_paths.shape == (2, 8)
+
+
+def test_caption_cli_sampling(pipeline_dir, capsys):
+    """--sample: seeded stochastic decode from the CLI; --num_samples
+    emits one line per draw, reproducible under the same seed."""
+    d = pipeline_dir
+    imgs = sorted(str(p) for p in (d / "imgs").iterdir())
+    args = imgs + [
+        "--model", str(d / "a2cNetwork.ckpt"),
+        "--vocab", str(d / "coco2014_vocab.json"),
+        "--pca", str(d / "pca.npz"),
+        "--sample", "--temperature", "1.8", "--top_k", "6",
+        "--num_samples", "3", "--sample_seed", "11",
+    ]
+    out_a, out_b = d / "sample_a.txt", d / "sample_b.txt"
+    caption_cli.main(args + ["--out", str(out_a)])
+    caption_cli.main(args + ["--out", str(out_b)])
+    lines = out_a.read_text().strip().split("\n")
+    assert len(lines) == 6  # 2 images x 3 draws, image-major
+    assert [l.split("\t")[0] for l in lines] == [
+        imgs[0]] * 3 + [imgs[1]] * 3
+    for line in lines:
+        assert all(w in VOCAB for w in line.split("\t")[1].split())
+    assert out_a.read_text() == out_b.read_text()
+
+
+def test_caption_cli_sample_beam_conflict(pipeline_dir):
+    d = pipeline_dir
+    imgs = sorted(str(p) for p in (d / "imgs").iterdir())
+    with pytest.raises(SystemExit):
+        caption_cli.main(imgs + [
+            "--model", str(d / "a2cNetwork.ckpt"),
+            "--vocab", str(d / "coco2014_vocab.json"),
+            "--pca", str(d / "pca.npz"),
+            "--sample", "--beam_size", "2",
+        ])

@@ -759,3 +759,69 @@ def test_bad_server_limits_rejected_at_init(server):
         CaptionServer(cap, port=0, extract_batch=0)
     with pytest.raises(ValueError, match="max_body_mb"):
         CaptionServer(cap, port=0, max_body_mb=0)
+
+
+def test_sampling_endpoint_both_wire_formats(server, rng_np):
+    """Seeded stochastic decode answers identically on the JSON and
+    binary paths and matches the direct Captioner call. 8 rows = one
+    full bucket, so no padding rows enter the batch (padding changes
+    batch composition and therefore the per-row Gumbel draws)."""
+    from image_captioning_through_rl_tpu.client import CaptionClient
+
+    srv, cap = server
+    c = CaptionClient(f"http://{srv.host}:{srv.port}")
+    feats = rng_np.standard_normal((8, CFG.input_dim)).astype(np.float32)
+    sample = {"temperature": 1.5, "top_k": 4, "seed": 7}
+    want = cap.sample_captions(feats, temperature=1.5, top_k=4, seed=7)
+    assert c.caption(feats, sample=sample) == want            # binary
+    assert c.caption(feats, sample=sample, binary=False) == want
+    # n-best: one R-list per row, matching the direct call
+    multi = c.caption(
+        feats, sample={"num_samples": 2, "temperature": 1.5, "seed": 3})
+    assert len(multi) == 8 and all(len(r) == 2 for r in multi)
+    assert multi == cap.sample_captions(
+        feats, num_samples=2, temperature=1.5, seed=3)
+
+
+def test_sampling_request_validation(server, rng_np):
+    """beam_size+sample conflicts and malformed sample configs are 400s
+    on both wire formats."""
+    from image_captioning_through_rl_tpu.client import CaptionClient
+
+    srv, _ = server
+    c = CaptionClient(f"http://{srv.host}:{srv.port}")
+    feats = rng_np.standard_normal((2, CFG.input_dim)).astype(np.float32)
+    for kw in (dict(beam_size=2, sample={"temperature": 1.0}),
+               dict(sample={"temprature": 1.0}),     # typo'd key
+               dict(sample={"top_p": 0.0}),
+               dict(sample={"num_samples": 0})):
+        for binary in (True, False):
+            if kw.get("sample", {}).get("temprature") and binary is False:
+                pass  # JSON rejects unknown keys server-side too
+            try:
+                c.caption(feats, binary=binary, **kw)
+                raise AssertionError(f"expected HTTP 400 for {kw}")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+            except ValueError:
+                # the client itself rejects unknown keys on the binary
+                # path before any request goes out
+                assert "temprature" in str(kw["sample"])
+
+
+def test_sampling_images_endpoint(image_server):
+    """Raw-image uploads compose with sampling (extract -> sample)."""
+    from image_captioning_through_rl_tpu.client import CaptionClient
+
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (40, 30), (120, 40, 200)).save(buf, format="JPEG")
+    c = CaptionClient(f"http://{image_server.host}:{image_server.port}")
+    out = c.caption_images([buf.getvalue()],
+                           sample={"num_samples": 3, "temperature": 2.0,
+                                   "seed": 1})
+    assert len(out) == 1 and len(out[0]) == 3
+    assert all(isinstance(s, str) for s in out[0])

@@ -61,10 +61,17 @@ from .api import Captioner
 _SAMPLE_KEYS = ("temperature", "top_k", "top_p", "num_samples", "seed")
 
 
-def _parse_sample(src: dict) -> tuple:
+def _parse_sample(src: dict, max_samples: int) -> tuple:
     """Validate a sampling-config mapping (JSON object or header
     strings) into the canonical ``(temperature, top_k, top_p,
-    num_samples, seed)`` tuple the batcher groups on."""
+    num_samples, seed)`` tuple the batcher groups on.
+
+    ``max_samples`` bounds ``num_samples``: the dispatched device batch
+    is ``bucket * R`` rows, so an unbounded R would bypass the
+    max_batch/max_body caps, stall the single batcher thread on a huge
+    scan, and compile a fresh program per distinct R."""
+    import math
+
     unknown = set(src) - set(_SAMPLE_KEYS)
     if unknown:
         raise ValueError(f"unknown sample keys: {sorted(unknown)} "
@@ -74,12 +81,19 @@ def _parse_sample(src: dict) -> tuple:
     p = float(src.get("top_p", 1.0))
     r = int(src.get("num_samples", 1))
     seed = int(src.get("seed", 0))
-    if t < 0:
-        raise ValueError(f"temperature must be >= 0, got {t}")
-    if not (0.0 < p <= 1.0):
+    # isfinite, not just range checks: JSON's NaN passes `t < 0` and
+    # would 200-OK garbage captions; temperature=inf silently samples
+    # uniformly
+    if not math.isfinite(t) or t < 0:
+        raise ValueError(f"temperature must be finite and >= 0, got {t}")
+    if not math.isfinite(p) or not (0.0 < p <= 1.0):
         raise ValueError(f"top_p must be in (0, 1], got {p}")
     if r < 1:
         raise ValueError(f"num_samples must be >= 1, got {r}")
+    if r > max_samples:
+        raise ValueError(
+            f"num_samples {r} exceeds the server limit of {max_samples} "
+            "(--max_samples)")
     return (t, k, p, r, seed)
 
 
@@ -118,7 +132,7 @@ class CaptionServer:
                  port: int = 8000, max_batch: int = 1024,
                  max_wait_ms: float = 5.0, min_bucket: int = 8,
                  extractor=None, extract_batch: int = 64,
-                 max_body_mb: float = 256.0):
+                 max_body_mb: float = 256.0, max_samples: int = 64):
         """``extractor``: an optional :class:`.api.FeatureExtractor`
         enabling the raw-image endpoint (``POST /caption`` with
         ``images_b64``: base64-encoded JPEG/PNG files). Image pixels are
@@ -143,6 +157,9 @@ class CaptionServer:
             raise ValueError("extract_batch must be >= 1")
         if max_body_mb <= 0:
             raise ValueError("max_body_mb must be positive")
+        if max_samples < 1:
+            raise ValueError("max_samples must be >= 1")
+        self._max_samples = max_samples
         self._extractor = extractor
         self._cap = captioner
         self._max_body = int(max_body_mb * 2**20)
@@ -255,7 +272,8 @@ class CaptionServer:
                                "seed": "X-Sample-Seed"}
                         src = {k: self.headers[h] for k, h in hdr.items()
                                if h in self.headers}
-                        sample = _parse_sample(src) if src else None
+                        sample = (_parse_sample(src, server._max_samples)
+                                  if src else None)
                         if sample is not None and beam:
                             raise ValueError(
                                 "beam search and sampling are mutually "
@@ -283,7 +301,8 @@ class CaptionServer:
                             raise ValueError(
                                 "'sample' must be an object, e.g. "
                                 '{"temperature": 0.8, "top_p": 0.9}')
-                        sample = _parse_sample(req["sample"])
+                        sample = _parse_sample(req["sample"],
+                                               server._max_samples)
                         if beam:
                             raise ValueError(
                                 "beam_size and 'sample' are mutually "
@@ -462,9 +481,14 @@ class CaptionServer:
                                 chunk, beam_size=beam)[:c]
                         else:
                             t, k, tp, r, seed = sample
+                            # per-chunk seed = seed + row offset: chunks
+                            # of one oversized request must not reuse the
+                            # seed (identical rows in different chunks
+                            # would draw identical noise); documented in
+                            # SERVING.md's reproducibility rule
                             captions += self._cap.sample_captions(
                                 chunk, temperature=t, top_k=k, top_p=tp,
-                                num_samples=r, seed=seed)[:c]
+                                num_samples=r, seed=seed + lo)[:c]
                 except Exception as e:
                     for m in members:
                         m.error = f"{type(e).__name__}: {e}"
@@ -483,7 +507,7 @@ class CaptionServer:
 
     # ------------------------------------------------------------------
     def warmup(self, feature_dim: int, beam_sizes=(0,), buckets=None,
-               image_buckets=None):
+               image_buckets=None, sample_configs=()):
         """Pre-compile the decode programs for the given bucket sizes so
         the first real requests don't pay compile latency (remote
         compiles on tunneled backends run minutes). Call before or after
@@ -492,7 +516,16 @@ class CaptionServer:
         the VGG forward at each extraction shape — an unwarmed VGG would
         stall the single batcher thread for the conv compile (~minutes
         remote) the first time an image request arrives mid-traffic;
-        pass ``[]`` to skip."""
+        pass ``[]`` to skip.
+
+        ``sample_configs``: sampling-request mappings (the wire format's
+        ``"sample"`` objects, e.g. ``{"top_k": 40, "num_samples": 3}``)
+        to pre-compile per bucket — a sampled-traffic server without
+        this pays the sample-scan compile on the batcher thread at the
+        first live request, exactly the stall warmup exists to prevent
+        for greedy/beam. The compiled program keys on
+        ``(top_k, top_p < 1, num_samples)``, so one config warms every
+        temperature/seed and every same-shape top_p."""
         rng = np.random.default_rng(0)  # NOT zeros: the verified-dispatch
         # canary compares fused-vs-XLA tokens on this batch, and all-zero
         # features make every logit a tie (ill-conditioned verdict)
@@ -510,6 +543,8 @@ class CaptionServer:
                     self._wait_warm(_Pending(None, 0, pixels=px))
                 else:
                     self._extractor(px, batch_size=eb)
+        samples = [_parse_sample(dict(s), self._max_samples)
+                   for s in sample_configs]
         for b in buckets:
             feats = rng.standard_normal((b, feature_dim)).astype(np.float32)
             for beam in beam_sizes:
@@ -517,6 +552,14 @@ class CaptionServer:
                     self._wait_warm(_Pending(feats, beam))
                 else:
                     self._cap.caption(feats, beam_size=beam)
+            for s in samples:
+                if started:
+                    self._wait_warm(_Pending(feats, 0, sample=s))
+                else:
+                    t, k, tp, r, seed = s
+                    self._cap.sample_captions(
+                        feats, temperature=t, top_k=k, top_p=tp,
+                        num_samples=r, seed=seed)
         return self
 
     def _await(self, p: _Pending) -> None:
@@ -614,6 +657,17 @@ def main(argv=None, block: bool = True):
                          "remote-compile backends)")
     ap.add_argument("--warmup_beams", type=int, nargs="*", default=[0],
                     help="beam sizes to pre-compile (0 = greedy)")
+    ap.add_argument("--warmup_samples", nargs="*", default=[],
+                    help="sampling configs to pre-compile, as JSON "
+                         "objects in the wire format's 'sample' shape, "
+                         'e.g. \'{"top_k": 40, "num_samples": 3}\' — a '
+                         "sampled-traffic server without these pays the "
+                         "sample-scan compile at the first live request")
+    ap.add_argument("--max_samples", type=int, default=64,
+                    help="largest accepted num_samples per request (the "
+                         "dispatched device batch is bucket*num_samples "
+                         "rows, and each distinct value compiles its own "
+                         "program)")
     ap.add_argument("--vgg_weights", default="",
                     help="VGG16 weights (.pt torchvision layout or .ckpt); "
                          "enables the raw-image endpoint (POST /caption "
@@ -674,11 +728,13 @@ def main(argv=None, block: bool = True):
     srv = CaptionServer(cap, host=args.host, port=args.port,
                         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
                         extractor=extractor, extract_batch=args.extract_batch,
-                        max_body_mb=args.max_body_mb)
+                        max_body_mb=args.max_body_mb,
+                        max_samples=args.max_samples)
     if not args.no_warmup:
         print_green("[Serving] warming decode buckets (pre-compiling; the "
                     "first compile on a fresh cache can take minutes)")
-        srv.warmup(cap._cfg.input_dim, beam_sizes=tuple(args.warmup_beams))
+        srv.warmup(cap._cfg.input_dim, beam_sizes=tuple(args.warmup_beams),
+                   sample_configs=[json.loads(s) for s in args.warmup_samples])
     srv.start()
     print_green(f"[Serving] captioning at http://{srv.host}:{srv.port} "
                 f"(POST /caption, GET /healthz, GET /stats)")

@@ -785,28 +785,74 @@ def test_sampling_endpoint_both_wire_formats(server, rng_np):
 
 def test_sampling_request_validation(server, rng_np):
     """beam_size+sample conflicts and malformed sample configs are 400s
-    on both wire formats."""
+    on both wire formats (non-finite values especially: JSON's NaN
+    passes a plain ``t < 0`` check and would 200-OK garbage captions;
+    inf silently samples uniformly)."""
     from image_captioning_through_rl_tpu.client import CaptionClient
 
     srv, _ = server
     c = CaptionClient(f"http://{srv.host}:{srv.port}")
     feats = rng_np.standard_normal((2, CFG.input_dim)).astype(np.float32)
     for kw in (dict(beam_size=2, sample={"temperature": 1.0}),
-               dict(sample={"temprature": 1.0}),     # typo'd key
                dict(sample={"top_p": 0.0}),
-               dict(sample={"num_samples": 0})):
+               dict(sample={"top_p": float("nan")}),
+               dict(sample={"temperature": float("nan")}),
+               dict(sample={"temperature": float("inf")}),
+               dict(sample={"num_samples": 0}),
+               dict(sample={"num_samples": srv._max_samples + 1})):
         for binary in (True, False):
-            if kw.get("sample", {}).get("temprature") and binary is False:
-                pass  # JSON rejects unknown keys server-side too
-            try:
+            with pytest.raises(urllib.error.HTTPError) as ei:
                 c.caption(feats, binary=binary, **kw)
-                raise AssertionError(f"expected HTTP 400 for {kw}")
-            except urllib.error.HTTPError as e:
-                assert e.code == 400
-            except ValueError:
-                # the client itself rejects unknown keys on the binary
-                # path before any request goes out
-                assert "temprature" in str(kw["sample"])
+            assert ei.value.code == 400, (kw, binary)
+
+    # unknown keys: the JSON path 400s server-side; the binary client
+    # has no header mapping for them and refuses before any bytes go out
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        c.caption(feats, binary=False, sample={"temprature": 1.0})
+    assert ei.value.code == 400
+    with pytest.raises(ValueError, match="temprature"):
+        c.caption(feats, binary=True, sample={"temprature": 1.0})
+
+
+def test_sampling_chunk_seeds_differ(rng_np):
+    """An oversized sampled request split into max_batch chunks derives
+    a per-chunk seed (seed + row offset): identical rows in different
+    chunks must NOT draw identical noise (SERVING.md's reproducibility
+    rule is per dispatch)."""
+    params = a2c.init(jax.random.PRNGKey(0), CFG)
+    idx_to_word = {i: f"w{i}" for i in range(CFG.vocab_size)}
+    cap = Captioner(params, CFG, idx_to_word)
+    srv = CaptionServer(cap, port=0, max_batch=4, min_bucket=4).start()
+    try:
+        row = rng_np.standard_normal((1, CFG.input_dim)).astype(np.float32)
+        feats = np.repeat(row, 8, axis=0)  # 2 chunks of 4 identical rows
+        got = _post(srv, {"features": feats.tolist(),
+                          "sample": {"temperature": 3.0, "seed": 5}},
+                    )["captions"]
+        assert len(got) == 8
+        assert got[:4] != got[4:], "chunks reused the request seed"
+        # chunk 1 matches the direct call at the request seed, chunk 2
+        # at seed + its row offset
+        assert got[:4] == cap.sample_captions(feats[:4], temperature=3.0,
+                                              seed=5)
+        assert got[4:] == cap.sample_captions(feats[4:], temperature=3.0,
+                                              seed=9)
+    finally:
+        srv.stop()
+
+
+def test_warmup_compiles_sample_configs(server):
+    """warmup(sample_configs=...) pre-compiles the sample scan per
+    bucket (counted as batcher dispatches) and validates the configs
+    with the same rules as live requests."""
+    srv, _ = server
+    before = srv.snapshot_stats()["batches"]
+    srv.warmup(CFG.input_dim, beam_sizes=(), buckets=[8],
+               sample_configs=[{"top_k": 3, "num_samples": 2}])
+    assert srv.snapshot_stats()["batches"] == before + 1
+    with pytest.raises(ValueError, match="num_samples"):
+        srv.warmup(CFG.input_dim, beam_sizes=(), buckets=[8],
+                   sample_configs=[{"num_samples": 0}])
 
 
 def test_sampling_images_endpoint(image_server):

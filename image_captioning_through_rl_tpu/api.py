@@ -234,9 +234,12 @@ class Captioner:
         when ``num_samples=R > 1``) drawn from the filtered softmax
         (:mod:`.decode.sample`). ``temperature=0`` is exact greedy.
         Equal ``seed`` gives bit-identical captions; n-best lists run
-        as ONE batched scan. Serves single-device (sampling has no
-        sharded/fused path — it is already one scan of full-batch
-        matmuls, the same shape the greedy roofline showed MXU-bound).
+        as ONE batched scan. A mesh-holding Captioner serves each
+        request batch-sharded over the data axis
+        (:func:`.parallel.serve.sharded_sample_tokens`) — token-exact
+        vs single-device at equal seeds, the same contract as greedy
+        (bidirectional policies stay single-device on a mesh, exactly
+        like the greedy/beam paths).
         """
         cfg = self._cfg
         if num_samples < 1:
@@ -252,6 +255,17 @@ class Captioner:
             if num_samples > 1:  # greedy drafts are all identical
                 toks = np.repeat(toks[:, None, :], num_samples, axis=1)
             return toks
+        if self._mesh is not None and not cfg.bidirectional:
+            from .parallel.serve import sharded_sample_tokens
+
+            pp, _ = self._mesh_committed()
+            toks = sharded_sample_tokens(
+                self._mesh, pp, cfg, features, start,
+                jax.random.PRNGKey(seed), num_samples=num_samples,
+                temperature=float(temperature), top_k=top_k,
+                top_p=float(top_p) if top_p < 1.0 else None,
+            )
+            return np.asarray(toks)
         from .decode.sample import sample_decode_n
 
         use_top_p = top_p < 1.0  # 1.0 keeps all: skip the per-step sort

@@ -24,7 +24,8 @@ from .mesh import (
     make_mesh,
     maybe_init_distributed,
 )
-from .serve import sharded_beam_tokens, sharded_greedy_tokens
+from .serve import (sharded_beam_tokens, sharded_greedy_tokens,
+                    sharded_sample_tokens)
 from .shard_map_step import make_shard_map_a2c_step
 from .sharding import (
     a2c_param_spec,
@@ -45,6 +46,7 @@ __all__ = [
     "make_shard_map_a2c_step",
     "sharded_greedy_tokens",
     "sharded_beam_tokens",
+    "sharded_sample_tokens",
     "replicate",
     "shard_batch",
     "shard_params",

@@ -27,6 +27,7 @@ from jax.sharding import Mesh
 from ..config import DecodeConfig, NetConfig
 from ..decode.beam import beam_search
 from ..decode.greedy import greedy_decode
+from ..decode.sample import sample_decode
 from .sharding import _spans_processes as _multiprocess, replicate, shard_batch
 
 
@@ -64,6 +65,73 @@ def _beam_jit(cfg: NetConfig, dcfg: DecodeConfig, mesh: Optional[Mesh] = None):
     return jax.jit(
         lambda p, v, f, s: beam_search(p, v, cfg, dcfg, f, s), out_shardings=out
     )
+
+
+@functools.lru_cache(maxsize=None)
+def _sample_jit(cfg: NetConfig, top_k: int, use_top_p: bool,
+                mesh: Optional[Mesh] = None):
+    out = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        out = NamedSharding(mesh, P())
+    return jax.jit(
+        lambda p, f, s, key, temp, tp: sample_decode(
+            p, cfg, f, s, key,
+            temperature=temp, top_k=top_k, top_p=tp if use_top_p else None,
+        ),
+        out_shardings=out,
+    )
+
+
+def sharded_sample_tokens(
+    mesh: Mesh,
+    policy_params: dict,
+    cfg: NetConfig,
+    features: jax.Array,
+    start_tokens: jax.Array,
+    rng: jax.Array,
+    num_samples: int = 1,
+    temperature=1.0,
+    top_k: int = 0,
+    top_p=None,
+) -> jax.Array:
+    """Stochastic decode with the batch sharded over ``mesh``'s data
+    axis — the sampling twin of :func:`sharded_greedy_tokens`
+    (unidirectional policies; sampling is batch-parallel by
+    construction, so the only cross-chip traffic is the launch).
+
+    Token-exact vs the single-device :func:`..decode.sample
+    .sample_decode_n` with the same key for ANY batch size: the per-step
+    Gumbel draw is position-keyed (partitionable threefry), so neither
+    the data-axis padding added here nor the device partitioning
+    perturbs the real rows' noise — each chip computes its slice of the
+    same global ``[N, V]`` draw. Returns ``[N, T]`` ids, or
+    ``[N, R, T]`` when ``num_samples=R > 1`` (tiled samples-minor, one
+    batched scan, exactly like ``sample_decode_n``).
+    """
+    if num_samples < 1:
+        raise ValueError(f"num_samples must be >= 1, got {num_samples}")
+    data = mesh.shape["data"]
+    feats = jnp.asarray(features, jnp.float32)
+    start = jnp.asarray(start_tokens)
+    if num_samples > 1:
+        feats = jnp.repeat(feats, num_samples, axis=0)
+        start = jnp.repeat(start, num_samples, axis=0)
+    feats, n = _pad_to_multiple(feats, data)
+    start, _ = _pad_to_multiple(start, data)
+    use_top_p = top_p is not None
+    with mesh:
+        params = replicate(mesh, policy_params)
+        feats, start = shard_batch(mesh, feats, start)
+        toks = _sample_jit(cfg, top_k, use_top_p,
+                           mesh if _multiprocess(mesh) else None)(
+            params, feats, start, rng,
+            jnp.float32(temperature), jnp.float32(top_p if use_top_p else 1.0))
+    toks = toks[:n]
+    if num_samples > 1:
+        toks = toks.reshape(n // num_samples, num_samples, toks.shape[-1])
+    return toks
 
 
 def sharded_greedy_tokens(

@@ -783,6 +783,35 @@ def test_sampling_endpoint_both_wire_formats(server, rng_np):
         feats, num_samples=2, temperature=1.5, seed=3)
 
 
+def test_spmd_server_sampling_parity(server, rng_np):
+    """A mesh-holding (--spmd) server answers sample requests sharded
+    over the data axis AND token-identical to the single-device server
+    at equal seeds — sampling gets the same sharding contract as
+    greedy/beam instead of silently serving one chip."""
+    from image_captioning_through_rl_tpu.client import CaptionClient
+    from image_captioning_through_rl_tpu.parallel import make_mesh
+
+    _, cap_single = server
+    params = a2c.init(jax.random.PRNGKey(0), CFG)  # same seed as fixture
+    idx_to_word = {i: f"w{i}" for i in range(CFG.vocab_size)}
+    meshed = Captioner(params, CFG, idx_to_word,
+                       mesh=make_mesh((8,), ("data",)))
+    srv = CaptionServer(meshed, port=0).start()
+    try:
+        c = CaptionClient(f"http://{srv.host}:{srv.port}")
+        feats = rng_np.standard_normal((8, CFG.input_dim)).astype(np.float32)
+        sample = {"temperature": 1.5, "top_k": 4, "seed": 7}
+        got = c.caption(feats, sample=sample)
+        want = cap_single.sample_captions(feats, temperature=1.5, top_k=4,
+                                          seed=7)
+        assert got == want
+        multi = c.caption(feats, sample={"num_samples": 2, "seed": 3})
+        assert multi == cap_single.sample_captions(feats, num_samples=2,
+                                                   seed=3)
+    finally:
+        srv.stop()
+
+
 def test_sampling_request_validation(server, rng_np):
     """beam_size+sample conflicts and malformed sample configs are 400s
     on both wire formats (non-finite values especially: JSON's NaN

@@ -90,6 +90,25 @@ def main(quick: bool = False) -> None:
             ms, rate = timed(lambda: fused_greedy_decode(pparams, feats, start), n, iters)
             record("greedy decode (fused Pallas, bf16)", n, ms, rate, "captions/s")
 
+    # sampling decode (framework-added mode): the serving-typical
+    # temperature+top-k config; XLA pays a per-step lax.top_k, the
+    # fused kernel a 32-step bisection threshold (ops/pallas_sample.py)
+    from image_captioning_through_rl_tpu.decode import fused_sample_decode
+    from image_captioning_through_rl_tpu.decode.sample import sample_decode
+
+    for n in ((1024,) if quick else (1024, 8192)):
+        feats, caps = batch(n)
+        start = caps[:, 0]
+        sfn = jax.jit(lambda p, f, s, k: sample_decode(
+            p, cfg, f, s, k, temperature=jnp.float32(0.9), top_k=8))
+        ms, rate = timed(lambda: sfn(pparams, feats, start, key), n, iters)
+        record("sampling decode top-k 8 (XLA scan)", n, ms, rate, "captions/s")
+        if on_tpu:
+            ms, rate = timed(lambda: fused_sample_decode(
+                pparams, feats, start, key, temperature=0.9, top_k=8), n, iters)
+            record("sampling decode top-k 8 (fused Pallas, bf16)",
+                   n, ms, rate, "captions/s")
+
     n = 127  # the eval slice width (quirk Q9)
     feats, caps = batch(n)
     dcfg = DecodeConfig(max_seq_len=T)

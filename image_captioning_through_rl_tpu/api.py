@@ -198,7 +198,7 @@ class Captioner:
             )
         return self._mesh_params
 
-    def _dispatch_verified(self, key, fused_fn, xla_fn, features, start):
+    def _dispatch_verified(self, key, fused_fn, xla_fn, *args):
         """Auto dispatch through the shared :class:`VerifiedDispatch`
         (utils/dispatch.py): first call compares fused vs XLA tokens on
         the live batch; exact agreement locks in the kernel, anything
@@ -219,7 +219,7 @@ class Captioner:
             disp = VerifiedDispatch(fused_fn, xla_fn, equal=np.array_equal,
                                     on_verdict=log)
             self._fused_verdict[key] = disp
-        return disp(features, start)
+        return disp(*args)
 
     def sample_tokens(
         self,
@@ -229,6 +229,7 @@ class Captioner:
         top_p: float = 1.0,
         num_samples: int = 1,
         seed: int = 0,
+        use_fused_kernel=None,
     ) -> np.ndarray:
         """Stochastic decode: token ids ``[N, T]`` (or ``[N, R, T]``
         when ``num_samples=R > 1``) drawn from the filtered softmax
@@ -239,7 +240,16 @@ class Captioner:
         (:func:`.parallel.serve.sharded_sample_tokens`) — token-exact
         vs single-device at equal seeds, the same contract as greedy
         (bidirectional policies stay single-device on a mesh, exactly
-        like the greedy/beam paths).
+        like the greedy/beam paths). Single-device unidirectional
+        FILTERED requests (top-k or nucleus on) default to the fused
+        Pallas kernel behind *verified dispatch*
+        (:mod:`.ops.pallas_sample`), same contract as greedy: the first
+        call for each (top_k, nucleus, num_samples) variant compares
+        fused vs XLA tokens on the live batch and the winner serves
+        every later call. Unfiltered sampling and batches whose row
+        count (``N*R``) exceeds the fused Gumbel-stream budget run the
+        XLA scan (both measured faster there — see the dispatch-policy
+        comment below and benchmarks/MEASURED.md).
         """
         cfg = self._cfg
         if num_samples < 1:
@@ -251,11 +261,18 @@ class Captioner:
         features = jnp.asarray(features, jnp.float32)
         start = jnp.full((features.shape[0],), START_ID, jnp.int32)
         if temperature == 0:
-            toks = self.caption_tokens(features, use_fused_kernel=False)
+            toks = self.caption_tokens(features,
+                                       use_fused_kernel=use_fused_kernel)
             if num_samples > 1:  # greedy drafts are all identical
                 toks = np.repeat(toks[:, None, :], num_samples, axis=1)
             return toks
         if self._mesh is not None and not cfg.bidirectional:
+            if use_fused_kernel:
+                raise ValueError(
+                    "use_fused_kernel=True cannot be honored on a mesh: the "
+                    "fused sampling kernel is single-chip — drop the mesh "
+                    "or the force flag"
+                )
             from .parallel.serve import sharded_sample_tokens
 
             pp, _ = self._mesh_committed()
@@ -267,7 +284,9 @@ class Captioner:
             )
             return np.asarray(toks)
         from .decode.sample import sample_decode_n
+        from .ops.pallas_sample import MAX_FUSED_ROWS
 
+        n = features.shape[0]
         use_top_p = top_p < 1.0  # 1.0 keeps all: skip the per-step sort
         fn = self._get(("sample", top_k, use_top_p, num_samples), lambda: jax.jit(
             lambda pp, f, s, key, temp, tp: sample_decode_n(
@@ -276,10 +295,49 @@ class Captioner:
                 top_p=tp if use_top_p else None,
             )
         ))
-        toks = np.asarray(fn(
-            self._policy, features, start,
-            jax.random.PRNGKey(seed), float(temperature), float(top_p),
-        ))
+
+        def xla_run(f, s, key, temp, tp):
+            return np.asarray(fn(self._policy, f, s, key, temp, tp))
+
+        fusable = not cfg.bidirectional and n * num_samples <= MAX_FUSED_ROWS
+        if use_fused_kernel and not fusable:
+            raise ValueError(
+                "use_fused_kernel=True cannot be honored: the fused sampling "
+                "kernel is unidirectional only and caps the row count at "
+                f"{MAX_FUSED_ROWS} (requested {n}x{num_samples})"
+            )
+        # measured dispatch policy (benchmarks/MEASURED.md): the fused
+        # kernel beats XLA only when a filter is on (1.35-4.9x — it
+        # replaces the per-step lax.top_k/sort with 32-step bisection);
+        # PLAIN sampling is already matmul-bound in XLA and the fused
+        # path's streamed Gumbel tensor makes it a 0.3-0.8x LOSS, so
+        # unfiltered requests stay on the XLA scan by default.
+        filtered = (0 < top_k < cfg.vocab_size) or use_top_p
+
+        def fused_run(f, s, key, temp, tp):
+            from .ops.pallas_sample import fused_sample_decode
+
+            # samples-minor tiling, exactly like sample_decode_n — the
+            # Gumbel stream over the tiled batch then matches key-for-key
+            ff = jnp.repeat(f, num_samples, axis=0)
+            ss = jnp.repeat(s, num_samples, axis=0)
+            toks = fused_sample_decode(
+                self._policy, ff, ss, key, max_len=cfg.max_seq_len,
+                temperature=temp, top_k=top_k,
+                top_p=tp if use_top_p else None,
+            )
+            return np.asarray(toks).reshape(n, num_samples, -1)
+
+        args = (features, start, jax.random.PRNGKey(seed),
+                float(temperature), float(top_p))
+        if fusable and use_fused_kernel:
+            toks = fused_run(*args)
+        elif fusable and filtered and use_fused_kernel is None:
+            toks = self._dispatch_verified(
+                ("sample", top_k, use_top_p, num_samples),
+                fused_run, xla_run, *args)
+        else:
+            toks = xla_run(*args)
         return toks[:, 0] if num_samples == 1 else toks
 
     def sample_captions(self, features, num_samples: int = 1, **kw) -> List:

@@ -139,6 +139,14 @@ def main():
     hs0 = fused_lstm_chain(pparams["lstm"], pparams["embedding"],
                            caps[0, :, :-1], h0, jnp.zeros_like(h0))
 
+    def touch_grads(loss_and_grad):
+        # Keep the backward LIVE: summing every grad leaf into the
+        # returned scalar (at 1e-30 it cannot perturb the timing carry)
+        # stops XLA from dead-code-eliminating the whole VJP — without
+        # this, "full loss grad" silently measures forward-only.
+        loss, grads = loss_and_grad
+        return loss + sum(jnp.sum(g) for g in jax.tree.leaves(grads)) * 1e-30
+
     def make_scan(f, *args):
         @jax.jit
         def run(*a):
@@ -158,8 +166,8 @@ def main():
                 jnp.zeros((N, HID), jnp.float32))[0, -1, 0],
             pparams, feats[0], caps[0, :, :-1]),
         "full loss grad": make_scan(
-            lambda c, pp, f0, cp, cl: jax.value_and_grad(
-                steps.policy_loss_fused)(pp, cfg, f0 + c, cp, cl)[0],
+            lambda c, pp, f0, cp, cl: touch_grads(jax.value_and_grad(
+                steps.policy_loss_fused)(pp, cfg, f0 + c, cp, cl)),
             pparams, feats[0], caps[0], caplens),
         "head+XE on states": make_scan(
             lambda c, pp, hs, cp, cl: weighted_caption_xe_loss(
@@ -215,8 +223,8 @@ def main():
     comp = {
         "chain fwd only": make_scan(gru_fwd, rparams, caps[0]),
         "full loss grad": make_scan(
-            lambda c, rp, f0, cp: jax.value_and_grad(
-                steps.reward_loss_fused)(rp, cfg, f0 + c, cp)[0],
+            lambda c, rp, f0, cp: touch_grads(jax.value_and_grad(
+                steps.reward_loss_fused)(rp, cfg, f0 + c, cp)),
             rparams, feats[0], caps[0]),
         "embed+VSE on state": make_scan(
             lambda c, rp, f0, hl: visual_semantic_embedding_loss(

@@ -27,9 +27,10 @@ TORCH_BATCH = 128
 
 def bench_jax():
     """Best of the XLA-scan path and the fused Pallas kernel, plus the
-    compiled-kernel health checks (the production bf16 greedy kernel
-    token-equal to the XLA scan on trained weights; beam kernel runs;
-    fused training losses AND gradients agree with XLA) so Mosaic
+    compiled-kernel health checks (the production bf16 greedy AND
+    filtered-sampling kernels token-equal to their XLA scans on trained
+    weights; beam kernel runs; fused training losses AND gradients
+    agree with XLA) so Mosaic
     regressions surface in the driver's bench artifact instead of
     silently falling back. Returns
     ``(captions_per_sec, fused_ok, grads_ok)``."""
@@ -96,7 +97,39 @@ def bench_jax():
         ftoks = np.asarray(fused_greedy_decode(tparams, chk_f, chk_s, max_len=T))
         xtoks = np.asarray(xla_jit(tparams, chk_f, chk_s))
         greedy_exact = bool(np.array_equal(ftoks, xtoks))
-        # Health check 2: the fused beam kernel compiles and runs
+        # Health check 2: the fused SAMPLING kernel (production bf16,
+        # the default for filtered requests via verified dispatch)
+        # token-equal to the XLA sampling scan at the same key. The
+        # O(1) Gumbel noise swamps cross-compiler matmul rounding at
+        # the argmax, so unlike greedy this match is exact even off
+        # the trained-weight regime; check it where serving runs.
+        from image_captioning_through_rl_tpu.decode.sample import sample_decode
+        from image_captioning_through_rl_tpu.ops.pallas_sample import (
+            fused_sample_decode)
+
+        sample_jit = jax.jit(lambda p, f, s, k: sample_decode(
+            p, cfg, f, s, k, max_len=T, temperature=0.9, top_k=8,
+            top_p=0.9))
+        # The match is exact unless one of the ~16k draws lands a top-2
+        # (logit+Gumbel) gap inside the ~1e-5 cross-compiler matmul
+        # noise — a per-key coin flip, not a kernel property. A real
+        # kernel regression mismatches under EVERY key, so retry with
+        # fresh keys: false-red probability drops to p^3 while
+        # systematic breakage still fails all three.
+        sample_exact = False
+        for attempt in range(3):
+            skey = jax.random.PRNGKey(11 + attempt)
+            stoks_x = np.asarray(sample_jit(tparams, chk_f, chk_s, skey))
+            stoks_f = np.asarray(fused_sample_decode(
+                tparams, chk_f, chk_s, skey, max_len=T, temperature=0.9,
+                top_k=8, top_p=0.9))
+            sample_exact = bool(np.array_equal(stoks_f, stoks_x))
+            if sample_exact:
+                break
+            print(f"[bench] sampling canary key {11 + attempt}: "
+                  f"{(stoks_f != stoks_x).any(axis=-1).sum()} rows diverged",
+                  file=sys.stderr)
+        # Health check 3: the fused beam kernel compiles and runs
         from image_captioning_through_rl_tpu.ops.pallas_beam import fused_beam_search
 
         vparams = value.init(jax.random.PRNGKey(1), cfg)
@@ -104,7 +137,7 @@ def bench_jax():
             tparams, vparams, feats[:127], start[:127], max_len=T, beam=5, block_n=0
         )
         beam_ran = np.asarray(btoks).shape == (127, 5, T)
-        # Health check 3: the fused training-chain kernels agree with
+        # Health check 4: the fused training-chain kernels agree with
         # their XLA twins on the loss (policy LSTM chain, reward GRU
         # chain) — compiled, on this chip, trained-ish weights.
         from image_captioning_through_rl_tpu.models import reward as reward_mod
@@ -124,7 +157,7 @@ def bench_jax():
             abs(lp_f - lp_x) <= 1e-2 * max(1.0, abs(lp_x))
             and abs(lr_f - lr_x) <= 1e-2 * max(1.0, abs(lr_x))
         )
-        # Health check 4: GRADIENT fingerprints of the fused training
+        # Health check 5: GRADIENT fingerprints of the fused training
         # kernels' hand-written VJPs vs XLA autodiff (per-leaf cosine +
         # norm ratio) — a backward-kernel regression that preserves the
         # forward loss must fail the bench, not silently corrupt
@@ -144,11 +177,13 @@ def bench_jax():
             and _grads_agree(gr_f, gr_x)
             and _grads_agree(ga_f, ga_x)
         )
-        fused_ok = greedy_exact and beam_ran and chains_ok and grads_ok
+        fused_ok = (greedy_exact and sample_exact and beam_ran
+                    and chains_ok and grads_ok)
         if not fused_ok:
             print(f"[bench] fused check failed: greedy_exact={greedy_exact} "
-                  f"beam_ran={beam_ran} chains_ok={chains_ok} "
-                  f"grads_ok={grads_ok}", file=sys.stderr)
+                  f"sample_exact={sample_exact} beam_ran={beam_ran} "
+                  f"chains_ok={chains_ok} grads_ok={grads_ok}",
+                  file=sys.stderr)
     except Exception as e:  # Mosaic needs a real TPU; report, don't mask
         print(f"[bench] fused kernels unavailable ({type(e).__name__}: {e}); "
               f"on_tpu={on_tpu}", file=sys.stderr)

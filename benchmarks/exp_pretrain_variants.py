@@ -52,21 +52,33 @@ VARIANTS = {  # (block_n, weight_dtype) for the fused chain; None = XLA
 }
 
 
-def bench_interleaved(runners, rounds=5, iters=8):
+def bench_interleaved(runners, rounds=5, min_window=0.5):
+    """Windows are sized per-variant to >= ``min_window`` seconds: the
+    tunnel's ~25 ms per-window round trip otherwise inflates short
+    paths (a 0.3 ms/step component in a 64-step window "measures"
+    0.7 ms) — the CLAUDE.md rule bench_suite.timed also enforces."""
     best = {name: float("inf") for name in runners}
+    iters = {}
     for name, run in runners.items():
         for _ in range(8):
             out = run()
         np.asarray(jax.tree.leaves(out)[0])
-        print(f"warmed {name}", flush=True)
+        t0 = time.perf_counter()
+        for _ in range(4):
+            out = run()
+        np.asarray(jax.tree.leaves(out)[0])
+        per_call = (time.perf_counter() - t0) / 4
+        iters[name] = max(8, int(np.ceil(min_window / max(per_call, 1e-9))))
+        print(f"warmed {name} ({iters[name]} calls/window)", flush=True)
     for _ in range(rounds):
         for name, run in runners.items():
+            it = iters[name]
             t0 = time.perf_counter()
-            for _ in range(iters):
+            for _ in range(it):
                 out = run()
             np.asarray(jax.tree.leaves(out)[0])
             best[name] = min(best[name],
-                             (time.perf_counter() - t0) / (iters * K) * 1e3)
+                             (time.perf_counter() - t0) / (it * K) * 1e3)
     return best
 
 

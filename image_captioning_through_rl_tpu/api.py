@@ -326,7 +326,10 @@ class Captioner:
                 temperature=temp, top_k=top_k,
                 top_p=tp if use_top_p else None,
             )
-            return np.asarray(toks).reshape(n, num_samples, -1)
+            # shape from THIS call's batch, never the enclosing scope:
+            # VerifiedDispatch caches this closure per (k, p, R) variant
+            # and replays it for every later batch size
+            return np.asarray(toks).reshape(f.shape[0], num_samples, -1)
 
         args = (features, start, jax.random.PRNGKey(seed),
                 float(temperature), float(top_p))

@@ -186,12 +186,18 @@ def _cfg_from_params(policy_params, data):
 # ---------------------------------------------------------------------------
 
 def run_eval_dump(models_dir: str, data, bidirectional: bool, out_dir: str,
-                  test_size: int, seed: int = 0) -> dict:
+                  test_size: int, seed: int = 0) -> dict | None:
     from ..config import DecodeConfig
     from ..models.convert import load_torch_state_dict
     from ..train.loops import load_a2c_models, test_a2c_network
 
     found = _find_pt(models_dir, bidirectional)
+    missing = sorted(k for k in ("policy", "a2c") if k not in found)
+    if missing:
+        _stage("eval dump", False,
+               f"missing {', '.join(m + 'Network.pt' for m in missing)} "
+               f"in {models_dir}")
+        return None
     paths = {f"{k}_network": v for k, v in found.items()}
     # architecture dims come from the CHECKPOINT, not the reference's
     # hard-coded 512s (models.py:17-18) — the self-test runs tiny nets
@@ -256,8 +262,12 @@ def verify_score_diff(image_caption_data: dict, dump_dir: str,
         return _stage("score diff", None,
                       f"no results*.txt under {dump_dir}") or True
     with open(results) as f:
-        published = next(ast.literal_eval(line.strip())
-                         for line in f if line.strip().startswith("{"))
+        published = next((ast.literal_eval(line.strip())
+                          for line in f if line.strip().startswith("{")),
+                         None)
+    if published is None:
+        return _stage("score diff", False,
+                      f"no '{{...}}' results dict line in {results}")
     refs, hypo = load_textfiles(image_caption_data["real_captions_path"],
                                 image_caption_data["generated_captions_path"])
     ours = score(refs, hypo)
@@ -368,13 +378,18 @@ def main(argv=None) -> int:
     os.makedirs(out_dir, exist_ok=True)
     icd = run_eval_dump(args.models_dir, data, args.bidirectional, out_dir,
                         test_size=args.test_size, seed=args.seed)
-    if args.dump_dir:
+    if icd is None:
+        ok = False
+        _stage("beam-dump byte-diff", None, "eval dump unavailable")
+        _stage("score diff", None, "eval dump unavailable")
+    elif args.dump_dir:
         ok &= verify_dump_diff(icd["generated_captions_path"], args.dump_dir)
         ok &= verify_score_diff(icd, args.dump_dir)
     else:
         _stage("beam-dump byte-diff", None, "--dump_dir not given")
         _stage("score diff", None, "--dump_dir not given")
-    print(f"\neval dump written to {out_dir}")
+    if icd is not None:
+        print(f"\neval dump written to {out_dir}")
     return 0 if ok else 1
 
 

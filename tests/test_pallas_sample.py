@@ -190,6 +190,38 @@ def test_api_dispatch_serves_fused_when_kernel_agrees(rng_np, monkeypatch):
     np.testing.assert_array_equal(a, want)
 
 
+def test_api_fused_dispatch_survives_batch_size_change(rng_np, monkeypatch):
+    """The latched fused closure must shape its output from EACH call's
+    batch, not the canary call's: VerifiedDispatch replays the first
+    call's closure for every later batch size (regression — an 8-row
+    canary followed by a 16-row request once returned (8, 2, 2T))."""
+    import image_captioning_through_rl_tpu.ops.pallas_sample as ps
+
+    real = ps.fused_sample_decode
+
+    def interp(params, f, s, key, **kw):
+        kw.pop("interpret", None)
+        return real(params, f, s, key, weight_dtype=jnp.float32,
+                    interpret=True, **kw)
+
+    monkeypatch.setattr(ps, "fused_sample_decode", interp)
+    cap, cfg = _small_captioner()
+    small = rand_features(rng_np, 8, cfg.input_dim)
+    big = rand_features(rng_np, 16, cfg.input_dim)
+    a = cap.sample_tokens(small, temperature=0.9, top_k=5, seed=3,
+                          num_samples=2)
+    assert cap._fused_verdict[("sample", 5, False, 2)].verdict is True
+    assert a.shape == (8, 2, cfg.max_seq_len)
+    b = cap.sample_tokens(big, temperature=0.9, top_k=5, seed=3,
+                          num_samples=2)
+    assert b.shape == (16, 2, cfg.max_seq_len)
+    want = np.asarray(sample_decode_n(
+        cap._policy, cfg, jnp.asarray(big, jnp.float32),
+        jnp.ones(16, jnp.int32), jax.random.PRNGKey(3), 2,
+        temperature=jnp.float32(0.9), top_k=5))
+    np.testing.assert_array_equal(b, want)
+
+
 def test_api_plain_sampling_skips_dispatch(rng_np):
     """Unfiltered sampling never consults the fused dispatch — the
     measured policy (MEASURED.md): plain sampling is faster on the XLA

@@ -1,5 +1,6 @@
 """High-level API + trainer-driver semantics (Q12 checkpoint cadence)."""
 
+import pytest
 import os
 
 import numpy as np
@@ -103,6 +104,7 @@ def test_best_loss_checkpoint_saves_pre_update_weights(tmp_path, monkeypatch):
     assert diff
 
 
+@pytest.mark.slow
 def test_captioner_faithful_beam_uses_q1_stateful_path(rng_np):
     """API faithful_beam must produce the CLI --faithful_beam tokens:
     the Q2 batch-mean beam WITH the Q1-stateful value stream

@@ -24,6 +24,7 @@ CFG_BI = NetConfig(
 )
 
 
+@pytest.mark.slow
 def test_beam_full_prefix_equals_carried_state_beam(rng_np):
     """For a unidirectional model the two beam implementations must agree."""
     pp = policy.init(jax.random.PRNGKey(0), CFG_UNI)
@@ -37,6 +38,7 @@ def test_beam_full_prefix_equals_carried_state_beam(rng_np):
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_beam_full_prefix_bidirectional_runs(rng_np):
     pp = policy.init(jax.random.PRNGKey(2), CFG_BI)
     vp = value.init(jax.random.PRNGKey(3), CFG_BI)
@@ -49,6 +51,7 @@ def test_beam_full_prefix_bidirectional_runs(rng_np):
     assert np.isfinite(np.asarray(scores)).all()
 
 
+@pytest.mark.slow
 def test_a2c_step_bidirectional(rng_np):
     feats = jnp.asarray(rand_features(rng_np, 6, CFG_BI.input_dim))
     caps = jnp.asarray(rand_captions(rng_np, 6, CFG_BI.max_seq_len, VOCAB).astype(np.int32))
@@ -68,6 +71,7 @@ def test_a2c_step_bidirectional(rng_np):
     assert moved
 
 
+@pytest.mark.slow
 def test_a2c_full_rollout_equals_scan_rollout_unidirectional(rng_np):
     """Same rng => the full-prefix rollout must reproduce the carried-state
     scan rollout exactly (unidirectional)."""
@@ -85,6 +89,7 @@ def test_a2c_full_rollout_equals_scan_rollout_unidirectional(rng_np):
     )
 
 
+@pytest.mark.slow
 def test_value_step_bidirectional(rng_np):
     feats = jnp.asarray(rand_features(rng_np, 6, CFG_BI.input_dim))
     caps = jnp.asarray(rand_captions(rng_np, 6, CFG_BI.max_seq_len, VOCAB).astype(np.int32))
@@ -168,6 +173,7 @@ def test_reward_compat_bidirectional_matches_stateful_torch_oracle(rng_np):
     np.testing.assert_allclose(np.asarray(hb), oracle.hidden_cell[1, 0].numpy(), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_bidirectional_faithful_beam_matches_stateful_torch_oracle(rng_np):
     """--bidirectional --faithful_beam: the Q1-stateful beam with
     per-direction carried hiddens must reproduce the torch oracle's

@@ -58,6 +58,7 @@ def pipeline_dir(tmp_path_factory):
     return d
 
 
+@pytest.mark.slow
 def test_caption_images_cli_end_to_end(pipeline_dir, capsys):
     d = pipeline_dir
     imgs = sorted(str(p) for p in (d / "imgs").iterdir())
@@ -76,6 +77,7 @@ def test_caption_images_cli_end_to_end(pipeline_dir, capsys):
         assert all(w in VOCAB for w in cap.split())
 
 
+@pytest.mark.slow
 def test_caption_cli_beam_and_dir_input(pipeline_dir, capsys):
     d = pipeline_dir
     caption_cli.main([
@@ -105,6 +107,7 @@ def test_caption_cli_missing_images_errors(pipeline_dir):
         ])
 
 
+@pytest.mark.slow
 def test_feature_extractor_dim_and_mismatch_error(pipeline_dir):
     d = pipeline_dir
     ext = load_feature_extractor(pca=str(d / "pca.npz"))
@@ -121,6 +124,7 @@ def test_feature_extractor_dim_and_mismatch_error(pipeline_dir):
         cap.caption_images(imgs, ext)
 
 
+@pytest.mark.slow
 def test_caption_cli_vgg_bf16_end_to_end(pipeline_dir, capsys):
     d = pipeline_dir
     caption_cli.main([
@@ -135,6 +139,7 @@ def test_caption_cli_vgg_bf16_end_to_end(pipeline_dir, capsys):
     assert len(outlines) == 2 and all("\t" in l for l in outlines)
 
 
+@pytest.mark.slow
 def test_feature_extractor_bf16_casts_once_and_stays_close(pipeline_dir):
     """bf16=True casts the VGG tree to bfloat16 at construction (one
     cast, not per call) and yields f32 features near the f32 path."""
@@ -169,6 +174,7 @@ def test_feature_extractor_array_input_matches_path_input(pipeline_dir):
     assert via_paths.shape == (2, 8)
 
 
+@pytest.mark.slow
 def test_caption_cli_sampling(pipeline_dir, capsys):
     """--sample: seeded stochastic decode from the CLI; --num_samples
     emits one line per draw, reproducible under the same seed."""

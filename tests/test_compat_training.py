@@ -1,5 +1,6 @@
 """Compat (batch-as-time, quirk Q1) training paths."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -37,6 +38,7 @@ def test_compat_value_step_runs_and_learns(rng_np):
     assert min(losses[-3:]) < losses[0]
 
 
+@pytest.mark.slow
 def test_compat_a2c_step_runs(rng_np):
     feats, caps = _batch(rng_np)
     params = a2c.init(jax.random.PRNGKey(3), CFG)
@@ -55,6 +57,7 @@ def test_compat_a2c_step_runs(rng_np):
     assert moved
 
 
+@pytest.mark.slow
 def test_compat_rollout_value_uses_carried_state(rng_np):
     """The compat rollout's first-step value must equal forward_compat on
     the <START> column with a fresh carry — and its later steps must NOT

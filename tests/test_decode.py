@@ -1,6 +1,7 @@
 """Decode parity: greedy vs the reference's torch loop; beam search vs
 literal Python oracles of the reference algorithm (trainers.py:73-105)."""
 
+import pytest
 import numpy as np
 import torch
 
@@ -92,6 +93,7 @@ def _oracle_beam(pp, vp, cfg, feats, start_np, dcfg):
     return candidates
 
 
+@pytest.mark.slow
 def test_beam_batchmean_matches_reference_oracle(rng_np):
     pp = policy.init(jax.random.PRNGKey(4), CFG)
     # shift the head bias so raw logits are positive (keeps the faithful
@@ -134,6 +136,7 @@ def _oracle_beam_stateful(pol, val, feats_np, start_np, dcfg):
     return candidates
 
 
+@pytest.mark.slow
 def test_beam_compat_matches_stateful_torch_oracle(rng_np):
     """Token-exact parity of the Q1-stateful faithful beam against the
     torch oracle running the reference's eval loop (VERDICT r1 #3)."""
@@ -167,6 +170,7 @@ def test_beam_compat_matches_stateful_torch_oracle(rng_np):
     )
 
 
+@pytest.mark.slow
 def test_beam_compat_carry_changes_result(rng_np):
     """The carried value state is load-bearing: a non-zero entering carry
     must be able to change scores (the clean beam has no such coupling)."""
@@ -182,6 +186,7 @@ def test_beam_compat_carry_changes_result(rng_np):
     assert not np.allclose(np.asarray(s0), np.asarray(s1))
 
 
+@pytest.mark.slow
 def test_beam_per_sample_matches_per_sample_oracle(rng_np):
     """Per-sample mode: each image's beam equals running the (batch-mean)
     oracle on that image alone (mean over a singleton batch = per-sample)."""
@@ -211,6 +216,7 @@ def test_beam_search_jits_and_runs_batched(rng_np):
     assert np.all(np.asarray(toks[:, :, 0]) == 1)
 
 
+@pytest.mark.slow
 def test_beam_compat_nan_scores_rank_last(rng_np):
     """Q2b takes log of raw logits, so negative top-k logits make NaN
     candidate scores. The compat beam's jnp.argsort ranks NaN LAST —

@@ -1,5 +1,6 @@
 """Word-embedding training: corpus prep, SGNS learning signal, alignment."""
 
+import pytest
 import numpy as np
 
 from image_captioning_through_rl_tpu.embeddings import (
@@ -165,6 +166,42 @@ def test_named_model_resolves_from_local_cache(tmp_path, monkeypatch):
         get_embeddings("word2vec")
 
 
+def test_named_model_falls_back_to_gensim_downloader(tmp_path, monkeypatch):
+    """When the local cache misses and gensim IS importable, short names
+    resolve through gensim.downloader with the reference's exact
+    short-name -> model-name map (utilities.py:384-395). gensim is absent
+    in this environment, so inject a stub module: the point is the
+    resolution contract (cache checked first, `api.load` called with the
+    full mapped name, its return value passed through untouched)."""
+    import sys
+    import types
+
+    from image_captioning_through_rl_tpu.embeddings.pretrained import get_embeddings
+
+    monkeypatch.setenv("ICRL_EMBEDDINGS_DIR", str(tmp_path / "empty_cache"))
+    loaded = []
+    sentinel = {"hello": np.arange(3.0)}
+    downloader = types.ModuleType("gensim.downloader")
+    downloader.load = lambda name: loaded.append(name) or sentinel
+    gensim_pkg = types.ModuleType("gensim")
+    gensim_pkg.downloader = downloader
+    monkeypatch.setitem(sys.modules, "gensim", gensim_pkg)
+    monkeypatch.setitem(sys.modules, "gensim.downloader", downloader)
+
+    assert get_embeddings("conceptnet") is sentinel
+    assert loaded == ["conceptnet-numberbatch-17-06-300"]
+
+    # a cache hit must win over the live download
+    cache = tmp_path / "warm_cache"
+    cache.mkdir()
+    (cache / "glove.txt").write_text("hello 1.0 2.0\n")
+    monkeypatch.setenv("ICRL_EMBEDDINGS_DIR", str(cache))
+    vecs = get_embeddings("glove")
+    assert set(vecs) == {"hello"}
+    assert loaded == ["conceptnet-numberbatch-17-06-300"]  # no second load
+
+
+@pytest.mark.slow
 def test_sgns_sparse_step_matches_dense_autodiff():
     """The sparse scatter-update SGNS step (the default — dense autodiff
     materializes a full-table gradient, ~157 MB/step for the fastText

@@ -1,5 +1,6 @@
 """Eval-path quirks Q8/Q9: with-replacement draws and 127-wide slices."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -79,6 +80,7 @@ def test_eval_compat_dump_merges_slice_boundaries(tmp_path):
     assert real_m[6] == real_c[6] + real_c[7]
 
 
+@pytest.mark.slow
 def test_eval_faithful_mode_runs_tail_unpadded(tmp_path):
     """Faithful (batch-mean) decode couples the whole slice (Q2a), so the
     ragged tail must run at its exact size — padded duplicates would

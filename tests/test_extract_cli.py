@@ -21,6 +21,7 @@ def images_dir(tmp_path):
     return str(d)
 
 
+@pytest.mark.slow
 def test_extract_writes_loader_compatible_h5(images_dir, tmp_path):
     out = str(tmp_path / "bundle")
     extract_main([
@@ -37,6 +38,7 @@ def test_extract_writes_loader_compatible_h5(images_dir, tmp_path):
     assert os.path.exists(os.path.join(out, "vgg16_fc7_pca.npz"))
 
 
+@pytest.mark.slow
 def test_extract_spmd_matches_plain(images_dir, tmp_path):
     """--spmd shards batches over the 8-device test mesh; the written
     table must equal the single-device run row-for-row."""
@@ -56,6 +58,7 @@ def test_extract_spmd_matches_plain(images_dir, tmp_path):
     np.testing.assert_allclose(b, a, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_streaming_pca_from_matches_fit_run(images_dir, tmp_path):
     """The --pca_from path streams blocks straight into both h5 tables
     (bounded RAM); its outputs must equal the in-memory fitting run's
@@ -79,6 +82,7 @@ def test_streaming_pca_from_matches_fit_run(images_dir, tmp_path):
         np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_extract_respects_file_list(images_dir, tmp_path):
     order = ["img_003.jpg", "img_000.jpg"]
     fl = tmp_path / "list.txt"
@@ -126,6 +130,7 @@ def test_fit_pca_rejects_k_above_sample_count():
         fit_pca(np.random.default_rng(0).standard_normal((8, 32)), k=16)
 
 
+@pytest.mark.slow
 def test_extract_refuses_refit_when_projection_exists(images_dir, tmp_path):
     """A second split must reuse the first split's PCA basis via
     --pca_from; refitting would write incompatible coordinates."""

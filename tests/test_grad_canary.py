@@ -50,6 +50,7 @@ def test_grads_agree_accepts_self_and_rejects_scale_and_direction():
     assert loops._grads_agree(flipped, g) is False  # cosine
 
 
+@pytest.mark.slow
 def test_policy_probe_rejects_value_preserving_vjp_corruption(monkeypatch):
     params = policy.init(jax.random.PRNGKey(0), CFG)
 

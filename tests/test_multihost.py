@@ -279,6 +279,7 @@ def test_mesh_trainer_single_process_matches_plain(tmp_path, monkeypatch):
     assert os.path.exists(paths_mesh["policy_network"])
 
 
+@pytest.mark.slow
 def test_mesh_a2c_training_single_process(tmp_path, monkeypatch):
     """a2c_training(mesh=...) runs the chunked loop over the 8-device
     mesh and matches the plain run (same keys, same stats)."""
@@ -375,6 +376,7 @@ def test_mesh_eval_bidirectional_falls_back_to_xla(tmp_path):
     assert open(paths["generated_captions_path"]).read()
 
 
+@pytest.mark.slow
 def test_mesh_a2c_curriculum_single_process(tmp_path):
     """a2c_curriculum_training(mesh=...) — chunked dispatch with the
     on-device skip rule over the mesh — matches the plain run."""
@@ -445,6 +447,7 @@ def test_mesh_value_trainer_single_process_matches_plain(tmp_path, monkeypatch):
                                    rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_worker_failure_fails_fast_without_hang(tmp_path):
     """Failure injection: one rank dies before joining the job. The
     launcher must surface a clean error within the drain window and

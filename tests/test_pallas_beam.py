@@ -1,5 +1,6 @@
 """Fused beam-search kernel vs the XLA beam (interpret mode)."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -57,6 +58,7 @@ def test_fused_beam_multi_tile_grid(rng_np):
     np.testing.assert_allclose(np.asarray(got_s), np.asarray(ref_s), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_fused_beam_pads_ragged_batch(rng_np):
     pp, vp = _models()
     feats = jnp.asarray(rand_features(rng_np, 5, CFG.input_dim))  # not a tile multiple

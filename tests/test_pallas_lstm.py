@@ -1,5 +1,6 @@
 """Fused LSTM-chain kernels vs the XLA scan (interpret mode)."""
 
+import pytest
 import functools
 
 import numpy as np
@@ -20,6 +21,7 @@ CFG = NetConfig(
 )
 
 
+@pytest.mark.slow
 def test_chain_forward_and_grads_match_lstm_scan(rng_np):
     n, t, e, h, v = 13, 7, 12, 14, 30  # ragged batch -> internal padding
     lp = lstm_init(jax.random.PRNGKey(0), e, h)
@@ -46,6 +48,7 @@ def test_chain_forward_and_grads_match_lstm_scan(rng_np):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_fused_policy_xe_loss_and_grads_match(rng_np):
     """policy_loss_fused == policy_loss (value and all gradients) — the
     Q5-weighted XE with the chain in Pallas, head/loss in XLA."""
@@ -104,6 +107,7 @@ def test_gru_chain_forward_and_grads_match_gru_scan(rng_np):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_fused_reward_vse_loss_and_grads_match(rng_np):
     from image_captioning_through_rl_tpu.models import reward
 
@@ -126,6 +130,7 @@ def test_fused_reward_vse_loss_and_grads_match(rng_np):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_fused_value_step_matches_xla_value_step(rng_np):
     """make_value_step(fused=True) with interpreted kernels equals the
     XLA value step (same rollout, same prefix, same update)."""

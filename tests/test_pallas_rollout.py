@@ -6,6 +6,7 @@ Pallas VJP must match jax.grad of the XLA rollout on every parameter
 leaf at float-rounding tolerance.
 """
 
+import pytest
 import numpy as np
 
 import jax
@@ -60,6 +61,7 @@ def test_fused_rollout_forward_matches_xla_exactly(rng_np):
         float(got_stats.mean_advantage), float(ref_stats.mean_advantage), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_fused_rollout_grads_match_jax_autodiff(rng_np):
     """The hand-written Pallas VJP vs jax.grad of the XLA rollout: every
     policy and value parameter leaf."""
@@ -77,6 +79,7 @@ def test_fused_rollout_grads_match_jax_autodiff(rng_np):
         )
 
 
+@pytest.mark.slow
 def test_fused_rollout_curriculum_and_per_step_mean(rng_np):
     """Teacher-forced prefixes (curr_seq_len > 1) and the curriculum's
     per-step-mean loss reduce identically, including gradients."""
@@ -92,6 +95,7 @@ def test_fused_rollout_curriculum_and_per_step_mean(rng_np):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_fused_rollout_pads_ragged_batch(rng_np):
     """Batch not a multiple of block_n: padded rows must not perturb the
     real rows' loss or gradients."""
@@ -106,6 +110,7 @@ def test_fused_rollout_pads_ragged_batch(rng_np):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_fused_step_trains(rng_np):
     """make_a2c_step(fused=True) integrates with the optimizer: params
     update and the loss stays finite over steps."""
@@ -140,6 +145,7 @@ def test_fused_step_trains(rng_np):
     changed = jax.tree.map(lambda a, b: not np.allclose(a, b), params, p)
     assert any(jax.tree.leaves(changed))
 
+@pytest.mark.slow
 def test_rollout_variants_match_xla_loss_and_grads(rng_np):
     """Round-3 kernel variants — in-kernel frozen-reward stream
     (fuse_reward) and gate-tape elision with backward recompute

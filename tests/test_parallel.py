@@ -58,6 +58,7 @@ def test_policy_step_dp_matches_single_device(batch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_a2c_step_dp_tp_matches_single_device(batch):
     """2-D mesh: batch over 'data', vocab tensor-parallel over 'model'."""
     feats, caps = batch
@@ -96,6 +97,7 @@ def test_greedy_decode_dp_matches_single_device(batch):
     np.testing.assert_array_equal(np.asarray(toks1), np.asarray(toks2))
 
 
+@pytest.mark.slow
 def test_sharded_decode_matches_single_device(rng_np):
     """Batch-sharded greedy and per-sample beam decode over the 8-way
     data mesh must equal single-device decode token-for-token (incl.
@@ -128,6 +130,7 @@ def test_sharded_decode_matches_single_device(rng_np):
     np.testing.assert_array_equal(np.asarray(got_t), np.asarray(ref_t))
 
 
+@pytest.mark.slow
 def test_sharded_sampling_matches_single_device(rng_np):
     """Batch-sharded stochastic decode over the 8-way data mesh equals
     the single-device sample token-for-token at equal keys — for ANY

@@ -40,6 +40,7 @@ def _args(coco_dir, workdir, **over):
     return types.SimpleNamespace(**base)
 
 
+@pytest.mark.slow
 def test_full_pipeline_train_test_score_reload(coco_dir, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     # -- feature-dim-32 fixture needs a matching NetConfig; shrink nets for speed
@@ -104,6 +105,7 @@ def test_full_pipeline_train_test_score_reload(coco_dir, tmp_path, monkeypatch):
     assert len(downloads) == len(best)
 
 
+@pytest.mark.slow
 def test_curriculum_pipeline(coco_dir, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     import importlib
@@ -153,6 +155,7 @@ def test_setup_falls_back_to_reference_pt_filenames(tmp_path, monkeypatch):
     assert network_paths["a2c_network"].endswith("a2cNetwork.ckpt")
 
 
+@pytest.mark.slow
 def test_spmd_pipeline(coco_dir, tmp_path, monkeypatch):
     """--spmd drives the whole CLI flow over the 8-virtual-device mesh:
     mesh-threaded trainers (GlobalBatcher path), sharded eval decode,

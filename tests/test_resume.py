@@ -138,6 +138,7 @@ def _run_plain(data, tmp_path, epochs, resume=False, tag="a"):
         train_state_path=state_path, resume_state=resume_state)
 
 
+@pytest.mark.slow
 def test_plain_resume_bit_identical(data, tmp_path):
     full = _run_plain(data, tmp_path, epochs=3, tag="full")
     _run_plain(data, tmp_path, epochs=1, tag="split")   # "interrupted"
@@ -145,6 +146,7 @@ def test_plain_resume_bit_identical(data, tmp_path):
     _trees_equal(full, resumed)
 
 
+@pytest.mark.slow
 def test_plain_resume_restores_optimizer_and_rng(data, tmp_path):
     """Teeth: weights-only resume (the reference's semantics — fresh
     Adam moments + fresh RNG) must NOT reproduce the uninterrupted run,
@@ -162,6 +164,7 @@ def test_plain_resume_restores_optimizer_and_rng(data, tmp_path):
     assert diffs > 0
 
 
+@pytest.mark.slow
 def test_plain_resume_completed_run_is_noop(data, tmp_path):
     done = _run_plain(data, tmp_path, epochs=2, tag="done")
     again = _run_plain(data, tmp_path, epochs=2, resume=True, tag="done")
@@ -217,6 +220,7 @@ def _run_curr(data, tmp_path, *, interrupt_after=None, resume=False,
         return None
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("interrupt_after", [1, 2, 3])
 def test_curriculum_resume_bit_identical(data, tmp_path, monkeypatch,
                                          interrupt_after):
@@ -233,6 +237,7 @@ def test_curriculum_resume_bit_identical(data, tmp_path, monkeypatch,
     _trees_equal(full, resumed)
 
 
+@pytest.mark.slow
 def test_curriculum_rejects_mismatched_levels(data, tmp_path):
     _run_curr(data, tmp_path, tag="mm", levels=(3, 8), epochs=1)
     params, rparams, tx, opt_state = _fresh()
@@ -248,6 +253,7 @@ def test_curriculum_rejects_mismatched_levels(data, tmp_path):
 # ---- orchestrator: --resume prefers the full snapshot ----
 
 
+@pytest.mark.slow
 def test_train_a2c_network_resume_roundtrip(data, tmp_path, capsys,
                                             monkeypatch):
     monkeypatch.setattr(loops, "_cfg_for", lambda d, b, nd=None: CFG)
@@ -283,6 +289,7 @@ def test_train_a2c_network_resume_roundtrip(data, tmp_path, capsys,
     _trees_equal(full, resumed)
 
 
+@pytest.mark.slow
 def test_train_a2c_network_weights_only_fallback(data, tmp_path, capsys,
                                                  monkeypatch):
     monkeypatch.setattr(loops, "_cfg_for", lambda d, b, nd=None: CFG)
@@ -318,6 +325,7 @@ def _run_policy(data, tmp_path, epochs, resume=False, tag="p"):
         chunk_steps=1, resume=resume)
 
 
+@pytest.mark.slow
 def test_policy_pretrainer_resume_bit_identical(data, tmp_path, monkeypatch):
     monkeypatch.setattr(loops, "_cfg_for", lambda d, b, nd=None: CFG)
     full = _run_policy(data, tmp_path, epochs=3, tag="pfull")
@@ -326,6 +334,7 @@ def test_policy_pretrainer_resume_bit_identical(data, tmp_path, monkeypatch):
     _trees_equal(full, resumed)
 
 
+@pytest.mark.slow
 def test_policy_pretrainer_chunked_resume(data, tmp_path, monkeypatch):
     """Same through the chunked-dispatch path (the default)."""
     monkeypatch.setattr(loops, "_cfg_for", lambda d, b, nd=None: CFG)
@@ -342,6 +351,7 @@ def test_policy_pretrainer_chunked_resume(data, tmp_path, monkeypatch):
     _trees_equal(full, resumed)
 
 
+@pytest.mark.slow
 def test_value_pretrainer_resume_restores_py_rng(data, tmp_path, monkeypatch):
     """The value trainer's stdlib prefix-length stream rides in the
     snapshot's extra slot; resume must continue it mid-stream."""
@@ -370,6 +380,7 @@ def test_value_pretrainer_resume_restores_py_rng(data, tmp_path, monkeypatch):
     _trees_equal(full, resumed)
 
 
+@pytest.mark.slow
 def test_pretrainer_resume_without_snapshot_is_fresh(data, tmp_path,
                                                      monkeypatch):
     monkeypatch.setattr(loops, "_cfg_for", lambda d, b, nd=None: CFG)
@@ -411,6 +422,7 @@ def test_snapshot_records_kernel_choice(data, tmp_path, monkeypatch):
     assert got["meta"]["fused"] is False
 
 
+@pytest.mark.slow
 def test_resume_pins_recorded_xla_choice(data, tmp_path, monkeypatch):
     """A snapshot recording fused=False must pin the XLA step on resume
     WITHOUT re-probing — a probe that suddenly verifies on the trained
@@ -427,6 +439,7 @@ def test_resume_pins_recorded_xla_choice(data, tmp_path, monkeypatch):
     assert resumed is not None  # completed through the pinned XLA path
 
 
+@pytest.mark.slow
 def test_resume_warns_when_recorded_fused_stops_verifying(
         data, tmp_path, monkeypatch, capsys):
     """fused=True recorded but the kernels no longer verify here: the
@@ -447,6 +460,7 @@ def test_resume_warns_when_recorded_fused_stops_verifying(
     assert "NOT bit-identical" in out
 
 
+@pytest.mark.slow
 def test_completed_pretrainer_resume_skips_probe_and_loop(
         data, tmp_path, monkeypatch, capsys):
     """Resuming a trainer whose snapshot already covers the requested
@@ -467,6 +481,7 @@ def test_completed_pretrainer_resume_skips_probe_and_loop(
     _trees_equal(done, again)
 
 
+@pytest.mark.slow
 def test_completed_a2c_resume_skips_probe(data, tmp_path, monkeypatch,
                                           capsys):
     monkeypatch.setattr(loops, "_cfg_for", lambda d, b, nd=None: CFG)

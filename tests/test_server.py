@@ -466,6 +466,7 @@ def test_caption_client_features_and_meta(server, rng_np):
     assert c.stats()["requests"] >= 4
 
 
+@pytest.mark.slow
 def test_caption_client_images(image_server, rng_np, tmp_path):
     """caption_images accepts paths, file objects, and raw bytes."""
     import base64
@@ -483,6 +484,7 @@ def test_caption_client_images(image_server, rng_np, tmp_path):
     assert out[0] == out[1] == out[2]  # same pixels, same caption
 
 
+@pytest.mark.slow
 def test_spmd_extractor_small_bucket_serves(rng_np):
     """A mesh-sharded extractor with an extraction bucket smaller than
     the chip count must warm up and serve (the bucket rounds up to the

@@ -1,5 +1,6 @@
 """Explicit shard_map DP step vs single-device numerics."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -85,6 +86,7 @@ def test_shard_map_matches_auto_spmd_gradient_structure(rng_np):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_shard_map_fused_rollout_matches_xla_rollout(rng_np):
     """DP shard_map with the fused Pallas rollout kernels (interpreted on
     the CPU mesh): identical update to the shard_map XLA-rollout step —

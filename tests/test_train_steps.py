@@ -155,6 +155,7 @@ def test_frozen_embeddings_stay_fixed(batch):
     )
 
 
+@pytest.mark.slow
 def test_a2c_chunk_curriculum_matches_single_steps_and_skips(rng_np):
     """The curriculum chunk step must equal running the same minibatches
     through single steps with the same per-slot keys, and must skip
@@ -208,6 +209,7 @@ def test_a2c_chunk_curriculum_matches_single_steps_and_skips(rng_np):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_a2c_training_identical_across_chunk_lengths(tmp_path):
     """The A2C epoch loop must be bit-identical for any chunk_steps
     setting: the host derives one rollout key per minibatch with the
@@ -238,6 +240,7 @@ def test_a2c_training_identical_across_chunk_lengths(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_a2c_curriculum_identical_across_chunk_lengths(tmp_path):
     """Same guarantee for the curriculum loop: skipped minibatches
     consume a key in both the chunked and single-step paths."""

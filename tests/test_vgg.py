@@ -45,6 +45,7 @@ def _torch_vgg16():
     return V()
 
 
+@pytest.mark.slow
 def test_fc7_matches_torch(rng_np):
     torch.manual_seed(0)
     oracle = _torch_vgg16().eval()
@@ -158,6 +159,7 @@ def test_jitted_fc7_caches_per_dtype():
     assert _jitted_fc7(None) is not _jitted_fc7(jnp.bfloat16)
 
 
+@pytest.mark.slow
 def test_pipelined_extraction_matches_per_batch_results(rng_np):
     """The async readback window (host loader / device compute overlap)
     must change nothing observable: more batches than _PIPELINE_DEPTH,
@@ -185,6 +187,7 @@ def test_pipelined_extraction_matches_per_batch_results(rng_np):
     np.testing.assert_allclose(got, np.asarray(want), rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_mesh_sharded_extraction_matches_single_device(rng_np):
     """mesh= shards each batch over the data axis; rows must come back
     identical (same program, same math — batch parallelism only)."""
@@ -222,6 +225,7 @@ def test_mesh_sharded_extraction_rejects_multiprocess(monkeypatch):
             mesh=mesh)
 
 
+@pytest.mark.slow
 def test_iter_features_streams_blocks_matching_extract(rng_np):
     """iter_features yields in-order numpy blocks whose concatenation is
     exactly extract_features' table (padding sliced per block) — the

@@ -105,8 +105,7 @@ class Captioner:
                 lambda pp, vp, f, s: beam_fn(pp, vp, cfg, dcfg, f, s)[:2]
             ))
 
-            if (self._mesh is not None and not faithful_beam
-                    and not cfg.bidirectional):
+            if self._mesh is not None and not faithful_beam:
                 if use_fused_kernel:
                     raise ValueError(
                         "use_fused_kernel=True cannot be honored on a mesh: "
@@ -143,7 +142,7 @@ class Captioner:
             toks, _ = xla_fn(self._policy, self._value, features, start)
             return np.asarray(toks[:, 0])
 
-        if self._mesh is not None and not cfg.bidirectional:
+        if self._mesh is not None:
             if use_fused_kernel:
                 raise ValueError(
                     "use_fused_kernel=True cannot be honored on a mesh: the "
@@ -239,8 +238,8 @@ class Captioner:
         request batch-sharded over the data axis
         (:func:`.parallel.serve.sharded_sample_tokens`) — token-exact
         vs single-device at equal seeds, the same contract as greedy
-        (bidirectional policies stay single-device on a mesh, exactly
-        like the greedy/beam paths). Single-device unidirectional
+        (bidirectional policies shard too, riding the full-prefix
+        decode, exactly like the greedy/beam paths). Single-device unidirectional
         FILTERED requests (top-k or nucleus on) default to the fused
         Pallas kernel behind *verified dispatch*
         (:mod:`.ops.pallas_sample`), same contract as greedy: the first
@@ -266,7 +265,7 @@ class Captioner:
             if num_samples > 1:  # greedy drafts are all identical
                 toks = np.repeat(toks[:, None, :], num_samples, axis=1)
             return toks
-        if self._mesh is not None and not cfg.bidirectional:
+        if self._mesh is not None:
             if use_fused_kernel:
                 raise ValueError(
                     "use_fused_kernel=True cannot be honored on a mesh: the "

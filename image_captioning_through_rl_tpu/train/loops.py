@@ -1538,9 +1538,9 @@ def test_a2c_network(
             a2c_params["policy"], a2c_params["value"], f, s
         )
         decode = xla_decode
-        if mesh is not None and not cfg.bidirectional:
-            # serve.sharded_beam_tokens shards the unidirectional beam;
-            # bidirectional models keep the (replicated-param) XLA beam
+        if mesh is not None:
+            # serve.sharded_beam_tokens shards the per-sample beam
+            # (bidirectional models ride its full-prefix variant)
             from ..parallel.serve import sharded_beam_tokens
 
             decode = lambda f, s: sharded_beam_tokens(  # noqa: E731

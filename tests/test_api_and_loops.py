@@ -176,6 +176,40 @@ def test_captioner_mesh_serving_matches_single_device(rng_np):
         plain.caption_tokens(feats, beam_size=3, use_fused_kernel=False))
 
 
+@pytest.mark.slow
+def test_captioner_mesh_serves_bidirectional_sharded(rng_np):
+    """A mesh-holding Captioner with a BIDIRECTIONAL model must shard
+    too (full-prefix decode family) — token-equal to the single-device
+    Captioner for greedy, beam, and sampling at equal seeds. Closes the
+    silent-single-device gap the sampling path used to have."""
+    import pytest as _pytest
+
+    from image_captioning_through_rl_tpu.api import Captioner
+    from image_captioning_through_rl_tpu.models import a2c
+    from image_captioning_through_rl_tpu.parallel import make_mesh
+
+    cfg = NetConfig(vocab_size=24, input_dim=8, wordvec_dim=10, hidden_dim=12,
+                    max_seq_len=6, bidirectional=True)
+    params = a2c.init(jax.random.PRNGKey(7), cfg)
+    idx_to_word = {i: f"w{i}" for i in range(cfg.vocab_size)}
+    feats = rand_features(rng_np, 13, cfg.input_dim)  # not a multiple of 8
+
+    plain = Captioner(params, cfg, idx_to_word)
+    meshy = Captioner(params, cfg, idx_to_word, mesh=make_mesh((8,), ("data",)))
+
+    np.testing.assert_array_equal(
+        meshy.caption_tokens(feats), plain.caption_tokens(feats))
+    np.testing.assert_array_equal(
+        meshy.caption_tokens(feats, beam_size=3),
+        plain.caption_tokens(feats, beam_size=3))
+    np.testing.assert_array_equal(
+        meshy.sample_tokens(feats, temperature=1.1, top_k=5, seed=3),
+        plain.sample_tokens(feats, temperature=1.1, top_k=5, seed=3))
+    # forcing the single-chip fused kernel on a mesh still errors
+    with _pytest.raises(ValueError, match="mesh"):
+        meshy.caption_tokens(feats, use_fused_kernel=True)
+
+
 def test_forced_fused_flags_error_on_incompatible_modes(tmp_path):
     """Explicitly forced fused kernels must ERROR on compat/bidi/mesh
     instead of silently serving a different program (the serving path's

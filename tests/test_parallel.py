@@ -179,9 +179,12 @@ def test_sharded_sampling_matches_single_device(rng_np):
         single.sample_tokens(feats, temperature=1.3, top_k=5, seed=9))
 
 
-def test_sharded_eval_writes_same_captions(tmp_path, rng_np):
+@pytest.mark.parametrize(
+    "bidi", [False, pytest.param(True, marks=pytest.mark.slow)])
+def test_sharded_eval_writes_same_captions(tmp_path, rng_np, bidi):
     """test_a2c_network(mesh=...) produces the same dump lines as the
-    single-device eval."""
+    single-device eval — including bidirectional models, whose mesh
+    eval rides the sharded full-prefix beam."""
     from image_captioning_through_rl_tpu.config import DecodeConfig, NetConfig
     from image_captioning_through_rl_tpu.data import load_data, make_synthetic_coco
     from image_captioning_through_rl_tpu.models import a2c
@@ -191,7 +194,8 @@ def test_sharded_eval_writes_same_captions(tmp_path, rng_np):
     coco = make_synthetic_coco(str(tmp_path / "coco"), num_val_images=10,
                                vocab_size=30, feature_dim=16, seed=13)
     data = load_data(coco)
-    cfg = NetConfig(vocab_size=30, input_dim=16, wordvec_dim=8, hidden_dim=8, max_seq_len=6)
+    cfg = NetConfig(vocab_size=30, input_dim=16, wordvec_dim=8, hidden_dim=8,
+                    max_seq_len=6, bidirectional=bidi)
     params = a2c.init(jax.random.PRNGKey(4), cfg)
 
     def run(sub, mesh):
@@ -325,3 +329,51 @@ def test_maybe_init_distributed_partial_env_raises(monkeypatch):
     monkeypatch.delenv("JAX_PROCESS_ID", raising=False)
     with pytest.raises(RuntimeError, match="incomplete"):
         maybe_init_distributed()
+
+
+@pytest.mark.slow
+def test_sharded_bidirectional_decode_matches_single_device(rng_np):
+    """Bidirectional policies shard too: the mesh paths route to the
+    full-prefix decode family (the backward direction re-reads the
+    prefix, so there is no carried-state scan), which is just as
+    batch-parallel — sharded greedy/beam/sampling must equal the
+    single-device full-prefix decode token-for-token, padding included."""
+    from image_captioning_through_rl_tpu.config import DecodeConfig, NetConfig
+    from image_captioning_through_rl_tpu.decode import (
+        beam_search_full_prefix,
+        greedy_decode_full_prefix,
+        sample_decode_n,
+    )
+    from image_captioning_through_rl_tpu.models import policy as policy_mod
+    from image_captioning_through_rl_tpu.models import value as value_mod
+    from image_captioning_through_rl_tpu.parallel import (
+        make_mesh,
+        sharded_beam_tokens,
+        sharded_greedy_tokens,
+        sharded_sample_tokens,
+    )
+
+    cfg = NetConfig(vocab_size=30, input_dim=12, wordvec_dim=14,
+                    hidden_dim=16, max_seq_len=6, bidirectional=True)
+    pp = policy_mod.init(jax.random.PRNGKey(0), cfg)
+    vp = value_mod.init(jax.random.PRNGKey(1), cfg)
+    n = 13  # not a multiple of 8
+    feats = jnp.asarray(rng_np.standard_normal((n, 12)).astype(np.float32))
+    start = jnp.ones(n, jnp.int32)
+    mesh = make_mesh((8,), ("data",))
+
+    ref_g = np.asarray(greedy_decode_full_prefix(pp, cfg, feats, start))
+    got_g = np.asarray(sharded_greedy_tokens(mesh, pp, cfg, feats, start))
+    np.testing.assert_array_equal(got_g, ref_g)
+
+    dcfg = DecodeConfig(beam_size=3, max_seq_len=6)
+    ref_t, _ = beam_search_full_prefix(pp, vp, cfg, dcfg, feats, start)
+    got_t, _ = sharded_beam_tokens(mesh, pp, vp, cfg, dcfg, feats, start)
+    np.testing.assert_array_equal(np.asarray(got_t), np.asarray(ref_t))
+
+    key = jax.random.PRNGKey(42)
+    ref_s = np.asarray(sample_decode_n(pp, cfg, feats, start, key, 1,
+                                       temperature=1.2, top_k=4))
+    got_s = np.asarray(sharded_sample_tokens(mesh, pp, cfg, feats, start, key,
+                                             temperature=1.2, top_k=4))
+    np.testing.assert_array_equal(got_s, ref_s[:, 0])

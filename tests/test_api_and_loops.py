@@ -182,8 +182,6 @@ def test_captioner_mesh_serves_bidirectional_sharded(rng_np):
     too (full-prefix decode family) — token-equal to the single-device
     Captioner for greedy, beam, and sampling at equal seeds. Closes the
     silent-single-device gap the sampling path used to have."""
-    import pytest as _pytest
-
     from image_captioning_through_rl_tpu.api import Captioner
     from image_captioning_through_rl_tpu.models import a2c
     from image_captioning_through_rl_tpu.parallel import make_mesh
@@ -206,7 +204,7 @@ def test_captioner_mesh_serves_bidirectional_sharded(rng_np):
         meshy.sample_tokens(feats, temperature=1.1, top_k=5, seed=3),
         plain.sample_tokens(feats, temperature=1.1, top_k=5, seed=3))
     # forcing the single-chip fused kernel on a mesh still errors
-    with _pytest.raises(ValueError, match="mesh"):
+    with pytest.raises(ValueError, match="mesh"):
         meshy.caption_tokens(feats, use_fused_kernel=True)
 
 

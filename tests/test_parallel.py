@@ -116,7 +116,7 @@ def test_sharded_decode_matches_single_device(rng_np):
     pp = policy_mod.init(jax.random.PRNGKey(0), cfg)
     vp = value_mod.init(jax.random.PRNGKey(1), cfg)
     n = 13  # not a multiple of 8
-    feats = jnp.asarray(rng_np.standard_normal((n, 12)).astype(np.float32))
+    feats = jnp.asarray(rand_features(rng_np, n, 12))
     start = jnp.ones(n, jnp.int32)
     mesh = make_mesh((8,), ("data",))
 
@@ -149,7 +149,7 @@ def test_sharded_sampling_matches_single_device(rng_np):
                     hidden_dim=16, max_seq_len=7)
     pp = policy_mod.init(jax.random.PRNGKey(0), cfg)
     n = 13  # not a multiple of 8
-    feats = jnp.asarray(rng_np.standard_normal((n, 12)).astype(np.float32))
+    feats = jnp.asarray(rand_features(rng_np, n, 12))
     start = jnp.ones(n, jnp.int32)
     mesh = make_mesh((8,), ("data",))
     key = jax.random.PRNGKey(42)
@@ -358,7 +358,7 @@ def test_sharded_bidirectional_decode_matches_single_device(rng_np):
     pp = policy_mod.init(jax.random.PRNGKey(0), cfg)
     vp = value_mod.init(jax.random.PRNGKey(1), cfg)
     n = 13  # not a multiple of 8
-    feats = jnp.asarray(rng_np.standard_normal((n, 12)).astype(np.float32))
+    feats = jnp.asarray(rand_features(rng_np, n, 12))
     start = jnp.ones(n, jnp.int32)
     mesh = make_mesh((8,), ("data",))
 

@@ -54,18 +54,24 @@ def bench_jax():
     xla_fn = lambda f, s: xla_jit(params, f, s)  # noqa: E731
     fused_fn = lambda f, s: fused_greedy_decode(params, f, s, max_len=T)  # noqa: E731
 
-    def rate(fn, iters=40):
+    def rate(fn, iters=25, windows=3):
         # sync via host readback: on tunneled backends block_until_ready
         # can return before device execution completes. Warm several
         # calls: the first post-compile round also pays a one-time
-        # program-upload cost.
+        # program-upload cost. Best of several ~1 s windows — the
+        # repo's measured methodology (per-variant minimum time): a
+        # single window inherits whatever tunnel/queue stall it lands
+        # on, which is most of the ±20-40% round-to-round drift.
         for _ in range(6):
             np.asarray(fn(feats, start))
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(feats, start)
-        np.asarray(out)
-        return JAX_BATCH * iters / (time.perf_counter() - t0)
+        best = 0.0
+        for _ in range(windows):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = fn(feats, start)
+            np.asarray(out)
+            best = max(best, JAX_BATCH * iters / (time.perf_counter() - t0))
+        return best
 
     best = rate(xla_fn)
     on_tpu = jax.devices()[0].platform != "cpu"
@@ -265,13 +271,17 @@ def bench_a2c_step() -> float:
         np.asarray(stats.loss)
         # 25 chained dispatches before the single sync: the tunnel's
         # ~25 ms round trip then biases the rate by <1% (see
-        # benchmarks/BENCHMARKS.md "tunnel RTT floor")
+        # benchmarks/BENCHMARKS.md "tunnel RTT floor"). Best of 3
+        # windows, same rationale as the decode rate() above.
         iters = 25
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            p, o, stats, _ = chunk(p, o, rparams, feats, caps, jnp.int32(1), keys)
-        np.asarray(stats.loss)
-        return iters * k / (time.perf_counter() - t0)
+        best = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                p, o, stats, _ = chunk(p, o, rparams, feats, caps, jnp.int32(1), keys)
+            np.asarray(stats.loss)
+            best = max(best, iters * k / (time.perf_counter() - t0))
+        return best
 
     try:
         return measure(steps.make_a2c_chunk_step(cfg, tx, fused=True))

@@ -321,8 +321,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "(TPU, unidirectional; ~1.5x the XLA step). Default is "
                         "auto: probe once, use them when they verify")
     p.add_argument("--input_dim", type=int, default=None,
-                   help="Image feature dimension (default 512 — the "
-                        "reference hard-codes this in models.py)")
+                   help="Image feature dimension (default: inferred from "
+                        "the dataset's feature width; the reference "
+                        "hard-codes 512 in models.py)")
     p.add_argument("--wordvec_dim", type=int, default=None,
                    help="Word embedding dimension (default 512; "
                         "pretrained vectors override it)")

@@ -67,6 +67,12 @@ def _cfg_for(data: CocoData, bidirectional: bool,
     net_dims = dict(net_dims or {})
     if data.embeddings is not None:
         net_dims.pop("wordvec_dim", None)
+    # input_dim must equal the dataset's feature width for any forward
+    # to run (the rollout consumes features directly), so infer it from
+    # the data unless explicitly overridden — the reference hard-codes
+    # 512 (models.py:17-18) and simply cannot run its own
+    # pca_features=False 4096-d variant (utilities.py:61-64).
+    net_dims.setdefault("input_dim", int(data.train_features.shape[-1]))
     return NetConfig.for_vocab(
         data.word_to_idx, data.embeddings, bidirectional=bidirectional,
         **net_dims

@@ -267,11 +267,17 @@ def test_cfg_for_net_dims_override_and_embedding_precedence():
                          {"input_dim": 64, "wordvec_dim": 24, "hidden_dim": 48})
     assert (cfg.input_dim, cfg.wordvec_dim, cfg.hidden_dim) == (64, 24, 48)
 
-    # defaults untouched when no overrides ride along
+    # with no overrides, input_dim is inferred from the dataset's
+    # feature width (it must match for any forward to run); the purely
+    # architectural dims keep the reference defaults
     cfg0 = loops._cfg_for(data, False, None)
     d = NetConfig(vocab_size=1)
     assert (cfg0.input_dim, cfg0.wordvec_dim, cfg0.hidden_dim) == (
-        d.input_dim, d.wordvec_dim, d.hidden_dim)
+        64, d.wordvec_dim, d.hidden_dim)
+
+    # an explicit override still wins over the inferred width
+    cfg1 = loops._cfg_for(data, False, {"input_dim": 512})
+    assert cfg1.input_dim == 512
 
     # pretrained vectors win over a conflicting --wordvec_dim
     data_emb = CocoData(embeddings=np.zeros((10, 32), np.float32), **base)

@@ -78,7 +78,10 @@ class TorchValueOracle(nn.Module):
         # clean per-sample semantics (our default mode)
         emb = self.caption_embedding(captions)  # [N, T, E]
         out, _ = self.lstm(emb.transpose(0, 1))  # time-major, zero init
-        state = torch.cat((features, out[-1]), dim=1)
+        rnn_out = out[-1]  # torch output[-1] convention (bidi: [N, 2H])
+        if self.bidirectional:
+            rnn_out = self.rnn_linear(rnn_out)
+        state = torch.cat((features, rnn_out), dim=1)
         return self.linear2(self.linear1(state))
 
 

@@ -197,11 +197,15 @@ class Captioner:
             )
         return self._mesh_params
 
-    def _dispatch_verified(self, key, fused_fn, xla_fn, *args):
+    def _dispatch_verified(self, key, fused_fn, xla_fn, *args,
+                           retry_args=None):
         """Auto dispatch through the shared :class:`VerifiedDispatch`
         (utils/dispatch.py): first call compares fused vs XLA tokens on
         the live batch; exact agreement locks in the kernel, anything
-        else (mismatch, or no Mosaic backend) locks in XLA."""
+        else (mismatch, or no Mosaic backend) locks in XLA. Stochastic
+        paths pass ``retry_args`` so a per-key canary coin flip (a top-2
+        gap inside cross-compiler matmul noise) re-canaries under fresh
+        keys instead of latching XLA for the server's lifetime."""
         from .utils.dispatch import VerifiedDispatch
 
         disp = self._fused_verdict.get(key)
@@ -216,7 +220,7 @@ class Captioner:
                           f"({why}); serving via XLA", file=sys.stderr)
 
             disp = VerifiedDispatch(fused_fn, xla_fn, equal=np.array_equal,
-                                    on_verdict=log)
+                                    on_verdict=log, retry_args=retry_args)
             self._fused_verdict[key] = disp
         return disp(*args)
 
@@ -283,7 +287,7 @@ class Captioner:
             )
             return np.asarray(toks)
         from .decode.sample import sample_decode_n
-        from .ops.pallas_sample import MAX_FUSED_ROWS
+        from .ops.pallas_sample import fused_rows_ok
 
         n = features.shape[0]
         use_top_p = top_p < 1.0  # 1.0 keeps all: skip the per-step sort
@@ -298,19 +302,23 @@ class Captioner:
         def xla_run(f, s, key, temp, tp):
             return np.asarray(fn(self._policy, f, s, key, temp, tp))
 
-        fusable = not cfg.bidirectional and n * num_samples <= MAX_FUSED_ROWS
+        fusable = (not cfg.bidirectional
+                   and fused_rows_ok(n * num_samples, cfg.vocab_size))
         if use_fused_kernel and not fusable:
             raise ValueError(
                 "use_fused_kernel=True cannot be honored: the fused sampling "
-                "kernel is unidirectional only and caps the row count at "
-                f"{MAX_FUSED_ROWS} (requested {n}x{num_samples})"
+                "kernel is unidirectional only and caps the row count at the "
+                "int32 threefry counter space (rows x vocab < 2**31; "
+                f"requested {n}x{num_samples} rows x {cfg.vocab_size} vocab)"
             )
-        # measured dispatch policy (benchmarks/MEASURED.md): the fused
-        # kernel beats XLA only when a filter is on (1.35-4.9x — it
-        # replaces the per-step lax.top_k/sort with 32-step bisection);
-        # PLAIN sampling is already matmul-bound in XLA and the fused
-        # path's streamed Gumbel tensor makes it a 0.3-0.8x LOSS, so
-        # unfiltered requests stay on the XLA scan by default.
+        # measured dispatch policy (BENCHMARKS.md round 5): the fused
+        # kernel beats XLA when a filter is on (1.56-5.02x — it replaces
+        # the per-step lax.top_k/sort with 32-step bisection, and with
+        # round 5's in-kernel threefry noise the old 8192-row cap is
+        # gone, so big filtered batches no longer cliff onto the sort);
+        # PLAIN sampling is still a measured fused loss (0.18-0.97x —
+        # XLA's unfiltered step is already matmul-bound), so unfiltered
+        # requests stay on the XLA scan by default.
         filtered = (0 < top_k < cfg.vocab_size) or use_top_p
 
         def fused_run(f, s, key, temp, tp):
@@ -330,6 +338,12 @@ class Captioner:
             # and replays it for every later batch size
             return np.asarray(toks).reshape(f.shape[0], num_samples, -1)
 
+        def rekey(attempt, f, s, key, temp, tp):
+            # fresh-canary retry: same batch, fold_in-derived key — a
+            # coin-flip divergence (tie inside matmul noise) re-rolls,
+            # a systematic kernel break fails under every key
+            return (f, s, jax.random.fold_in(key, attempt), temp, tp)
+
         args = (features, start, jax.random.PRNGKey(seed),
                 float(temperature), float(top_p))
         if fusable and use_fused_kernel:
@@ -337,7 +351,7 @@ class Captioner:
         elif fusable and filtered and use_fused_kernel is None:
             toks = self._dispatch_verified(
                 ("sample", top_k, use_top_p, num_samples),
-                fused_run, xla_run, *args)
+                fused_run, xla_run, *args, retry_args=rekey)
         else:
             toks = xla_run(*args)
         return toks[:, 0] if num_samples == 1 else toks

@@ -11,13 +11,23 @@ on-core with every weight resident in VMEM, via the rollout kernel's
 
 Sampling parity (the verified-dispatch contract, utils/dispatch.py):
 
-* the per-step Gumbel noise is generated OUTSIDE the kernel with the
+* the per-step Gumbel noise is generated IN-KERNEL on the VPU with the
   exact key schedule ``sample_decode`` uses (carry ``key``; per step
-  ``key, sub = split(key)``; ``categorical(sub, scaled)``) and streamed
-  in step-major — the Gumbel-max trick IS ``jax.random.categorical``,
-  so the fused decode reproduces the XLA path's drawn tokens (bit-exact
-  under the interpreter; bf16-class on hardware, where XLA's DEFAULT
-  matmuls are bf16 too — the canary batch decides at serve time).
+  ``key, sub = split(key)``; ``categorical(sub, scaled)``): only the
+  tiny ``[steps, 2]`` subkey table enters the kernel, and each logit
+  element recomputes its own draw as ``threefry2x32(subkey, counter)``
+  — jax's *partitionable* threefry assigns every element of a
+  ``random_bits`` call the independent 64-bit counter ``(0, flat_idx)``
+  and takes ``y0 ^ y1`` of the hash (jax._src.prng's
+  ``_threefry_random_bits_partitionable``), so the noise is a pure
+  elementwise function of (subkey, row*vocab+col) — no HBM stream, no
+  cross-element coupling, bit-exact vs ``jax.random.gumbel`` on both
+  CPU and Mosaic (measured: the 20-round int32 hash, the bits->f32
+  uniform map, and the double-log all agree bitwise). The Gumbel-max
+  trick IS ``jax.random.categorical``, so the fused decode reproduces
+  the XLA path's drawn tokens (bit-exact under the interpreter;
+  bf16-class on hardware, where XLA's DEFAULT matmuls are bf16 too —
+  the canary batch decides at serve time).
 * the top-k / top-p filters are computed WITHOUT a sort: both reduce to
   "keep logits >= the row's threshold value", and the threshold is
   found by 32-step bisection over a total-order-preserving f32->int32
@@ -31,18 +41,23 @@ beam trainers.py:75-130); sampling is a framework-added decode mode
 (see ..decode.sample), so the bar here is the fused greedy/beam
 kernels', not a reference translation.
 
-Memory: the streamed Gumbel tensor is ``[S*N, Vp]`` f32 in HBM —
-O(steps x batch x vocab). Callers cap the fused path's batch (api.py
-routes oversized sampled batches to the XLA scan) so this stays a few
-hundred MB at most.
+Memory: nothing scales with steps x batch x vocab any more (round 4
+streamed a ``[S*N, Vp]`` f32 Gumbel tensor through HBM, which made
+plain sampling a measured loss and forced an 8192-row cap). The only
+size limit left is the int32 counter space: per-step flat indices are
+``row * vocab + col``, so the padded batch must satisfy
+``n_pad * vocab < 2**31`` (:func:`fused_rows_ok`) — ~2M rows at COCO's
+1004-word vocab.
 
-Measured dispatch policy (v5e, COCO shapes — benchmarks/MEASURED.md):
-FILTERED sampling is 1.35x (top-k @1024) to 4.9x (top-k+top-p @8192)
-faster fused — the XLA scan pays a full-vocab ``lax.top_k``/sort per
-step. PLAIN sampling is a fused LOSS (0.28-0.80x): XLA's unfiltered
-step is already matmul-bound with its Gumbel draw fused on-the-fly,
-while this kernel pays the streamed Gumbel tensor's HBM round trip.
-api.py therefore serves unfiltered requests via XLA.
+Measured dispatch policy (v5e, COCO shapes — BENCHMARKS.md round 5,
+benchmarks/exp_sample_noise.py): FILTERED sampling is 1.56x (top-k
+@1024) to 5.02x (top-k+top-p @32768) faster fused — the XLA scan pays
+a full-vocab ``lax.top_k``/sort per step, and the lifted row cap means
+large filtered batches no longer cliff onto that sort. PLAIN sampling
+stays an honest fused LOSS (0.18x @1024 -> 0.97x @32768; XLA's
+unfiltered step is already matmul-bound), so api.py keeps unfiltered
+requests on the XLA scan — see BENCHMARKS.md round 5 for the ledger
+and the noise-cost control.
 """
 
 from __future__ import annotations
@@ -51,15 +66,78 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_decode import VMEM_LIMIT, _NEG, _lstm_gate_split, _round_up
 
-# Largest fused-path batch (rows x samples): above this the streamed
-# Gumbel tensor (steps x n x vocab f32) stops paying for the resident
-# weights it saves. 8192 rows x 16 steps x 1024 vocab = 512 MB HBM.
-MAX_FUSED_ROWS = 8192
+def fused_rows_ok(rows: int, vocab: int, block_n: int = 1024) -> bool:
+    """Whether a ``rows``-row batch fits the fused path's threefry
+    counter space: per-step flat counters are ``row * vocab + col`` in
+    int32, so the PADDED batch must keep ``n_pad * vocab < 2**31``
+    (~2M rows at COCO's 1004-word vocab). This replaced round 4's
+    8192-row Gumbel-stream cap — with in-kernel noise there is no
+    per-row HBM cost left to bound."""
+    rows = max(int(rows), 1)
+    bn = min(block_n, _round_up(rows, 128))
+    return _round_up(rows, bn) * vocab < 2**31
+
+
+_TINY = np.float32(1.1754944e-38)  # np.finfo(np.float32).tiny
+
+
+def threefry2x32_bits(k0: jax.Array, k1: jax.Array, idx: jax.Array
+                      ) -> jax.Array:
+    """Per-element random bits of jax's PARTITIONABLE threefry: the
+    20-round threefry-2x32 hash of the 64-bit counter ``(hi=0, lo=idx)``
+    under key ``(k0, k1)``, output ``y0 ^ y1`` — exactly
+    ``random_bits(key, 32, shape)`` for arrays smaller than 2**32
+    elements (jax._src.prng._threefry_random_bits_partitionable; the
+    repo pins ``jax_threefry_partitionable=True``, the jax>=0.4.30
+    default). All int32 (Mosaic has no uint32 path): two's-complement
+    wraparound adds, logical shifts, and xors are bit-identical to the
+    uint32 reference. ``idx`` must be < 2**31 (:func:`fused_rows_ok`).
+
+    Pure jnp — runs identically inside a Pallas kernel body (VPU),
+    under jit, and in the parity unit tests.
+    """
+    i32 = jnp.int32
+    ks2 = k0 ^ k1 ^ i32(0x1BD11BDA)
+
+    def rot(x, d):
+        return jax.lax.shift_left(x, i32(d)) | jax.lax.shift_right_logical(
+            x, i32(32 - d))
+
+    def rounds(x0, x1, rots):
+        for d in rots:
+            x0 = x0 + x1
+            x1 = rot(x1, d)
+            x1 = x0 ^ x1
+        return x0, x1
+
+    r0, r1 = (13, 15, 26, 6), (17, 29, 16, 24)
+    x0 = jnp.zeros_like(idx) + k0
+    x1 = idx + k1
+    x0, x1 = rounds(x0, x1, r0)
+    x0, x1 = rounds(x0 + k1, x1 + (ks2 + i32(1)), r1)
+    x0, x1 = rounds(x0 + ks2, x1 + (k0 + i32(2)), r0)
+    x0, x1 = rounds(x0 + k0, x1 + (k1 + i32(3)), r1)
+    x0, x1 = rounds(x0 + k1, x1 + (ks2 + i32(4)), r0)
+    return (x0 + ks2) ^ (x1 + (k0 + i32(5)))
+
+
+def gumbel_from_bits(bits: jax.Array) -> jax.Array:
+    """Random bits -> standard Gumbel, reproducing ``jax.random.gumbel``
+    (mode="low", the default) bit for bit: mantissa-fill uniform in
+    ``[0, 1)`` (``(bits >> 9) | 0x3f800000`` bitcast f32, minus 1), the
+    ``uniform(minval=tiny, maxval=1)`` affine map, then
+    ``-log(-log(u))`` — VPU transcendentals are bitwise identical to
+    XLA's (CLAUDE.md TPU numerics facts)."""
+    fb = jax.lax.shift_right_logical(bits, jnp.int32(9)) | jnp.int32(0x3F800000)
+    f = jax.lax.bitcast_convert_type(fb, jnp.float32) - jnp.float32(1.0)
+    u = jnp.maximum(_TINY, f * (jnp.float32(1.0) - _TINY) + _TINY)
+    return -jnp.log(-jnp.log(u))
 
 
 def monotone_keys(x: jax.Array) -> jax.Array:
@@ -141,9 +219,10 @@ def filter_scaled_logits(scaled: jax.Array, k, p, use_top_k: bool,
     return scaled
 
 
-def _kernel(feats_ref, start_ref, gumbel_ref, temp_ref, k_ref, p_ref,
+def _kernel(feats_ref, start_ref, keys_ref, temp_ref, k_ref, p_ref,
             wc_ref, bc_ref, emb_ref, wi_ref, wh_ref, b_ref, wo_ref, bo_ref,
-            out_ref, h_s, c_s, tok_s, *, use_top_k: bool, use_top_p: bool):
+            out_ref, h_s, c_s, tok_s, *, use_top_k: bool, use_top_p: bool,
+            vocab: int):
     f32 = jnp.float32
     s = pl.program_id(1)
     bn = feats_ref.shape[0]
@@ -176,8 +255,20 @@ def _kernel(feats_ref, start_ref, gumbel_ref, temp_ref, k_ref, p_ref,
     scaled = filter_scaled_logits(logits / temp_ref[0, 0], k_ref[0, 0],
                                   p_ref[0, 0], use_top_k, use_top_p)
 
-    # Gumbel-max draw == jax.random.categorical with the same key
-    noisy = scaled + gumbel_ref[:]
+    # Gumbel-max draw == jax.random.categorical with the same key: this
+    # step's [n, vocab] draw is recomputed elementwise on the VPU from
+    # the step subkey and the element's flat counter row*vocab + col
+    # (partitionable threefry — see threefry2x32_bits). Padded rows and
+    # columns hash garbage counters, but Gumbel noise is bounded
+    # (~[-4.5, 16.6]) and padded columns carry _NEG logits, so they
+    # never win the argmax; padded rows are sliced away by the caller.
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (bn, vp), 0)
+    flat = (pl.program_id(0) * bn + row_ids) * vocab + col_ids
+    # keys live whole in SMEM ([steps, 2] i32 — a Mosaic-legal scalar
+    # block; tiny (1, 2) VMEM tiles violate the (8, 128) tiling rule)
+    gumbel = gumbel_from_bits(
+        threefry2x32_bits(keys_ref[s, 0], keys_ref[s, 1], flat))
+    noisy = scaled + gumbel
     m = jnp.max(noisy, axis=-1, keepdims=True)
     nxt = jnp.min(jnp.where(noisy == m, col_ids, vp), axis=1).astype(
         jnp.int32).reshape(1, bn)
@@ -220,17 +311,20 @@ def _fused_sample(params, features, start_tokens, rng, temp, k, p, *,
     n_pad = _round_up(n, block_n)
     tiles = n_pad // block_n
     wd = weight_dtype
+    if n_pad * vocab >= 2**31:
+        raise ValueError(
+            f"fused sampling: {n} rows x {vocab} vocab exceeds the int32 "
+            "threefry counter space (n_pad * vocab must stay < 2**31) — "
+            "route through the XLA scan or chunk the batch"
+        )
 
-    # Gumbel noise with the XLA path's exact keys at the REAL (n, vocab)
-    # shape (threefry is position-keyed row-major, so padding columns
-    # would shift every counter; pad with zeros afterwards instead)
+    # The XLA path's exact per-step subkeys ([steps, 2] raw words, a few
+    # hundred bytes) — the per-element Gumbel noise itself is recomputed
+    # in-kernel from these via partitionable threefry
     subs = sample_step_keys(rng, steps)
-    gumbel = jax.vmap(lambda kk: jax.random.gumbel(kk, (n, vocab), f32))(subs)
-    gum_sm = (
-        jnp.zeros((steps, n_pad, vp), f32)
-        .at[:, :n, :vocab].set(gumbel)
-        .reshape(steps * n_pad, vp)
-    )
+    raw = subs if jnp.issubdtype(subs.dtype, jnp.integer) else (
+        jax.random.key_data(subs))
+    keys_i32 = jax.lax.bitcast_convert_type(raw, jnp.int32)
 
     emb = jnp.zeros((vp, emb_dim), wd).at[:vocab].set(params["embedding"].astype(wd))
     wo = jnp.zeros((hidden, vp), wd).at[:, :vocab].set(params["head"]["w"].astype(wd))
@@ -252,15 +346,15 @@ def _fused_sample(params, features, start_tokens, rng, temp, k, p, *,
     tile = lambda i, s: (i, 0)  # noqa: E731
     tile_minor = lambda i, s: (0, i)  # noqa: E731
     whole = lambda i, s: (0, 0)  # noqa: E731
-    stream = lambda i, s: (s * tiles + i, 0)  # noqa: E731
 
     out = pl.pallas_call(
-        functools.partial(_kernel, use_top_k=use_top_k, use_top_p=use_top_p),
+        functools.partial(_kernel, use_top_k=use_top_k, use_top_p=use_top_p,
+                          vocab=vocab),
         grid=(tiles, steps),
         in_specs=[
             vm((block_n, feat_dim), tile),
             vm((1, block_n), tile_minor),
-            vm((block_n, vp), stream),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             vm((1, 1), whole), vm((1, 1), whole), vm((1, 1), whole),
             vm((feat_dim, hidden), whole), vm((1, hidden), whole),
             vm((vp, emb_dim), whole),
@@ -281,7 +375,7 @@ def _fused_sample(params, features, start_tokens, rng, temp, k, p, *,
         ),
         interpret=interpret,
     )(
-        feats, start, gum_sm,
+        feats, start, keys_i32,
         jnp.full((1, 1), temp, f32), jnp.full((1, 1), k, jnp.int32),
         jnp.full((1, 1), p, f32),
         wc, bc, emb, wi, wh, b, wo, bo,

@@ -16,12 +16,14 @@ from image_captioning_through_rl_tpu.decode.sample import (
 )
 from image_captioning_through_rl_tpu.models import policy
 from image_captioning_through_rl_tpu.ops.pallas_sample import (
-    MAX_FUSED_ROWS,
     filter_scaled_logits,
+    fused_rows_ok,
     fused_sample_decode,
+    gumbel_from_bits,
     keyspace_threshold,
     monotone_keys,
     sample_step_keys,
+    threefry2x32_bits,
 )
 
 from torch_oracles import rand_features
@@ -90,6 +92,42 @@ def test_filter_keep_set_matches_filter_logits(rng_np, k, p):
     # surviving logits pass through unchanged
     keep = np.isfinite(ref)
     np.testing.assert_array_equal(ref[keep], got[keep])
+
+
+@pytest.mark.parametrize("seed,shape", [(0, (13, 200)), (7, (5, 7)),
+                                        (123, (128, 1024)), (9, (640, 41))])
+def test_inkernel_gumbel_is_bitexact(seed, shape):
+    """The kernel's per-element threefry+Gumbel recomputation IS
+    jax.random.gumbel under partitionable threefry: same 20-round hash
+    of counter (0, flat_idx), same bits->uniform->double-log map, bit
+    for bit (odd shapes included — the partitionable path has no
+    pairing/padding step)."""
+    assert jax.config.jax_threefry_partitionable  # the jax>=0.4.30 default
+    key = jax.random.PRNGKey(seed)
+    kd = jax.lax.bitcast_convert_type(key, jnp.int32)
+    idx = jnp.arange(int(np.prod(shape)), dtype=jnp.int32).reshape(shape)
+    got = np.asarray(gumbel_from_bits(threefry2x32_bits(kd[0], kd[1], idx)))
+    ref = np.asarray(jax.random.gumbel(key, shape, jnp.float32))
+    np.testing.assert_array_equal(got.view(np.int32), ref.view(np.int32))
+
+
+def test_fused_rows_ok_counter_space():
+    """The fused-path guard tracks the int32 counter space on the
+    PADDED batch: row*vocab+col must stay below 2**31."""
+    assert fused_rows_ok(8192, 1004)          # round 4's cap, now fine
+    assert fused_rows_ok(2_000_000, 1004)
+    assert not fused_rows_ok(2_200_000, 1004)  # 2.2M*1004 > 2**31
+    assert not fused_rows_ok(2**31 // 40, 40)  # padding pushes it over
+    with pytest.raises(ValueError, match="counter space"):
+        # the wrapper re-checks at trace time — eval_shape triggers the
+        # guard without allocating the (huge) feature batch
+        pp = policy.init(jax.random.PRNGKey(0), CFG)
+        rows = 2**31 // CFG.vocab_size + 128
+        jax.eval_shape(
+            lambda f, s: fused_sample_decode(
+                pp, f, s, jax.random.PRNGKey(0), interpret=True),
+            jax.ShapeDtypeStruct((rows, CFG.input_dim), jnp.float32),
+            jax.ShapeDtypeStruct((rows,), jnp.int32))
 
 
 def test_sample_step_keys_match_scan_schedule():
@@ -239,8 +277,10 @@ def test_api_force_fused_raises_oversized_and_bidirectional(rng_np):
     cap, cfg = _small_captioner()
     feats = rand_features(rng_np, 4, cfg.input_dim)
     with pytest.raises(ValueError, match="caps the row count"):
+        # 4 * 2**27 rows x 40 vocab blows the int32 counter space; the
+        # guard fires before any tiling/allocation happens
         cap.sample_tokens(feats, use_fused_kernel=True,
-                          num_samples=MAX_FUSED_ROWS)
+                          num_samples=2**27)
     bicap, bicfg = _small_captioner(bidirectional=True)
     bifeats = rand_features(rng_np, 4, bicfg.input_dim)
     with pytest.raises(ValueError, match="cannot be honored"):

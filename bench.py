@@ -10,6 +10,18 @@ trainers.py:57-70) — which is the baseline named in BASELINE.json
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "captions/sec/chip", "vs_baseline": N}
+
+The line also carries a ``paths`` sub-dict so a round-over-round move in
+the headline is attributable to the path that moved (the headline alone
+drifts ±5% across processes — BENCHMARKS.md "per-path drift envelope"):
+decode paths (``greedy_xla``/``greedy_fused`` @32768, ``beam5_fused``
+@1024, ``sample_plain_xla``/``sample_filtered_fused`` @8192) in
+captions/s; training paths (``policy_step``/``reward_step``/
+``value_step``/``a2c_step``, chunked k=16 @512) in steps/s. Every path
+uses the same best-of-3-windows protocol with >=500 ms windows. Health
+fields: ``fused_ok`` (TPU kernel parity checks), ``fused_grads_ok``
+(hand-written VJPs vs autodiff), ``fastmetrics_ok`` (native C++ metric
+kernels tie the pure-Python scorers at 1e-12).
 """
 
 import json
@@ -54,30 +66,71 @@ def bench_jax():
     xla_fn = lambda f, s: xla_jit(params, f, s)  # noqa: E731
     fused_fn = lambda f, s: fused_greedy_decode(params, f, s, max_len=T)  # noqa: E731
 
-    def rate(fn, iters=25, windows=3):
+    def rate(fn, n_items, iters=None, windows=3):
         # sync via host readback: on tunneled backends block_until_ready
         # can return before device execution completes. Warm several
         # calls: the first post-compile round also pays a one-time
-        # program-upload cost. Best of several ~1 s windows — the
+        # program-upload cost. Best of several >=500 ms windows — the
         # repo's measured methodology (per-variant minimum time): a
         # single window inherits whatever tunnel/queue stall it lands
         # on, which is most of the ±20-40% round-to-round drift.
         for _ in range(6):
-            np.asarray(fn(feats, start))
+            out = fn()
+        np.asarray(jax.tree.leaves(out)[0])
+        if iters is None:
+            # size the window off a chained 8-call probe (one trailing
+            # ~25 ms tunnel RTT amortized over the chain)
+            t0 = time.perf_counter()
+            for _ in range(8):
+                out = fn()
+            np.asarray(jax.tree.leaves(out)[0])
+            per = max((time.perf_counter() - t0) / 8, 1e-4)
+            iters = max(8, int(0.6 / per) + 1)
         best = 0.0
         for _ in range(windows):
             t0 = time.perf_counter()
             for _ in range(iters):
-                out = fn(feats, start)
-            np.asarray(out)
-            best = max(best, JAX_BATCH * iters / (time.perf_counter() - t0))
+                out = fn()
+            np.asarray(jax.tree.leaves(out)[0])
+            best = max(best, n_items * iters / (time.perf_counter() - t0))
         return best
 
-    best = rate(xla_fn)
+    paths = {"greedy_xla": rate(lambda: xla_fn(feats, start), JAX_BATCH, iters=25)}
     on_tpu = jax.devices()[0].platform != "cpu"
+
+    # sampling, plain (XLA is the production default for unfiltered
+    # requests — api.py dispatch policy) at the serving batch
+    from image_captioning_through_rl_tpu.decode.sample import sample_decode
+
+    s_n = 8192
+    s_feats, s_start = feats[:s_n], start[:s_n]
+    skey0 = jax.random.PRNGKey(5)
+    plain_jit = jax.jit(lambda p, f, s, k: sample_decode(
+        p, cfg, f, s, k, max_len=T, temperature=0.9))
+    paths["sample_plain_xla"] = rate(
+        lambda: plain_jit(params, s_feats, s_start, skey0), s_n)
+
     fused_ok = False
     try:
-        best = max(best, rate(fused_fn))
+        paths["greedy_fused"] = rate(lambda: fused_fn(feats, start), JAX_BATCH,
+                                     iters=25)
+        # sampling, filtered (fused kernel is the production default
+        # behind verified dispatch) and the fused beam-5 eval path
+        from image_captioning_through_rl_tpu.ops.pallas_sample import (
+            fused_sample_decode)
+
+        paths["sample_filtered_fused"] = rate(
+            lambda: fused_sample_decode(
+                params, s_feats, s_start, skey0, max_len=T, temperature=0.9,
+                top_k=8, top_p=0.9), s_n)
+        from image_captioning_through_rl_tpu.ops.pallas_beam import fused_beam_search
+
+        vparams = value.init(jax.random.PRNGKey(1), cfg)
+        b_n = 1024
+        paths["beam5_fused"] = rate(
+            lambda: fused_beam_search(params, vparams, feats[:b_n],
+                                      start[:b_n], max_len=T, beam=5,
+                                      block_n=0)[0], b_n)
         # Health check 1: token-exact greedy agreement on briefly-
         # trained weights between the PRODUCTION-DEFAULT fused kernel
         # (bf16-resident weights — the path serving actually runs) and
@@ -136,9 +189,6 @@ def bench_jax():
                   f"{(stoks_f != stoks_x).any(axis=-1).sum()} rows diverged",
                   file=sys.stderr)
         # Health check 3: the fused beam kernel compiles and runs
-        from image_captioning_through_rl_tpu.ops.pallas_beam import fused_beam_search
-
-        vparams = value.init(jax.random.PRNGKey(1), cfg)
         btoks, _ = fused_beam_search(
             tparams, vparams, feats[:127], start[:127], max_len=T, beam=5, block_n=0
         )
@@ -195,7 +245,7 @@ def bench_jax():
               f"on_tpu={on_tpu}", file=sys.stderr)
         fused_ok = False
         grads_ok = False
-    return best, fused_ok, grads_ok
+    return paths, fused_ok, grads_ok
 
 
 def bench_torch_cpu() -> float:
@@ -233,14 +283,16 @@ def bench_torch_cpu() -> float:
     return TORCH_BATCH * iters / dt
 
 
-def bench_a2c_step() -> float:
-    """A2C training steps/sec at 512 episodes (BASELINE's second metric:
-    'A2C step time at speed-of-light on one v5e'). Measures the actual
-    default training path — the chunked dispatch (k=16 minibatch updates
-    per jitted scan, steps.make_a2c_chunk_step) over the fused Pallas
-    rollout when it runs (TPU), else the XLA scan rollout — so the
-    number reflects device throughput rather than the tunneled host's
-    per-dispatch round trip."""
+def bench_train_paths() -> dict:
+    """Training steps/sec at 512 episodes for the four production
+    training paths — policy XE, reward VSE, value MSE, A2C — each on
+    its actual default dispatch: k=16 minibatch updates per jitted scan
+    (steps.make_*_chunk_step, the trainers' chunk_steps default) over
+    the fused Pallas chains when the backend lowers them (TPU), else
+    the XLA twins. ``a2c_step`` is BASELINE's second metric ('A2C step
+    time at speed-of-light on one v5e'). Chained dispatches with one
+    trailing readback keep the tunnel's ~25 ms round trip below 1% of
+    the window; best of 3 windows, like the decode rate()."""
     import jax
     import jax.numpy as jnp
 
@@ -249,7 +301,7 @@ def bench_a2c_step() -> float:
     from image_captioning_through_rl_tpu.train import optim, steps
 
     cfg = NetConfig(vocab_size=VOCAB, input_dim=FEAT, wordvec_dim=HID, hidden_dim=HID)
-    params = a2c.init(jax.random.PRNGKey(0), cfg)
+    aparams = a2c.init(jax.random.PRNGKey(0), cfg)
     rparams = reward.init(jax.random.PRNGKey(1), cfg)
     rng = np.random.default_rng(0)
     k = 16  # the trainers' default chunk length (loops.py chunk_steps)
@@ -259,40 +311,118 @@ def bench_a2c_step() -> float:
     caps[:, :, -1] = 2
     caps = jnp.asarray(caps)
     tx = optim.adam(1e-4)
-    key = jax.random.PRNGKey(7)
-    keys = jax.random.split(key, k)  # one per-minibatch key, the chunk contract
+    keys = jax.random.split(jax.random.PRNGKey(7), k)  # per-minibatch keys
+    plens = jnp.asarray(rng.integers(1, T, size=(k,)).astype(np.int32))
+    inf = jnp.float32(np.inf)
 
-    def measure(chunk):
+    def measure(params0, call, iters=25):
         # the chunk donates params/opt: thread them like the trainer does
-        p = jax.tree.map(jnp.array, params)
+        p = jax.tree.map(jnp.array, params0)
         o = tx.init(p)
         for _ in range(6):
-            p, o, stats, _ = chunk(p, o, rparams, feats, caps, jnp.int32(1), keys)
-        np.asarray(stats.loss)
-        # 25 chained dispatches before the single sync: the tunnel's
-        # ~25 ms round trip then biases the rate by <1% (see
-        # benchmarks/BENCHMARKS.md "tunnel RTT floor"). Best of 3
-        # windows, same rationale as the decode rate() above.
-        iters = 25
+            p, o, sync = call(p, o)
+        np.asarray(jax.tree.leaves(sync)[0])
         best = 0.0
         for _ in range(3):
             t0 = time.perf_counter()
             for _ in range(iters):
-                p, o, stats, _ = chunk(p, o, rparams, feats, caps, jnp.int32(1), keys)
-            np.asarray(stats.loss)
+                p, o, sync = call(p, o)
+            np.asarray(jax.tree.leaves(sync)[0])
             best = max(best, iters * k / (time.perf_counter() - t0))
         return best
 
+    def try_fused(make, params0, mk_call):
+        try:  # fused chains need Mosaic (real TPU); fall back to XLA
+            return measure(params0, mk_call(make(True)))
+        except Exception:
+            return measure(params0, mk_call(make(False)))
+
+    return {
+        "policy_step": try_fused(
+            lambda f: steps.make_policy_chunk_step(cfg, tx, fused=f),
+            aparams["policy"],
+            lambda c: lambda p, o: c(p, o, inf, feats, caps)[:3]),
+        "reward_step": try_fused(
+            lambda f: steps.make_reward_chunk_step(cfg, tx, fused=f),
+            rparams,
+            lambda c: lambda p, o: c(p, o, inf, feats, caps)[:3]),
+        "value_step": try_fused(
+            lambda f: steps.make_value_chunk_step(cfg, tx, fused=f),
+            aparams["value"],
+            lambda c: lambda p, o: c(p, o, inf, aparams["policy"], rparams,
+                                     feats, caps, plens)[:3]),
+        "a2c_step": try_fused(
+            lambda f: steps.make_a2c_chunk_step(cfg, tx, fused=f),
+            aparams,
+            lambda c: lambda p, o: c(p, o, rparams, feats, caps,
+                                     jnp.int32(1), keys)[:3]),
+    }
+
+
+def bench_fastmetrics() -> bool:
+    """Native C++ metric kernels (native/fastmetrics.cpp) vs the pure-
+    Python scorers on a synthetic corpus — the golden tie the suite
+    proves (tests/test_native_metrics.py), witnessed in the driver's
+    bench artifact so a silent native->Python fallback (or a numerics
+    drift) surfaces as ``fastmetrics_ok: false``."""
+    import sys
+
+    from image_captioning_through_rl_tpu.metrics.bleu import corpus_bleu
+    from image_captioning_through_rl_tpu.metrics.cider import cider
+    from image_captioning_through_rl_tpu.metrics.meteor import meteor_sentence
+    from image_captioning_through_rl_tpu.metrics.native import (
+        cider_native,
+        corpus_bleu_native,
+        meteor_scores_native,
+        rouge_scores_native,
+    )
+    from image_captioning_through_rl_tpu.metrics.rouge import rouge_l_sentence
+
+    rng = np.random.default_rng(5)
+    words = ("a the of on in at dog cat man woman park red blue runs sits "
+             "holding small large two").split()
+
+    def sent():
+        n = int(rng.integers(4, 14))
+        return " ".join(words[i] for i in rng.integers(0, len(words), n))
+
+    refs = {i: [sent(), sent()] for i in range(200)}
+    hypos = {i: [sent()] for i in range(200)}
     try:
-        return measure(steps.make_a2c_chunk_step(cfg, tx, fused=True))
-    except Exception:
-        return measure(steps.make_a2c_chunk_step(cfg, tx))
+        nb = corpus_bleu_native(refs, hypos)
+        nc = cider_native(refs, hypos)
+        nr = rouge_scores_native(refs, hypos)
+        nm = meteor_scores_native(refs, hypos)
+        if any(x is None for x in (nb, nc, nr, nm)):
+            print("[bench] native metric kernels unavailable (toolchain?)",
+                  file=sys.stderr)
+            return False
+        pb = corpus_bleu(refs, hypos)
+        pc = cider(refs, hypos)
+        pr = [rouge_l_sentence(hypos[i][0], refs[i]) for i in hypos]
+        pm = [meteor_sentence(hypos[i][0], refs[i]) for i in hypos]
+        ok = (np.allclose(nb, pb, rtol=1e-12, atol=0)
+              and np.isclose(nc, pc, rtol=1e-12, atol=0)
+              and np.allclose(nr, pr, rtol=1e-12, atol=0)
+              and np.allclose(nm, pm, rtol=1e-12, atol=0))
+        if not ok:
+            print(f"[bench] fastmetrics drift: bleu {nb} vs {pb}, cider "
+                  f"{nc} vs {pc}, rouge/meteor max |d| = "
+                  f"{np.abs(np.subtract(nr, pr)).max():.2e}/"
+                  f"{np.abs(np.subtract(nm, pm)).max():.2e}", file=sys.stderr)
+        return bool(ok)
+    except Exception as e:
+        print(f"[bench] fastmetrics check failed ({type(e).__name__}: {e})",
+              file=sys.stderr)
+        return False
 
 
 def main() -> None:
-    jax_cps, fused_ok, grads_ok = bench_jax()
+    paths, fused_ok, grads_ok = bench_jax()
     torch_cps = bench_torch_cpu()
-    a2c_sps = bench_a2c_step()
+    paths.update(bench_train_paths())
+    fastmetrics_ok = bench_fastmetrics()
+    jax_cps = max(paths.get("greedy_fused", 0.0), paths["greedy_xla"])
     # Baseline protocol: JAX runs JAX_BATCH=32768/dispatch (one chip's
     # saturating serving batch); torch-CPU runs TORCH_BATCH=128. The
     # asymmetry favors the baseline: eager torch-CPU throughput was
@@ -308,7 +438,12 @@ def main() -> None:
         "vs_baseline": round(jax_cps / torch_cps, 2),
         "fused_ok": fused_ok,
         "fused_grads_ok": grads_ok,
-        "a2c_steps_per_sec_512ep": round(a2c_sps, 2),
+        "fastmetrics_ok": fastmetrics_ok,
+        "a2c_steps_per_sec_512ep": round(paths["a2c_step"], 2),
+        # per-path attribution (VERDICT r04 item 3): decode paths in
+        # captions/s (greedy @32768, beam5 @1024, sampling @8192),
+        # *_step paths in steps/s (chunked k=16 @512 episodes)
+        "paths": {k: round(v, 2) for k, v in paths.items()},
     }))
 
 

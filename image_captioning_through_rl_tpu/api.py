@@ -19,10 +19,8 @@ from .config import DecodeConfig, NetConfig
 from .data.coco import CocoData, decode_captions
 from .decode import (
     beam_search,
-    beam_search_full_prefix,
     fused_greedy_decode,
     greedy_decode,
-    greedy_decode_full_prefix,
 )
 
 
@@ -95,9 +93,9 @@ class Captioner:
                 from .decode.beam_compat import beam_search_compat
 
                 beam_fn = beam_search_compat
-            elif cfg.bidirectional:
-                beam_fn = beam_search_full_prefix
             else:
+                # carried-state beam serves both direction modes (the
+                # bidi step is one extra backward cell — models/policy.py)
                 beam_fn = beam_search
             # [:2]: beam_search_compat also returns its Q1 carry (reset
             # per call here — the reference resets per slice)
@@ -157,9 +155,7 @@ class Captioner:
             )
 
         xla_fn = self._get("greedy", lambda: jax.jit(
-            lambda pp, f, s: (
-                greedy_decode_full_prefix if cfg.bidirectional else greedy_decode
-            )(pp, cfg, f, s)
+            lambda pp, f, s: greedy_decode(pp, cfg, f, s)
         ))
 
         def fused(f, s):
@@ -242,8 +238,8 @@ class Captioner:
         request batch-sharded over the data axis
         (:func:`.parallel.serve.sharded_sample_tokens`) — token-exact
         vs single-device at equal seeds, the same contract as greedy
-        (bidirectional policies shard too, riding the full-prefix
-        decode, exactly like the greedy/beam paths). Single-device unidirectional
+        (bidirectional policies shard too, riding the same carried
+        scan — models/policy.py). Single-device unidirectional
         FILTERED requests (top-k or nucleus on) default to the fused
         Pallas kernel behind *verified dispatch*
         (:mod:`.ops.pallas_sample`), same contract as greedy: the first

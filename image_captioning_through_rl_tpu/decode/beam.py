@@ -43,7 +43,6 @@ import jax.numpy as jnp
 from ..config import DecodeConfig, NetConfig
 from ..models import policy as policy_mod
 from ..models import value as value_mod
-from ..ops.rnn import lstm_cell
 
 
 def _gather_beam(tree, idx: jax.Array):
@@ -68,7 +67,10 @@ def beam_search(
 
     Args:
       policy_params / value_params: actor and critic parameters
-        (unidirectional; the critic's clean per-sample semantics).
+        (either direction mode — bidirectional policies/critics carry
+        the forward state and recompute the single backward cell the
+        last position needs, see models/policy.py; the critic uses the
+        clean per-sample semantics).
       features: ``[N, F]`` image features.
       start_tokens: ``[N]`` <START> ids.
 
@@ -124,12 +126,11 @@ def beam_search(
             return jnp.broadcast_to(x[:, :, None], (n, b, b) + x.shape[2:])
 
         emb = value_params["embedding"][topk_idx]  # [N, B, B, E]
-        vh, vc = jax.tree.map(tile_exp, val_state)
-        vh_new, vc_new = lstm_cell(
-            value_params["lstm"], emb, (vh, vc), precision=cfg.precision
+        vstate_new = value_mod.rnn_step_emb(
+            value_params, cfg, emb, jax.tree.map(tile_exp, val_state)
         )
-        values = value_mod.value_head(
-            value_params, cfg, tile_exp(feats_beam), vh_new
+        values = value_mod.value_from_state(
+            value_params, cfg, tile_exp(feats_beam), vstate_new
         )[..., 0]  # [N, B, B]
 
         # 3) accumulate scores (reference trainers.py:97-98).
@@ -167,7 +168,7 @@ def beam_search(
             expand = (slice(None),) * 2 + (None,) * (xf.ndim - 2)
             return jnp.take_along_axis(xf, sel[expand], axis=1)
 
-        new_val_state = (gather_exp(vh_new), gather_exp(vc_new))
+        new_val_state = jax.tree.map(gather_exp, vstate_new)
 
         # 6) advance the actor with the chosen token (carried state
         #    replaces the reference's full-prefix re-run, trainers.py:92).

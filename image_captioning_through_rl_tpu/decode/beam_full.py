@@ -1,15 +1,15 @@
 """Value-guided beam search via full-prefix re-encoding.
 
-The carried-state beam in :mod:`.beam` is exact for unidirectional
-policies. A *bidirectional* policy (reference ``--bidirectional``,
-models.py:68) re-reads the prefix right-to-left each step, so candidate
-state cannot be carried; this variant re-encodes every candidate each
-step, exactly like the reference loop (trainers.py:89-101), with the
-step loop unrolled in Python so each prefix length is a static shape
-inside one jitted graph.
-
-Works for unidirectional models too (useful as a reference-exact
-oracle); ~T times more recurrent work than the carried-state beam.
+The reference-literal loop (trainers.py:89-101): re-encode every
+candidate's whole prefix each step, unrolled in Python so each prefix
+length is a static shape inside one jitted graph. The carried-state
+beam in :mod:`.beam` now matches it for BOTH direction modes — a
+bidirectional policy/critic (reference ``--bidirectional``,
+models.py:68) reads only the last position per step, whose backward
+hidden is one cell from the fixed backward initial state
+(models/policy.py) — so this variant's remaining role is the
+reference-exact oracle for parity tests; it costs ~T times more
+recurrent work than the carried-state beam.
 """
 
 from __future__ import annotations

@@ -29,7 +29,10 @@ def greedy_decode(
     start_tokens: jax.Array,
     max_len: int | None = None,
 ) -> jax.Array:
-    """Greedy argmax decode with carried LSTM state (unidirectional).
+    """Greedy argmax decode with carried LSTM state (both direction
+    modes — the bidirectional step carries the forward state and
+    recomputes the single backward cell the last position needs, see
+    models/policy.py).
 
     Args:
       params: policy parameters.
@@ -64,12 +67,15 @@ def greedy_decode_full_prefix(
 ) -> jax.Array:
     """Greedy decode that re-encodes the whole prefix each step.
 
-    Literal reference semantics (trainers.py:67-69) — O(T^2), but valid
-    for *bidirectional* policies, where the backward direction re-reads
-    the (exact, unpadded) prefix each step, so carried state cannot
-    replace the re-encode. The step loop is unrolled in Python: each
-    iteration's prefix length is static, so the whole decode still jits
-    as one graph of 16 growing forwards.
+    Literal reference semantics (trainers.py:67-69) — O(T^2). Kept as
+    the reference-exact oracle for BOTH direction modes: the carried
+    :func:`greedy_decode` now matches it for bidirectional policies too
+    (decode reads only the last position, whose backward hidden is one
+    cell from the fixed backward initial state — models/policy.py), so
+    this variant's remaining role is parity testing, not serving. The
+    step loop is unrolled in Python: each iteration's prefix length is
+    static, so the whole decode still jits as one graph of 16 growing
+    forwards.
     """
     max_len = max_len or cfg.max_seq_len
     toks = [start_tokens.astype(jnp.int32)]

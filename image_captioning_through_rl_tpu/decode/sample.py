@@ -75,7 +75,9 @@ def sample_decode(
     top_k: int = 0,
     top_p=None,
 ) -> jax.Array:
-    """Ancestral sampling with carried LSTM state (unidirectional).
+    """Ancestral sampling with carried LSTM state (both direction
+    modes — see models/policy.py for why the bidirectional step is
+    exactly steppable).
 
     Same contract as :func:`..decode.greedy.greedy_decode` — returns
     ``[N, max_len]`` int32 ids starting with ``start_tokens``, always
@@ -117,11 +119,12 @@ def sample_decode_full_prefix(
     top_p=None,
 ) -> jax.Array:
     """Sampling decode that re-encodes the whole prefix each step —
-    required for *bidirectional* policies, whose backward pass re-reads
-    the prefix (same structure as ``greedy_decode_full_prefix``). The
-    Python-unrolled loop still jits as one graph of growing forwards;
-    the per-step key schedule matches :func:`sample_decode`, so for a
-    unidirectional policy the two are bit-identical.
+    the reference-literal O(T^2) oracle (same structure as
+    ``greedy_decode_full_prefix``; :func:`sample_decode` now serves
+    bidirectional policies too). The Python-unrolled loop still jits as
+    one graph of growing forwards; the per-step key schedule matches
+    :func:`sample_decode`, so the two are bit-identical in either
+    direction mode.
     """
     max_len = max_len or cfg.max_seq_len
     toks = [start_tokens.astype(jnp.int32)]
@@ -156,6 +159,8 @@ def sample_decode_n(
     n = features.shape[0]
     feats = jnp.repeat(features, num_samples, axis=0)
     starts = jnp.repeat(start_tokens, num_samples, axis=0)
-    fn = (sample_decode_full_prefix if cfg.bidirectional else sample_decode)
-    toks = fn(params, cfg, feats, starts, rng, **kw)
+    # carried-state decode serves BOTH direction modes (the bidi step
+    # needs only one backward cell per token — models/policy.py); the
+    # full-prefix variant stays as the reference-literal oracle
+    toks = sample_decode(params, cfg, feats, starts, rng, **kw)
     return toks.reshape(n, num_samples, toks.shape[-1])

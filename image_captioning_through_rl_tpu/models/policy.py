@@ -16,9 +16,17 @@ Two forward paths:
     stepping that carries ``(h, c)``, making autoregressive decode O(T)
     instead of the reference's O(T^2) (quirk Q6, trainers.py:67-69).
     For a unidirectional LSTM the carried recurrence is exactly
-    equivalent to re-encoding the prefix. Incremental stepping is not
-    defined for bidirectional decoders (the backward direction would
-    need the future); use :func:`forward` there.
+    equivalent to re-encoding the prefix. Bidirectional decode
+    (models.py:76-77) is ALSO O(T)-steppable, which is not obvious:
+    decoding reads only the LAST position's logits, and the backward
+    direction's hidden AT the last position of any prefix is the FIRST
+    step of its right-to-left scan — a single cell applied to the
+    current token from the (fixed) initial backward state, independent
+    of the rest of the prefix. The bidi step therefore carries the
+    forward ``(h, c)`` as usual and recomputes that one backward cell
+    per token, producing logits identical to the full-prefix re-encode
+    (the ``*_full_prefix`` decode family stays as the reference-literal
+    oracle; equality is pinned by tests/test_bidirectional.py).
 """
 
 from __future__ import annotations
@@ -82,21 +90,36 @@ def forward(params: dict, cfg: NetConfig, features: jax.Array, captions: jax.Arr
     return jnp.swapaxes(logits, 0, 1)
 
 
-def init_decode_state(params: dict, cfg: NetConfig, features: jax.Array) -> LSTMState:
-    """Initial carried LSTM state for incremental decode (unidirectional)."""
-    if cfg.bidirectional:
-        raise ValueError("incremental decode requires a unidirectional policy")
+def init_decode_state(params: dict, cfg: NetConfig, features: jax.Array):
+    """Initial carried state for incremental decode.
+
+    Unidirectional: the forward ``(h, c)``. Bidirectional:
+    ``(fwd (h, c), bwd_init (h, c))`` — the backward initial state rides
+    along unchanged because each step's backward contribution is one
+    cell from it (see module docstring)."""
     return _initial_states(params, cfg, features)
 
 
 def step(
-    params: dict, cfg: NetConfig, tokens: jax.Array, state: LSTMState
-) -> Tuple[jax.Array, LSTMState]:
+    params: dict, cfg: NetConfig, tokens: jax.Array, state
+) -> Tuple[jax.Array, "LSTMState"]:
     """Consume one token per sample; return next-token logits and new state.
 
-    ``tokens: [N]`` int ids -> ``(logits [N, V], state)``.
+    ``tokens: [N]`` int ids -> ``(logits [N, V], state)``. Exact for
+    both directions: bidirectional mode advances the carried forward
+    ``(h, c)`` and applies ONE backward cell to the current token from
+    the carried (constant) backward initial state — the backward scan's
+    value at the prefix's last position, which is all decode reads.
     """
     x = params["embedding"][tokens]  # [N, E]
+    if cfg.bidirectional:
+        fwd, bwd_init = state
+        new_fwd = lstm_cell(params["lstm_fwd"], x, fwd, precision=cfg.precision)
+        h_bwd, _ = lstm_cell(params["lstm_bwd"], x, bwd_init,
+                             precision=cfg.precision)
+        logits = dense(jnp.concatenate([new_fwd[0], h_bwd], axis=-1),
+                       params["head"], precision=cfg.precision)
+        return logits, (new_fwd, bwd_init)
     new_state = lstm_cell(params["lstm"], x, state, precision=cfg.precision)
     logits = dense(new_state[0], params["head"], precision=cfg.precision)
     return logits, new_state

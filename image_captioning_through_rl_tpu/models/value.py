@@ -101,23 +101,49 @@ def forward(params: dict, cfg: NetConfig, features: jax.Array, captions: jax.Arr
     return value_head(params, cfg, features, encode(params, cfg, captions))
 
 
-# --- incremental stepping (unidirectional) ---------------------------------
+# --- incremental stepping --------------------------------------------------
+#
+# Unidirectional state: the forward ``(h, c)``. Bidirectional state:
+# ``(fwd (h, c), h_bwd_last)`` — :func:`encode` reads ``hs[-1]``, whose
+# backward half is the reverse scan's value AT the last position, i.e.
+# ONE backward cell applied to the last token from the zero initial
+# state (independent of the rest of the prefix). So incremental value
+# encoding is exact for bidirectional critics too: advance the forward
+# ``(h, c)``, recompute that single backward cell per token.
 
-def zero_rnn_state(cfg: NetConfig, batch: int, dtype=jnp.float32) -> LSTMState:
+def zero_rnn_state(cfg: NetConfig, batch: int, dtype=jnp.float32):
     z = jnp.zeros((batch, cfg.hidden_dim), dtype=dtype)
+    if cfg.bidirectional:
+        return ((z, z), z)
     return (z, z)
 
 
-def rnn_step(params: dict, cfg: NetConfig, tokens: jax.Array, state: LSTMState) -> LSTMState:
-    """Advance the caption encoder by one token per sample."""
+def rnn_step_emb(params: dict, cfg: NetConfig, x: jax.Array, state):
+    """Advance the caption encoder by one already-embedded token
+    ``x [..., E]`` per row (any leading shape — the beam expands
+    candidates as ``[N, B, B, E]``)."""
     if cfg.bidirectional:
-        raise ValueError("incremental value encoding requires unidirectional mode")
-    x = params["embedding"][tokens]
+        fwd, _ = state
+        new_fwd = lstm_cell(params["lstm_fwd"], x, fwd, precision=cfg.precision)
+        z = jnp.zeros(x.shape[:-1] + (cfg.hidden_dim,), x.dtype)
+        h_bwd, _ = lstm_cell(params["lstm_bwd"], x, (z, z),
+                             precision=cfg.precision)
+        return (new_fwd, h_bwd)
     return lstm_cell(params["lstm"], x, state, precision=cfg.precision)
 
 
-def value_from_state(params: dict, cfg: NetConfig, features: jax.Array, state: LSTMState) -> jax.Array:
+def rnn_step(params: dict, cfg: NetConfig, tokens: jax.Array, state):
+    """Advance the caption encoder by one token id per sample."""
+    return rnn_step_emb(params, cfg, params["embedding"][tokens], state)
+
+
+def value_from_state(params: dict, cfg: NetConfig, features: jax.Array, state) -> jax.Array:
     """Value of the prefix whose encoding is carried in ``state``. -> ``[N, 1]``."""
+    if cfg.bidirectional:
+        (h_f, _), h_bwd = state
+        rnn_out = dense(jnp.concatenate([h_f, h_bwd], axis=-1),
+                        params["rnn_linear"], precision=cfg.precision)
+        return value_head(params, cfg, features, rnn_out)
     return value_head(params, cfg, features, state[0])
 
 

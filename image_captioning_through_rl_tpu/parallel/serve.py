@@ -26,9 +26,8 @@ from jax.sharding import Mesh
 
 from ..config import DecodeConfig, NetConfig
 from ..decode.beam import beam_search
-from ..decode.beam_full import beam_search_full_prefix
-from ..decode.greedy import greedy_decode, greedy_decode_full_prefix
-from ..decode.sample import sample_decode, sample_decode_full_prefix
+from ..decode.greedy import greedy_decode
+from ..decode.sample import sample_decode
 from .sharding import _spans_processes as _multiprocess, replicate, shard_batch
 
 
@@ -43,9 +42,9 @@ def _pad_to_multiple(x: jax.Array, multiple: int) -> Tuple[jax.Array, int]:
 # jit wrappers are cached per static config: a fresh jax.jit(lambda) per
 # call would key the jit cache on the new wrapper object and re-trace +
 # re-compile the whole decode program every invocation (per eval slice).
-# Bidirectional policies route to the full-prefix decode family (the
-# backward direction re-reads the prefix each step) — still strictly
-# batch-parallel, so they shard exactly like the carried-state paths.
+# The carried-state decode family serves BOTH direction modes (a bidi
+# step needs only one backward cell per token — models/policy.py), so
+# bidirectional policies no longer pay the O(T^2) full-prefix re-encode.
 # On a multi-process mesh the token outputs are all-gathered to the
 # replicated layout (out_shardings) so every host can read them back —
 # a sharded global array is not addressable outside its owning processes.
@@ -56,8 +55,7 @@ def _greedy_jit(cfg: NetConfig, mesh: Optional[Mesh] = None):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         out = NamedSharding(mesh, P())
-    fn = greedy_decode_full_prefix if cfg.bidirectional else greedy_decode
-    return jax.jit(lambda p, f, s: fn(p, cfg, f, s), out_shardings=out)
+    return jax.jit(lambda p, f, s: greedy_decode(p, cfg, f, s), out_shardings=out)
 
 
 @functools.lru_cache(maxsize=None)
@@ -67,9 +65,8 @@ def _beam_jit(cfg: NetConfig, dcfg: DecodeConfig, mesh: Optional[Mesh] = None):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         out = NamedSharding(mesh, P())
-    fn = beam_search_full_prefix if cfg.bidirectional else beam_search
     return jax.jit(
-        lambda p, v, f, s: fn(p, v, cfg, dcfg, f, s), out_shardings=out
+        lambda p, v, f, s: beam_search(p, v, cfg, dcfg, f, s), out_shardings=out
     )
 
 
@@ -81,9 +78,8 @@ def _sample_jit(cfg: NetConfig, top_k: int, use_top_p: bool,
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         out = NamedSharding(mesh, P())
-    fn = sample_decode_full_prefix if cfg.bidirectional else sample_decode
     return jax.jit(
-        lambda p, f, s, key, temp, tp: fn(
+        lambda p, f, s, key, temp, tp: sample_decode(
             p, cfg, f, s, key,
             temperature=temp, top_k=top_k, top_p=tp if use_top_p else None,
         ),
@@ -106,8 +102,8 @@ def sharded_sample_tokens(
     """Stochastic decode with the batch sharded over ``mesh``'s data
     axis — the sampling twin of :func:`sharded_greedy_tokens`
     (sampling is batch-parallel by construction, so the only cross-chip
-    traffic is the launch; bidirectional policies ride the full-prefix
-    variant with the identical key schedule).
+    traffic is the launch; bidirectional policies ride the same carried
+    scan — models/policy.py).
 
     Token-exact vs the single-device :func:`..decode.sample
     .sample_decode_n` with the same key for ANY batch size: the per-step

@@ -1534,19 +1534,17 @@ def test_a2c_network(
             a2c_params["policy"], a2c_params["value"], f, s
         )[:2]
     else:
-        if cfg.bidirectional:
-            from ..decode.beam_full import beam_search_full_prefix as beam_fn
-        else:
-            beam_fn = beam_search
-        # params as jit arguments (closures embed them as program constants)
-        decode_jit = jax.jit(lambda pp, vp, f, s: beam_fn(pp, vp, cfg, dcfg, f, s))
+        # carried-state beam serves both direction modes (bidi: one
+        # extra backward cell per step — models/policy.py); params as
+        # jit arguments (closures embed them as program constants)
+        decode_jit = jax.jit(lambda pp, vp, f, s: beam_search(pp, vp, cfg, dcfg, f, s))
         xla_decode = lambda f, s: decode_jit(  # noqa: E731
             a2c_params["policy"], a2c_params["value"], f, s
         )
         decode = xla_decode
         if mesh is not None:
             # serve.sharded_beam_tokens shards the per-sample beam
-            # (bidirectional models ride its full-prefix variant)
+            # (bidirectional models ride the same carried scan)
             from ..parallel.serve import sharded_beam_tokens
 
             decode = lambda f, s: sharded_beam_tokens(  # noqa: E731

@@ -351,7 +351,10 @@ def _make_value_step_compat(cfg: NetConfig, tx: optax.GradientTransformation):
 
 def _make_value_step_bidirectional(cfg: NetConfig, tx: optax.GradientTransformation):
 
-    from ..decode.greedy import greedy_decode_full_prefix
+    # carried-state greedy is exact for bidirectional policies too
+    # (models/policy.py; equality pinned in tests/test_bidirectional.py)
+    # and replaces the O(T^2) full-prefix re-encode in this rollout
+    from ..decode.greedy import greedy_decode
 
     def loss_fn(vparams, features, gen_prefix, rewards):
         values = value_mod.forward(vparams, cfg, features, gen_prefix)
@@ -359,7 +362,7 @@ def _make_value_step_bidirectional(cfg: NetConfig, tx: optax.GradientTransformat
 
     @functools.partial(jax.jit, static_argnums=(6,))
     def step(vparams, opt_state, pparams, rparams, features, captions, prefix_len):
-        gen_caps = greedy_decode_full_prefix(pparams, cfg, features, captions[:, 0])
+        gen_caps = greedy_decode(pparams, cfg, features, captions[:, 0])
         ve, se = reward_mod.forward(rparams, cfg, features, gen_caps)
         rewards = jax.lax.stop_gradient(cosine_embedding_reward(ve, se)[:, None])
         loss, grads = jax.value_and_grad(loss_fn)(

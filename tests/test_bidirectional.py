@@ -218,3 +218,71 @@ def test_bidirectional_faithful_beam_matches_stateful_torch_oracle(rng_np):
     (hf, cf), (hb, cb) = carry
     np.testing.assert_allclose(np.asarray(hf), val.hidden_cell[0][0, 0].numpy(), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(hb), val.hidden_cell[0][1, 0].numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_bidirectional_carried_decode_family_equals_full_prefix(rng_np):
+    """The carried-state decode family is exact for BIDIRECTIONAL
+    policies too (round 5): decode reads only the prefix's last
+    position, and the backward direction's hidden there is its reverse
+    scan's FIRST step — one cell applied to the current token from the
+    fixed backward initial state (models/policy.py). Token-for-token
+    against the reference-literal full-prefix oracles for greedy,
+    sampling, and both beam modes."""
+    from image_captioning_through_rl_tpu.decode import (
+        greedy_decode,
+        greedy_decode_full_prefix,
+        sample_decode,
+        sample_decode_full_prefix,
+    )
+
+    pp = policy.init(jax.random.PRNGKey(2), CFG_BI)
+    vp = value.init(jax.random.PRNGKey(3), CFG_BI)
+    n = 6
+    feats = jnp.asarray(rand_features(rng_np, n, CFG_BI.input_dim))
+    start = jnp.ones(n, jnp.int32)
+
+    np.testing.assert_array_equal(
+        np.asarray(greedy_decode(pp, CFG_BI, feats, start)),
+        np.asarray(greedy_decode_full_prefix(pp, CFG_BI, feats, start)))
+
+    key = jax.random.PRNGKey(11)
+    for kw in (dict(temperature=0.9, top_k=5),
+               dict(temperature=1.2, top_p=jnp.float32(0.8))):
+        np.testing.assert_array_equal(
+            np.asarray(sample_decode(pp, CFG_BI, feats, start, key, **kw)),
+            np.asarray(sample_decode_full_prefix(
+                pp, CFG_BI, feats, start, key, **kw)))
+
+    for per_sample in (True, False):
+        dcfg = DecodeConfig(beam_size=3, max_seq_len=CFG_BI.max_seq_len,
+                            per_sample_beams=per_sample)
+        t1, s1 = beam_search(pp, vp, CFG_BI, dcfg, feats, start)
+        t2, s2 = beam_search_full_prefix(pp, vp, CFG_BI, dcfg, feats, start)
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_bidirectional_incremental_state_matches_batched_forward(rng_np):
+    """policy.step / value.rnn_step carry exact bidirectional state:
+    at every prefix length the stepped logits/value equal the batched
+    full-prefix forward's last position."""
+    pp = policy.init(jax.random.PRNGKey(4), CFG_BI)
+    vp = value.init(jax.random.PRNGKey(5), CFG_BI)
+    n = 5
+    feats = jnp.asarray(rand_features(rng_np, n, CFG_BI.input_dim))
+    caps = jnp.asarray(
+        rand_captions(rng_np, n, CFG_BI.max_seq_len, VOCAB).astype(np.int32))
+
+    pstate = policy.init_decode_state(pp, CFG_BI, feats)
+    vstate = value.zero_rnn_state(CFG_BI, n)
+    for t in range(CFG_BI.max_seq_len - 1):
+        logits, pstate = policy.step(pp, CFG_BI, caps[:, t], pstate)
+        full = policy.forward(pp, CFG_BI, feats, caps[:, : t + 1])[:, -1, :]
+        np.testing.assert_allclose(np.asarray(logits), np.asarray(full),
+                                   rtol=1e-5, atol=1e-5)
+        vstate = value.rnn_step(vp, CFG_BI, caps[:, t], vstate)
+        v_inc = value.value_from_state(vp, CFG_BI, feats, vstate)
+        v_full = value.forward(vp, CFG_BI, feats, caps[:, : t + 1])
+        np.testing.assert_allclose(np.asarray(v_inc), np.asarray(v_full),
+                                   rtol=1e-5, atol=1e-5)

@@ -377,3 +377,82 @@ def test_sharded_bidirectional_decode_matches_single_device(rng_np):
     got_s = np.asarray(sharded_sample_tokens(mesh, pp, cfg, feats, start, key,
                                              temperature=1.2, top_k=4))
     np.testing.assert_array_equal(got_s, ref_s[:, 0])
+
+
+@pytest.mark.parametrize("data_size", [2, 4, 8])
+def test_padded_rows_never_leak_any_remainder(rng_np, data_size):
+    """_pad_to_multiple repeats the LAST row to fill the data axis
+    (parallel/serve.py); the contract is that padded rows never reach
+    user output. Property-tested across mesh size x batch remainder for
+    the sharded decode paths — greedy, per-sample beam, sampling — by
+    exact token equality against the single-device run of the same rows
+    (extraction's twin: test_extract_padded_rows_never_leak below).
+    Remainders: 1 (all but one row on the first chip is padding),
+    data-1 (one pad row), data+1 (wraps onto a second row per chip)."""
+    from image_captioning_through_rl_tpu.config import DecodeConfig
+    from image_captioning_through_rl_tpu.decode import beam_search, sample_decode_n
+    from image_captioning_through_rl_tpu.models import value as value_mod
+    from image_captioning_through_rl_tpu.parallel import (
+        sharded_beam_tokens,
+        sharded_greedy_tokens,
+        sharded_sample_tokens,
+    )
+
+    cfg = NetConfig(vocab_size=30, input_dim=12, wordvec_dim=14,
+                    hidden_dim=16, max_seq_len=7)
+    pp = policy.init(jax.random.PRNGKey(0), cfg)
+    vp = value_mod.init(jax.random.PRNGKey(1), cfg)
+    dcfg = DecodeConfig(beam_size=3, max_seq_len=7)
+    mesh = make_mesh((data_size,), ("data",),
+                     devices=jax.devices()[:data_size])
+    key = jax.random.PRNGKey(9)
+
+    for n in sorted({1, data_size - 1, data_size + 1} - {0}):
+        feats = jnp.asarray(rand_features(rng_np, n, cfg.input_dim))
+        start = jnp.ones(n, jnp.int32)
+
+        ref_g = np.asarray(greedy_decode(pp, cfg, feats, start))
+        got_g = np.asarray(sharded_greedy_tokens(mesh, pp, cfg, feats, start))
+        np.testing.assert_array_equal(got_g, ref_g, err_msg=f"greedy n={n}")
+
+        ref_t, ref_s = beam_search(pp, vp, cfg, dcfg, feats, start)
+        got_t, got_s = sharded_beam_tokens(mesh, pp, vp, cfg, dcfg, feats, start)
+        np.testing.assert_array_equal(
+            np.asarray(got_t), np.asarray(ref_t), err_msg=f"beam n={n}")
+        np.testing.assert_allclose(
+            np.asarray(got_s), np.asarray(ref_s), rtol=1e-6,
+            err_msg=f"beam scores n={n}")
+
+        # num_samples=2 exercises the repeat-then-pad layout too
+        ref_n = np.asarray(sample_decode_n(
+            pp, cfg, feats, start, key, 2, temperature=0.9, top_k=5))
+        got_n = np.asarray(sharded_sample_tokens(
+            mesh, pp, cfg, feats, start, key, num_samples=2,
+            temperature=0.9, top_k=5))
+        np.testing.assert_array_equal(got_n, ref_n, err_msg=f"sample n={n}")
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("data_size", [2, 4])
+def test_extract_padded_rows_never_leak(rng_np, data_size):
+    """Sharded VGG16 extraction's twin of the decode property above:
+    ragged image collections (final batch padded by repeating the last
+    image, batches sharded over the data axis) return exactly the
+    unsharded rows at every mesh size x remainder. Mesh size 8 is
+    covered by test_vgg.py::test_mesh_sharded_extraction_matches_
+    single_device; VGG compute makes this slow-tier."""
+    from image_captioning_through_rl_tpu.models import vgg
+
+    params = vgg.init(jax.random.PRNGKey(2))
+    n = 2 * data_size + 1  # ragged final batch: one real row + padding
+    imgs = rng_np.standard_normal((n, 32, 32, 3)).astype(np.float32)
+    mesh = make_mesh((data_size,), ("data",),
+                     devices=jax.devices()[:data_size])
+    plain = vgg.extract_features(params, imgs, batch_size=data_size)
+    sharded = vgg.extract_features(params, imgs, batch_size=data_size,
+                                   mesh=mesh)
+    assert sharded.shape == (n, 4096)
+    # sharded conv partitioning reorders float accumulation (~1e-7):
+    # allclose is the leak check — a leaked PAD row would be a copy of
+    # its batch's last real row, orders of magnitude off its own value
+    np.testing.assert_allclose(sharded, plain, rtol=1e-3, atol=1e-5)

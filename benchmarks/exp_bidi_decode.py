@@ -42,12 +42,12 @@ VOCAB, FEAT, HID, T = 1004, 512, 512, 17
 def timed(fn, iters=8, warmup=6):
     for _ in range(warmup):
         out = fn()
-    np.asarray(jax.tree.leaves(out)[0])[:1]
+    np.asarray(jax.tree.leaves(out)[0][:1])
     while True:
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn()
-        np.asarray(jax.tree.leaves(out)[0])[:1]
+        np.asarray(jax.tree.leaves(out)[0][:1])
         dt = time.perf_counter() - t0
         if dt >= 0.5 or iters >= 2048:
             return dt / iters * 1e3

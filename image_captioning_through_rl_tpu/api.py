@@ -244,11 +244,13 @@ class Captioner:
         Pallas kernel behind *verified dispatch*
         (:mod:`.ops.pallas_sample`), same contract as greedy: the first
         call for each (top_k, nucleus, num_samples) variant compares
-        fused vs XLA tokens on the live batch and the winner serves
-        every later call. Unfiltered sampling and batches whose row
-        count (``N*R``) exceeds the fused Gumbel-stream budget run the
-        XLA scan (both measured faster there — see the dispatch-policy
-        comment below and benchmarks/MEASURED.md).
+        fused vs XLA tokens on the live batch (re-canarying under fresh
+        keys on a coin-flip mismatch) and the winner serves every later
+        call. Unfiltered sampling runs the XLA scan (measured faster
+        there); the only fused-path size bound is the int32 threefry
+        counter space (``fused_rows_ok``: padded rows x vocab < 2**31,
+        ~2M rows at COCO vocab) — see the dispatch-policy comment below
+        and BENCHMARKS.md round 5.
         """
         cfg = self._cfg
         if num_samples < 1:

@@ -31,7 +31,7 @@ Two forward paths:
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -90,7 +90,14 @@ def forward(params: dict, cfg: NetConfig, features: jax.Array, captions: jax.Arr
     return jnp.swapaxes(logits, 0, 1)
 
 
-def init_decode_state(params: dict, cfg: NetConfig, features: jax.Array):
+# Carried decode state: the forward ``(h, c)`` LSTMState when
+# unidirectional, ``(fwd LSTMState, bwd_init LSTMState)`` when
+# bidirectional (the nested pair is a pytree like any other).
+DecodeState = Union[LSTMState, Tuple[LSTMState, LSTMState]]
+
+
+def init_decode_state(params: dict, cfg: NetConfig, features: jax.Array
+                      ) -> DecodeState:
     """Initial carried state for incremental decode.
 
     Unidirectional: the forward ``(h, c)``. Bidirectional:
@@ -101,8 +108,8 @@ def init_decode_state(params: dict, cfg: NetConfig, features: jax.Array):
 
 
 def step(
-    params: dict, cfg: NetConfig, tokens: jax.Array, state
-) -> Tuple[jax.Array, "LSTMState"]:
+    params: dict, cfg: NetConfig, tokens: jax.Array, state: DecodeState
+) -> Tuple[jax.Array, DecodeState]:
     """Consume one token per sample; return next-token logits and new state.
 
     ``tokens: [N]`` int ids -> ``(logits [N, V], state)``. Exact for

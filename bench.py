@@ -12,8 +12,9 @@ Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "captions/sec/chip", "vs_baseline": N}
 
 The line also carries a ``paths`` sub-dict so a round-over-round move in
-the headline is attributable to the path that moved (the headline alone
-drifts ±5% across processes — BENCHMARKS.md "per-path drift envelope"):
+the headline is attributable to the path that moved (measured envelope
+~0.2-1.7%/path across fresh processes under this protocol —
+BENCHMARKS.md "per-path drift envelope"):
 decode paths (``greedy_xla``/``greedy_fused`` @32768, ``beam5_fused``
 @1024, ``sample_plain_xla``/``sample_filtered_fused`` @8192) in
 captions/s; training paths (``policy_step``/``reward_step``/
@@ -44,8 +45,9 @@ def bench_jax():
     weights; beam kernel runs; fused training losses AND gradients
     agree with XLA) so Mosaic
     regressions surface in the driver's bench artifact instead of
-    silently falling back. Returns
-    ``(captions_per_sec, fused_ok, grads_ok)``."""
+    silently falling back. Returns ``(paths, fused_ok, grads_ok)`` —
+    ``paths`` is the per-decode-path rate dict (captions/s); main()
+    derives the headline from its greedy entries."""
     import sys
 
     import jax
